@@ -1,0 +1,258 @@
+"""Windowed / ordered / event-time operators over the `events` stream table.
+
+Reference parity (SURVEY.md §2.6, §2.7):
+  W1/W2  last-N keyed history window, oldest-first, concatenated
+         (`Slack Event Server/slackEventServer.js:187-221`)           → user_history_window
+  W4     last-N fetch / top-k                 (`Producer/test-producer.js:35-39`)
+                                                                      → last_events_per_user
+  ST5    event-time tumbling/sliding/session windows (absent in the
+         reference — north-star extension; batch formulations here,
+         streaming formulations in streaming/windows.py)              → events_* queries
+
+Scale notes (100 TB):
+  - Tumbling/sliding windows are pure narrow ops (floor arithmetic on the
+    timestamp) followed by a partial-aggregating groupBy — no skew risk
+    beyond hot windows, which AQE splits.
+  - Keyed history windows shuffle once on the key; rank-prune (row_number
+    <= N) happens inside the shuffle stage before any concat, so state per
+    key is bounded at N rows.
+  - Window starts are emitted as epoch-second BIGINTs (not formatted
+    timestamps) — timezone-proof across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import QuerySpec
+from ..tables import table
+
+
+# --------------------------------------------------------------------------
+# Tumbling window: per-hour, per-type counts + value stats.
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+SELECT (epoch_ms(date_trunc('hour', ts)) / 1000)::BIGINT AS window_start_epoch,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sliding window: 1 hour window, 30 min slide (each event lands in 2 windows).
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+# A 1h/30m sliding window containing t starts at floor(t/1800)*1800 and at
+# floor(t/1800)*1800 - 1800 (always exactly two).
+EVENTS_SLIDING_ORACLE = """
+SELECT window_start_epoch, event_type, count(*) AS n_events
+FROM (
+  SELECT (floor(epoch_ms(ts) / 1800000) * 1800 - off)::BIGINT AS window_start_epoch,
+         event_type
+  FROM events
+  CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Session windows (batch formulation): 30-minute inactivity gap per user.
+# Streaming formulation: F.session_window in streaming/windows.py.
+def events_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap compare in integer MICROSECONDS on both engines — float/seconds
+    # truncation at the 1800s boundary would silently diverge.
+    sessions = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONS_ORACLE = """
+SELECT user_id,
+       sum(new_session)::BIGINT AS n_sessions,
+       count(*)                 AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+    FROM events
+  )
+)
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from the props column (semi-structured handling).
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k)           AS max_k,
+       count(*)         AS n_events
+FROM (
+  SELECT event_type, json_extract(props, '$.k')::INTEGER AS k
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# W4 analogue: last-5 events per user (keyed top-k by recency).
+def last_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("recency_rank", F.row_number().over(w))
+        .filter(F.col("recency_rank") <= 5)
+        .select("user_id", "event_id", "event_type", "recency_rank")
+        .orderBy("user_id", "recency_rank")
+    )
+
+
+LAST_EVENTS_ORACLE = """
+SELECT user_id, event_id, event_type, recency_rank
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS recency_rank
+  FROM events
+)
+WHERE recency_rank <= 5
+ORDER BY user_id, recency_rank
+"""
+
+
+# --------------------------------------------------------------------------
+# W1/W2 analogue: last-100 history per key, oldest-first, formatted and
+# concatenated into one context string (P19's `${user}: ${text}` line format
+# becomes `${event_type}:${event_id}`; ints only — cross-engine stable).
+def user_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100)
+    # Oldest-first concat: collect (ts, event_id, line) structs, sort, join —
+    # explicit order inside the aggregation, never relying on row order.
+    line = F.concat_ws(":", "event_type", F.col("event_id").cast("string"))
+    return (
+        ranked.withColumn("line", line)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ts", "event_id", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("history"),
+            F.count(F.lit(1)).alias("n_messages"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_HISTORY_ORACLE = """
+SELECT user_id,
+       string_agg(line, chr(10) ORDER BY epoch_us(ts), event_id) AS history,
+       count(*)                                        AS n_messages
+FROM (
+  SELECT user_id, ts, event_id,
+         event_type || ':' || event_id::VARCHAR AS line,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC)
+           AS rn
+  FROM events
+)
+WHERE rn <= 100
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+QUERIES = [
+    QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
+              "tumbling event-time window (ST5)"),
+    QuerySpec("events_sliding_counts", events_sliding_counts, EVENTS_SLIDING_ORACLE,
+              "sliding event-time window (ST5)"),
+    QuerySpec("events_sessions_per_user", events_sessions_per_user,
+              EVENTS_SESSIONS_ORACLE, "session windows, 30-min gap (ST5)"),
+    QuerySpec("events_json_stats", events_json_stats, EVENTS_JSON_ORACLE,
+              "JSON prop extraction + aggregation"),
+    QuerySpec("last_events_per_user", last_events_per_user, LAST_EVENTS_ORACLE,
+              "keyed recency top-k (W4)"),
+    QuerySpec("user_history_window", user_history_window, USER_HISTORY_ORACLE,
+              "last-100 keyed history, oldest-first concat (W1/W2 + P19)"),
+]

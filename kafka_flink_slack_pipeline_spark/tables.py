@@ -1,0 +1,66 @@
+"""Testdata table access.
+
+The driver materializes a TPC-H-ish star schema plus `events`, `documents`,
+`embeddings` at /root/testdata/sf{0.001,0.01,0.1}/ (TESTDATA.md). All
+operators take an `sf_dir` so the same code runs at any scale factor — or,
+on a production cluster, against a real warehouse path.
+
+Scale notes:
+  - Everything is `spark.read.parquet(...)`: Catalyst pushes filters and
+    prunes columns into the parquet scan (verify with .explain →
+    PushedFilters / ReadSchema), so operators never pre-materialize.
+  - `DIM_TABLES` marks the tables small enough to broadcast at ANY fact-SF
+    (region/nation are bounded by geography; supplier/part/customer grow
+    with SF and are NOT in the list).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Bounded-cardinality dimensions: safe to broadcast at any scale factor.
+DIM_TABLES = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark's reader rejects it
+        # outright. Read nanos as int64 and truncate to microseconds (same
+        # floor DuckDB applies via epoch_us on its TIMESTAMP_NS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,70 @@
+"""Semantic unit tests for the relational operators (values, not just shapes).
+
+The cross-engine value check is tools/verify_local.py; here we pin down
+hand-checkable invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.operators import relational as R
+from kafka_flink_slack_pipeline_spark.tables import table
+
+
+def test_q1_groups_complete(spark, sf_dir):
+    rows = R.q1_pricing_summary(spark, sf_dir).collect()
+    # all 6 (returnflag, linestatus) combos exist in the data
+    assert len(rows) == 6
+    for r in rows:
+        assert r.count_order > 0
+        assert abs(r.avg_qty * r.count_order - r.sum_qty) / r.sum_qty < 1e-3
+
+
+def test_q3_topk_ordering(spark, sf_dir):
+    rows = R.q3_shipping_priority(spark, sf_dir).collect()
+    assert len(rows) <= 10
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_top_orders_rank_bounds(spark, sf_dir):
+    df = R.top_orders_per_customer(spark, sf_dir)
+    assert df.filter(F.col("rank_in_customer") > 3).count() == 0
+    # rank 1 row per customer has that customer's max totalprice
+    o = table(spark, sf_dir, "orders")
+    max_price = o.groupBy("o_custkey").agg(F.round(F.max("o_totalprice"), 2).alias("mx"))
+    r1 = df.filter(F.col("rank_in_customer") == 1)
+    joined = r1.join(max_price, "o_custkey")
+    assert joined.filter(F.col("o_totalprice") != F.col("mx")).count() == 0
+
+
+def test_semi_plus_anti_partition_customers(spark, sf_dir):
+    """semi(orders) + anti(orders) partitions customer exactly."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_rollup_grand_total(spark, sf_dir):
+    rows = {(r.region, r.nation): r for r in
+            R.rollup_revenue_region_nation(spark, sf_dir).collect()}
+    grand = rows[("ALL", "ALL")]
+    per_region = [v for (reg, nat), v in rows.items()
+                  if nat == "ALL" and reg != "ALL"]
+    assert grand.n_orders == sum(v.n_orders for v in per_region)
+    assert abs(grand.total_price - sum(v.total_price for v in per_region)) < 1.0
+
+
+def test_pivot_counts_sum_to_orders(spark, sf_dir):
+    rows = R.pivot_orders_priority_status(spark, sf_dir).collect()
+    total = sum(r.n_f + r.n_o + r.n_p for r in rows)
+    assert total == table(spark, sf_dir, "orders").count()
+
+
+def test_q5_broadcast_in_plan(spark, sf_dir):
+    """The dimension joins must be broadcast (scale guard, not just correctness)."""
+    plan = R.q5_local_supplier_volume(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

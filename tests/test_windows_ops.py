@@ -1,0 +1,53 @@
+"""Semantic tests for windowed/event-time operators (operators/windows.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.operators import windows as W
+from kafka_flink_slack_pipeline_spark.tables import table
+
+
+def test_hourly_counts_conserve_events(spark, sf_dir):
+    df = W.events_hourly_counts(spark, sf_dir)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    assert total == table(spark, sf_dir, "events").count()
+    # window starts are hour-aligned
+    misaligned = df.filter(F.col("window_start_epoch") % 3600 != 0).count()
+    assert misaligned == 0
+
+
+def test_sliding_counts_double_events(spark, sf_dir):
+    """1h window / 30m slide → every event lands in exactly 2 windows."""
+    df = W.events_sliding_counts(spark, sf_dir)
+    total = df.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * table(spark, sf_dir, "events").count()
+
+
+def test_sessions_bounds(spark, sf_dir):
+    rows = W.events_sessions_per_user(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r.n_sessions <= r.n_events
+
+
+def test_last_events_recency(spark, sf_dir):
+    df = W.last_events_per_user(spark, sf_dir)
+    assert df.filter(F.col("recency_rank") > 5).count() == 0
+    counts = df.groupBy("user_id").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
+
+
+def test_user_history_oldest_first(spark, sf_dir):
+    rows = W.user_history_window(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    one = rows[0]
+    lines = one.history.split("\n")
+    assert len(lines) == min(one.n_messages, 100)
+    # last line of history is the user's most recent event
+    latest = (
+        e.filter(F.col("user_id") == one.user_id)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_type", "event_id")
+        .first()
+    )
+    assert lines[-1] == f"{latest.event_type}:{latest.event_id}"
