@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import QuerySpec
@@ -113,26 +113,37 @@ def _word_shingles(tokens_col, n: int = 3):
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (inverted-index join)."""
+    """Near-dup pairs by word-3-gram Jaccard >= 0.5 (inverted-index join).
+
+    Plan shape (deliberate):
+      * tokens projected ONCE into a column, so the shingle transform
+        references an attribute instead of re-evaluating split() per
+        element_at inside the lambda;
+      * per-doc shingle counts attached via a window over doc_id BEFORE the
+        self-join, so sizes ride along with the postings — no extra joins;
+      * self-join on shingle with a SHUFFLE_HASH hint: both sides are the
+        IDENTICAL subplan, so ReuseExchange materializes the shingle
+        explosion once (a broadcast on one side would defeat the reuse and,
+        at 100 TB, broadcasting an inverted index is wrong anyway).
+    """
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    shingled = d.select(
-        "doc_id", F.explode(_word_shingles(toks, 3)).alias("shingle")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
     ).filter(F.col("shingle") != "")
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    pair_common = (
+    w = Window.partitionBy("doc_id")
+    sized = shingled.withColumn("n", F.count(F.lit(1)).over(w))
+    a, b = sized.alias("a"), sized.hint("SHUFFLE_HASH").alias("b")
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
-        pair_common.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -180,6 +191,279 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup detection.
+#
+# Cross-engine determinism: the "hash family" is md5 over a seed-prefixed
+# shingle, compared LEXICOGRAPHICALLY as its lowercase-hex string — both
+# Spark and DuckDB produce identical md5 hex, so min() agrees exactly and
+# the oracle replicates the Spark result bit-for-bit (no float, no
+# engine-specific hash).
+#
+# Scale notes (100 TB): signatures are one groupBy over the exploded
+# shingles (K mins fold into one partial-agg pass); the LSH band join keys
+# on (band, 4×32-hex concat) — candidate generation is a hash-shuffle join
+# on a high-entropy key, never an O(n²) cross join. est_jaccard is computed
+# only for candidate pairs.
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4  # K = BANDS * ROWS
+
+
+def _minhash_sigs(shingled: DataFrame) -> DataFrame:
+    """doc_id + h0..h{K-1}: per-doc min of seed-prefixed md5 per seed."""
+    return shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
+
+    Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
+    with est_jaccard (fraction of equal signature components) >= 0.25.
+    """
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    sigs = _minhash_sigs(shingled)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col(f"h{b * MINHASH_ROWS + r}")
+                                for r in range(MINHASH_ROWS)
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.hint("SHUFFLE_HASH").alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(MINHASH_K), 4))
+        .filter(F.col("est_jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b,
+            key=" || ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+  WHERE shingle <> ''
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingled GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({agree}) / {MINHASH_K}.0, 4) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b
+WHERE round(({agree}) / {MINHASH_K}.0, 4) >= 0.25
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup detection.
+#
+# 60-bit fingerprint (15 hex chars of md5 per token — parseable as a BIGINT
+# by both Spark `conv(,16,10)` and DuckDB `('0x'||…)::BIGINT`). Per bit j:
+# sign of sum over distinct tokens of ±1 (bit j of token hash). Pairs with
+# hamming(fp_a, fp_b) <= 3.
+#
+# Scale path vs oracle: Spark joins on 4 bands of 15 bits — by pigeonhole,
+# any pair at hamming <= 3 differs in at most 3 of the 4 bands, so at least
+# one band matches exactly and banded join ∪ hamming-filter EQUALS the
+# brute-force O(n²) scan the DuckDB oracle runs. Same result, shuffle-join
+# scalability.
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_fps(d: DataFrame) -> DataFrame:
+    """doc_id + 60-bit simhash fingerprint over distinct lowercase tokens."""
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(th, j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        * F.lit(1 << j).cast("long")
+        for j in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", fp.alias("fp"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= 3 (banded LSH join)."""
+    d = table(spark, sf_dir, "documents")
+    fps = _simhash_fps(d)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.bval")
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.hint("SHUFFLE_HASH").alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def _simhash_oracle() -> str:
+    th = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    sums = ",\n         ".join(
+        f"sum(((({th} >> {j}) & 1) * 2 - 1)::BIGINT) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS fp FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_ORACLE = _simhash_oracle()
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -188,4 +472,8 @@ QUERIES = [
     QuerySpec("dedup_ngram_jaccard", dedup_ngram_jaccard,
               DEDUP_NGRAM_JACCARD_ORACLE,
               "near-dup pairs: word-3-gram Jaccard via inverted-index join"),
+    QuerySpec("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_LSH_ORACLE,
+              "MinHash signatures + banded LSH candidate pairs"),
+    QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
+              "SimHash 60-bit fingerprints, banded hamming<=3 pairs"),
 ]
