@@ -164,9 +164,204 @@ FROM sims GROUP BY label ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplane signatures, multi-probe).
+#
+# The hyperplanes are generated DRIVER-SIDE from hashlib.md5 (deterministic,
+# seed-stamped) and embedded as float literals in BOTH the Spark plan and
+# the DuckDB oracle SQL — no cross-engine hash function needed, and the
+# dot-product fold order is the array order in both engines.
+#
+# Scale path: each vector gets one NBITS-bit bucket PER hash table (the
+# classic L-tables LSH layout — one table alone has poor recall when the
+# similarity spread is flat, as it is for the synthetic embeddings whose
+# true top-5 sit at cosine 0.25-0.49). The query side explodes into all
+# probe buckets within hamming <= PROBE_HAMMING per table (37 probes × 4
+# tables here) and the candidate join is an EQUI-join on (table, bucket) —
+# hash-partitionable, no cross join, candidate side never broadcasts.
+# Candidates dedup on (query, neighbor) before the exact-cosine re-rank.
+# The oracle replicates the same candidate set with OR-ed bit_count filters.
+
+ANN_NBITS = 8
+ANN_TABLES = 4
+ANN_PROBE_HAMMING = 2
+ANN_DIM = 64
+
+
+def _hyperplanes(
+    n_planes: int = ANN_NBITS * ANN_TABLES, dim: int = ANN_DIM
+) -> list[list[float]]:
+    """Deterministic pseudo-random planes: component = md5("ann:p:j") mapped
+    to [-1, 1). Same bytes everywhere hashlib exists; embedded as literals.
+    Table t uses planes [t*NBITS, (t+1)*NBITS)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"ann:{p}:{j}".encode()).hexdigest()
+            row.append(int(h[:15], 16) / float(1 << 59) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
+    """NBITS-bit LSH bucket: bit p = (plane_p . emb) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(x) for x in row]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _probe_masks(nbits: int, radius: int) -> list[int]:
+    """All XOR masks with popcount <= radius (multi-probe expansion)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(nbits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via multi-probe, multi-table
+    hyperplane LSH: candidates share a bucket (within hamming<=2 probes) in
+    ANY of the 4 tables; exact cosine re-ranks the deduped candidates."""
+    planes = _hyperplanes()
+    emb = _emb(spark, sf_dir)
+    tables = [planes[t * ANN_NBITS : (t + 1) * ANN_NBITS] for t in range(ANN_TABLES)]
+    bucketed = emb.select(
+        "vec_id",
+        "emb",
+        *[
+            _bucket_expr(F.col("emb"), tables[t]).alias(f"bucket{t}")
+            for t in range(ANN_TABLES)
+        ],
+    )
+    # candidate side: one row per (vector, table)
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ne"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), F.col(f"bucket{t}").alias("bucket")
+                    )
+                    for t in range(ANN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "ne", "tb.t", "tb.bucket")
+    # query side: one row per (query, table, probe bucket)
+    masks = _probe_masks(ANN_NBITS, ANN_PROBE_HAMMING)
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qe"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.col(f"bucket{t}")
+                        .bitwiseXOR(F.lit(m).cast("long"))
+                        .alias("bucket"),
+                    )
+                    for t in range(ANN_TABLES)
+                    for m in masks
+                ]
+            )
+        ).alias("tb"),
+    ).select("query_id", "qe", "tb.t", "tb.bucket")
+    cand = (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("qe").alias("qe"), F.first("ne").alias("ne"))
+    )
+    scored = cand.withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_oracle() -> str:
+    planes = _hyperplanes()
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"emb[{j + 1}] * ({planes[t * ANN_NBITS + p][j]!r})"
+                for j in range(ANN_DIM)
+            )
+            + f") > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_NBITS)
+        )
+
+    buckets = ",\n       ".join(
+        f"{bucket_sql(t)} AS bucket{t}" for t in range(ANN_TABLES)
+    )
+    any_table = " OR ".join(
+        f"bit_count(xor(q.bucket{t}::BIGINT, c.bucket{t}::BIGINT))"
+        f" <= {ANN_PROBE_HAMMING}"
+        for t in range(ANN_TABLES)
+    )
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, emb,
+       {buckets}
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.emb, c.emb) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id ASC
+         ) AS rank
+  FROM (SELECT * FROM bucketed WHERE vec_id < 10) q
+  JOIN bucketed c
+    ON ({any_table})
+   AND q.vec_id <> c.vec_id
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+COSINE_TOPK_LSH_ORACLE = _lsh_oracle()
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "exact cosine top-k, broadcast query side"),
     QuerySpec("embedding_neardup_pairs", embedding_neardup_pairs, EMB_NEARDUP_ORACLE,
               "embedding-cosine near-dup pairs"),
+    QuerySpec("cosine_topk_lsh", cosine_topk_lsh, COSINE_TOPK_LSH_ORACLE,
+              "multi-probe hyperplane-LSH ANN top-k, bucket equi-join"),
+    QuerySpec("label_centroid_similarity", label_centroid_similarity,
+              LABEL_CENTROID_ORACLE,
+              "per-label centroid + mean intra-label cosine"),
 ]

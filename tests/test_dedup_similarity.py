@@ -77,3 +77,42 @@ def test_cosine_identical_vector_sim_one(spark):
     df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>")
     sim = df.select(cosine(F.col("a"), F.col("b")).alias("s")).collect()[0].s
     assert abs(sim - 1.0) < 1e-12
+
+def test_minhash_lsh_finds_near_dups(spark, tmp_path):
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " zz yy"  # high jaccard
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near),
+         (4, "totally different words in this document right here")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard
+             for r in D.dedup_minhash_lsh(spark, str(tmp_path)).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs: all 16 sig components agree
+    assert (1, 3) in pairs       # near-dup shares >=1 band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(spark, tmp_path):
+    base = " ".join(f"tok{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "completely unrelated vocabulary over here friends")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {(r.doc_a, r.doc_b): r.hamming
+            for r in D.dedup_simhash(spark, str(tmp_path)).collect()}
+    assert rows[(1, 2)] == 0
+    assert (1, 3) not in rows
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-probe LSH at radius 2 should recover most true top-5 neighbors."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk_bruteforce(spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.cosine_topk_lsh(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
