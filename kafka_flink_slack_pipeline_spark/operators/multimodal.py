@@ -1,0 +1,243 @@
+"""Multimodal binary-column operators (north-star surface).
+
+The reference handles media as opaque bytes + mimetype metadata: Slack file
+fetch → Buffer (`Slack Event Server/slackEventServer.js:157-184`), image
+mimetype filter (`:245`), base64 attach (`:174`). This module generalizes
+that into the engine's multimodal surface for a training-data pipeline:
+typed binary columns with metadata, and decode / feature-extract /
+frame-sample stages as Arrow-batched `mapInPandas` stages.
+
+The container has no image/audio codecs, so the DECODE step is stubbed:
+`_decode_image` raises NotImplementedError when Pillow is absent and a
+deterministic fake (byte-level features) stands in. Everything Spark-side —
+schema, binary columns, batch iteration, partitioning, output shape — is
+real and oracle/test-verified.
+
+Payloads are derived deterministically from the `documents` testdata table
+(utf-8 bytes of `text`), so every operator stays reproducible and
+DuckDB-checkable; in production the payload column comes from the object
+store / Kafka instead.
+
+Scale notes (100 TB):
+  - Binary payloads ride in parquet BYTE_ARRAY; the metadata-only queries
+    (byte stats) never touch payload bytes thanks to column pruning.
+  - mapInPandas streams Arrow record batches: memory is bounded by
+    `spark.sql.execution.arrow.maxRecordsPerBatch`, not partition size —
+    the right shape for megabytes-per-row media columns. Feature extraction
+    is embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import QuerySpec
+from ..tables import table
+
+N_HIST_BINS = 16
+FRAME_BYTES = 1000  # fake codec: one "frame" per kB of payload
+FRAME_INTERVAL_MS = 40  # 25 fps
+
+MIMETYPES = ("image/png", "audio/wav", "video/mp4")
+
+
+def multimodal_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`documents` re-typed as a multimodal table.
+
+    doc_id, mimetype (round-robin by doc_id), payload binary (utf-8 bytes
+    of text — deterministic fake media), meta struct (fake width/height/
+    duration derived from payload size).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_bytes = F.octet_length("text")
+    return d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MIMETYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mimetype"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            (n_bytes % 640).cast("int").alias("width"),
+            (n_bytes % 480).cast("int").alias("height"),
+            (n_bytes * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+        F.col("text").alias("_text"),  # kept for hash parity with the oracle
+    )
+
+
+# --------------------------------------------------------------------------
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mimetype byte statistics over the multimodal table.
+
+    Metadata-only: the plan reads doc_id + text lengths; payload bytes are
+    pruned away (check ReadSchema in explain)."""
+    mm = multimodal_view(spark, sf_dir)
+    return (
+        mm.select(
+            "mimetype",
+            F.octet_length("payload").alias("n_bytes"),
+            F.md5("_text").alias("sig"),
+        )
+        .groupBy("mimetype")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+            F.count_distinct(F.col("sig")).alias("n_distinct_payloads"),
+        )
+        .orderBy("mimetype")
+    )
+
+
+MULTIMODAL_BYTE_STATS_ORACLE = """
+SELECT mimetype,
+       count(*)::BIGINT AS n_files,
+       sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct_payloads
+FROM (
+  SELECT doc_id, text,
+         ['image/png', 'audio/wav', 'video/mp4'][(doc_id % 3 + 1)::INT] AS mimetype
+  FROM documents
+)
+GROUP BY mimetype
+ORDER BY mimetype
+"""
+
+
+# --------------------------------------------------------------------------
+# Feature extraction: binary payload → byte-histogram features via
+# mapInPandas. The "decode" would be the codec call; stubbed per module
+# docstring. Output is long-format (doc_id, bin, n) so the oracle is plain
+# SQL over codepoints (payload bytes == utf-8 codepoints for this ASCII
+# testdata derivation).
+
+try:  # decode stub gate: real codec path only when Pillow exists
+    import PIL  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def _decode_image(payload: bytes):  # pragma: no cover - container lacks PIL
+    """REAL decode path (requires Pillow; absent in this container)."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires Pillow; use the deterministic byte-level "
+            "fake (_byte_histogram) in codec-less environments"
+        )
+    from io import BytesIO
+
+    from PIL import Image
+
+    return Image.open(BytesIO(payload))
+
+
+def _byte_histogram(payload: bytes, n_bins: int = N_HIST_BINS) -> list[int]:
+    """Deterministic stand-in for decode+feature-extract: 16-bin histogram
+    of byte values (bin = byte // 16)."""
+    counts = [0] * n_bins
+    for b in payload:
+        counts[b // N_HIST_BINS] += 1
+    return counts
+
+
+def image_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over image-typed payloads.
+
+    Long-format output (doc_id, bin, n) — one row per non-empty histogram
+    bin — keeps the oracle SQL-expressible while exercising the real
+    Arrow-batched binary plumbing."""
+    mm = multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("image/")  # F7 mimetype gate
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_bin, out_n = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hist = _byte_histogram(bytes(payload))
+                for b, n in enumerate(hist):
+                    if n:
+                        out_doc.append(doc_id)
+                        out_bin.append(b)
+                        out_n.append(n)
+            yield pd.DataFrame({"doc_id": out_doc, "bin": out_bin, "n": out_n})
+
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(extract, "doc_id bigint, bin int, n bigint")
+        .orderBy("doc_id", "bin")
+    )
+
+
+IMAGE_BYTE_HISTOGRAM_ORACLE = """
+SELECT doc_id, (code // 16)::INT AS bin, count(*)::BIGINT AS n
+FROM (
+  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
+                                       i -> ord(text[i]))) AS code
+  FROM documents
+  WHERE doc_id % 3 = 0  -- image/png slot of the round-robin typing
+)
+GROUP BY doc_id, bin
+ORDER BY doc_id, bin
+"""
+
+
+# --------------------------------------------------------------------------
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-typed payloads (fake codec: 1 frame/kB,
+    25 fps timestamps, md5 frame signature). Pure column expressions — the
+    per-frame fan-out is a lateral explode, no Python."""
+    mm = multimodal_view(spark, sf_dir).filter(F.col("mimetype") == "video/mp4")
+    n_frames = (F.octet_length("payload") / FRAME_BYTES).cast("int") + 1
+    return (
+        mm.select(
+            "doc_id",
+            F.md5("_text").alias("payload_sig"),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * FRAME_INTERVAL_MS).cast("bigint").alias("frame_ts_ms"),
+            F.md5(
+                F.concat_ws(":", F.col("payload_sig"), F.col("frame_idx"))
+            ).alias("frame_sig"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+VIDEO_FRAME_SAMPLE_ORACLE = f"""
+SELECT doc_id, frame_idx,
+       (frame_idx * {FRAME_INTERVAL_MS})::BIGINT AS frame_ts_ms,
+       md5(md5(text) || ':' || frame_idx) AS frame_sig
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, (octet_length(encode(text)) // {FRAME_BYTES})::INT + 1))
+           AS frame_idx
+  FROM documents
+  WHERE doc_id % 3 = 2  -- video/mp4 slot of the round-robin typing
+)
+ORDER BY doc_id, frame_idx
+"""
+
+
+QUERIES = [
+    QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
+              MULTIMODAL_BYTE_STATS_ORACLE,
+              "typed binary columns: per-mimetype byte statistics"),
+    QuerySpec("image_byte_histogram", image_byte_histogram,
+              IMAGE_BYTE_HISTOGRAM_ORACLE,
+              "mapInPandas binary feature extraction (decode stubbed)"),
+    QuerySpec("video_frame_sample", video_frame_sample,
+              VIDEO_FRAME_SAMPLE_ORACLE,
+              "frame sampling fan-out over video payloads"),
+]

@@ -34,10 +34,17 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     """Collect QuerySpecs from every operator module (import-light)."""
-    from ..operators import dedup, relational, similarity, textops, windows
+    from ..operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        textops,
+        windows,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, windows, textops, dedup, similarity):
+    for mod in (relational, windows, textops, dedup, similarity, multimodal):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")
