@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Collect QuerySpecs from every operator module (import-light)."""
     from ..operators import (
         dedup,
+        emailpipe,
         multimodal,
         relational,
         similarity,
@@ -44,7 +45,8 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, windows, textops, dedup, similarity, multimodal):
+    for mod in (relational, windows, textops, dedup, similarity, multimodal,
+                emailpipe):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")
