@@ -121,9 +121,21 @@ def html_to_text_py(html: str) -> str:
     return re.sub(r"\n{3,}", "\n\n", text).strip()
 
 
-@F.pandas_udf("string")
-def html_to_text_udf(bodies: pd.Series) -> pd.Series:
-    return bodies.map(html_to_text_py)
+_UDF_CACHE: dict = {}
+
+
+def html_to_text_udf(body: Column) -> Column:
+    """Arrow-batched P1 UDF (built lazily: pandas_udf with a DDL-string
+    return type needs an active SparkSession, so module import must not
+    create it)."""
+    if "udf" not in _UDF_CACHE:
+
+        @F.pandas_udf("string")
+        def _udf(bodies: pd.Series) -> pd.Series:
+            return bodies.map(html_to_text_py)
+
+        _UDF_CACHE["udf"] = _udf
+    return _UDF_CACHE["udf"](body)
 
 
 def maybe_html_to_text(body: Column) -> Column:

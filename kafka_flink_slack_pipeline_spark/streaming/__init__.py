@@ -1,0 +1,13 @@
+"""Streaming dataflows: the reference's three processes re-expressed as
+Structured Streaming pipelines (SURVEY.md §3), plus the event-time layer
+the reference lacks (ST5)."""
+
+from .consumer_pipeline import consumer_transform, run_consumer_stream  # noqa: F401
+from .event_server import (  # noqa: F401
+    enrich_mentions,
+    history_context,
+    thread_registry_stream,
+)
+from .event_time import windowed_event_counts  # noqa: F401
+from .llm import MAX_TOKENS, DeterministicStubModel, make_llm_udf  # noqa: F401
+from .producer_pipeline import producer_transform, run_producer_stream  # noqa: F401

@@ -1,0 +1,141 @@
+"""Interactive path (SURVEY.md §3.3): Slack events → state → LLM → reply.
+
+Mirrors `Slack Event Server/slackEventServer.js`:
+  S5 events source → F4 bot filter / F5 DM filter → ST2 thread-root
+  resolution → ST1 thread registry (keyed state) → P18 mention strip →
+  F6 empty guard → S6/W1/W2 history context (stream-static join) →
+  P20 prompt assembly → U1 LLM UDF → K3 reply frame (→ Slack sink).
+
+State-model upgrade (ST1): the reference keeps an unbounded in-memory
+`Set` of "channel-thread_ts" keys (`slackEventServer.js:48,63`) that dies
+with the process. Here the registry is `dropDuplicates` over keyed
+streaming state with a watermark TTL — bounded, checkpointed,
+restart-safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textclean import assemble_prompt, history_line, strip_mentions
+from .llm import llm_enrich_col
+
+HISTORY_LIMIT = 100  # slackEventServer.js:187,205
+EMPTY_QUESTION_REPLY = (  # F6 canned reply (slackEventServer.js:75-82)
+    "Hi! Please ask me a question and I'll do my best to help."
+)
+ERROR_REPLY = (  # K4 canned apology (slackEventServer.js:106-109)
+    "Sorry, I ran into an error processing your request. Please try again."
+)
+
+
+def event_ts(ts: Column) -> Column:
+    """Slack string ts ("1712345678.000200") → timestamp."""
+    return ts.cast("double").cast("timestamp")
+
+
+def thread_root(df: DataFrame) -> Column:
+    """ST2 — `thread_ts ?? ts` (slackEventServer.js:55-61,91)."""
+    return F.coalesce(F.col("thread_ts"), F.col("ts"))
+
+
+def drop_bot_messages(df: DataFrame) -> DataFrame:
+    """F4 — `subtype === 'bot_message' || bot_id` (slackEventServer.js:116)."""
+    return df.filter(
+        (F.col("subtype").isNull() | (F.col("subtype") != "bot_message"))
+        & F.col("bot_id").isNull()
+    )
+
+
+def dms_only(df: DataFrame) -> DataFrame:
+    """F5 — `channel_type === 'im'` (slackEventServer.js:121)."""
+    return df.filter(F.col("channel_type") == "im")
+
+
+def thread_registry_stream(
+    events: DataFrame, ttl: str = "7 days"
+) -> DataFrame:
+    """ST1 — participating-thread registry as watermarked streaming dedup.
+
+    One output row per newly-seen (channel, thread_root); state for a key
+    is dropped once the watermark passes its event time + ttl."""
+    return (
+        events.withColumn("event_time", event_ts(F.col("ts")))
+        .withColumn("thread_root", thread_root(events))
+        .withWatermark("event_time", ttl)
+        .dropDuplicates(["channel", "thread_root"])
+        .select("channel", "thread_root", "event_time")
+    )
+
+
+def history_context(history: DataFrame, by_thread: bool = False) -> DataFrame:
+    """S6/W1/W2 — last-100 messages per channel (or per thread), oldest
+    first, formatted `user: text` and joined into one context string.
+
+    Batch/static formulation (stream-static join target). The orderBy
+    inside the aggregation is explicit — sort_array over (ts, line)
+    structs — never relying on accidental row order."""
+    keys = ["channel", "thread_ts"] if by_thread else ["channel"]
+    w = Window.partitionBy(*keys).orderBy(F.col("ts").cast("double").desc())
+    return (
+        history.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HISTORY_LIMIT)
+        .withColumn("line", history_line(F.col("user"), F.col("text")))
+        .groupBy(*keys)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(F.col("ts").cast("double").alias("o"),
+                                     F.col("line").alias("l"))
+                        )
+                    ),
+                    lambda s: s["l"],
+                ),
+                "\n",
+            ).alias("context_info")
+        )
+    )
+
+
+def enrich_mentions(
+    events: DataFrame,
+    history: DataFrame,
+    model: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """app_mention path: filters → question → context join → LLM → reply.
+
+    Returns a reply frame (channel, thread_ts, reply_text, idempotency_key)
+    ready for the Slack chat sink (K3). Works on batch and streaming
+    frames alike (history is the static side of the join)."""
+    mentions = drop_bot_messages(
+        events.filter(F.col("type") == "app_mention")
+    ).withColumn("thread_root", thread_root(events))
+    question = strip_mentions(F.col("text"))  # P18
+    has_files = F.size(F.coalesce(F.col("files"), F.array())) > 0
+    ctx = history_context(history, by_thread=False)
+    joined = (
+        mentions.withColumn("question", question)
+        .join(F.broadcast(ctx), "channel", "left")
+        .withColumn("context_info", F.coalesce(F.col("context_info"), F.lit("")))
+    )
+    prompt = assemble_prompt(F.col("context_info"), F.col("question"))  # P20
+    reply = F.when(
+        (F.col("question") == "") & ~has_files,  # F6 empty guard
+        F.lit(EMPTY_QUESTION_REPLY),
+    ).otherwise(
+        F.coalesce(llm_enrich_col(prompt, model), F.lit(ERROR_REPLY))  # U1/K4
+    )
+    return joined.select(
+        "channel",
+        F.col("thread_root").alias("thread_ts"),  # threaded reply (K3 :97-101)
+        reply.alias("reply_text"),
+        F.md5(F.concat_ws("/", F.col("channel"), F.col("ts"))).alias(
+            "idempotency_key"
+        ),
+    )

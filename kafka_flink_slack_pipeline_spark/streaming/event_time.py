@@ -1,0 +1,46 @@
+"""Event-time processing (ST5 — absent in the reference, added per the
+north star): watermarks, tumbling/sliding windows, late-data policy.
+
+The reference's only notion of time is a 10-minute processing-time poll
+(`Producer/kafkaProducer.js:232`). This module gives the engine true
+event-time semantics on any stream with a timestamp column: windowed
+aggregation with bounded state, late rows dropped once the watermark
+passes (documented policy: drop, no side-output — extend with a DLQ tap
+if late-data auditing is needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding, when `slide` is given) windowed counts with a
+    watermark. On a stream: append-mode output, finalized windows only;
+    on a batch frame: same expression, all windows."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

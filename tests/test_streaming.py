@@ -1,0 +1,326 @@
+"""Streaming-layer tests: file sources → availableNow micro-batches →
+memory/parquet/foreachBatch sinks. No broker, no network — pipelines are
+written against DataFrames so the file-backed stand-ins exercise the same
+code that Kafka feeds in production."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.schemas import (
+    EMAILS_RAW_SCHEMA,
+    KAFKA_ENVELOPE_SCHEMA,
+    SLACK_EVENT_SCHEMA,
+    SLACK_MESSAGE_SCHEMA,
+)
+from kafka_flink_slack_pipeline_spark.sinks.slack import SlackWebhookSink
+from kafka_flink_slack_pipeline_spark.sources import (
+    email_landing_stream,
+    envelope_stream_from_dir,
+)
+from kafka_flink_slack_pipeline_spark.streaming import (
+    DeterministicStubModel,
+    consumer_transform,
+    enrich_mentions,
+    history_context,
+    producer_transform,
+    run_consumer_stream,
+    run_producer_stream,
+    thread_registry_stream,
+    windowed_event_counts,
+)
+
+import datetime as dt
+
+
+def _await(query, timeout=120):
+    query.awaitTermination(timeout)
+    if query.isActive:
+        query.stop()
+        raise AssertionError("stream did not drain in time")
+
+
+# ---------------------------------------------------------------------------
+RAW_EMAILS = [
+    Row(
+        email_id=1, seqno=101, mailbox="Tech News",
+        fetch_ts=dt.datetime(2025, 9, 1, 10, 0), seen=False,
+        internal_date=dt.date(2025, 9, 1), subject_raw="Daily Brief",
+        body_raw=(
+            "Intro Together With Sponsor\nTLDR 2025-09-01\nBIG NEWS\n"
+            "Caf=C3=A9 story line\nby John Smith\n"
+            "Love TLDR? Tell your friends and get rewards!\ntail"
+        ),
+    ),
+    Row(  # seen → filtered out by S2
+        email_id=2, seqno=102, mailbox="Tech News",
+        fetch_ts=dt.datetime(2025, 9, 1, 10, 0), seen=True,
+        internal_date=dt.date(2025, 9, 1), subject_raw="Old",
+        body_raw="already seen",
+    ),
+    Row(  # no subject → P0 default
+        email_id=3, seqno=103, mailbox="Tech News",
+        fetch_ts=dt.datetime(2025, 9, 2, 10, 0), seen=False,
+        internal_date=dt.date(2025, 9, 2), subject_raw=None,
+        body_raw="TLDR plain body",
+    ),
+]
+
+
+def test_producer_pipeline_end_to_end(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(RAW_EMAILS, EMAILS_RAW_SCHEMA).write.parquet(landing)
+
+    raw = email_landing_stream(spark, landing)
+    q = run_producer_stream(raw, out_dir, ckpt, serde="json")
+    _await(q)
+
+    out = spark.read.parquet(out_dir).orderBy("seqno").collect()
+    assert [r.seqno for r in out] == [101, 103]  # seen row filtered (S2)
+    first = out[0]
+    assert first.subject == "*Daily Brief*"
+    assert first.body.startswith("TLDR 2025-09-01")  # P3 trim
+    assert "*BIG NEWS*" in first.body  # P12 bolding
+    assert "Caf story line" in first.body  # D1 qp-decode + P11 non-ascii
+    assert "by John Smith" not in first.body  # P15
+    assert "Love TLDR?" not in first.body  # P4 truncation
+    assert out[1].subject == "*No Subject*"  # P0 default
+    # serde round-trip: value decodes back to the record
+    rec = json.loads(bytes(first.value).decode())
+    assert rec == {"seqno": 101, "subject": first.subject, "body": first.body}
+
+
+# ---------------------------------------------------------------------------
+def _envelope_rows(spark, tmp_path, bodies):
+    rows = []
+    for i, (subject, body) in enumerate(bodies):
+        value = json.dumps(
+            {"seqno": i, "subject": subject, "body": body}
+        ).encode()
+        rows.append(
+            Row(key=None, value=bytearray(value), topic="technews",
+                partition=0, offset=i, timestamp=dt.datetime(2025, 9, 1),
+                timestampType=0)
+        )
+    d = str(tmp_path / "envelopes")
+    spark.createDataFrame(rows, KAFKA_ENVELOPE_SCHEMA).write.parquet(d)
+    return d
+
+
+def make_recording_transport(record_dir, fail_marker=None):
+    """Transport closure recording posts as files (closures cloudpickle by
+    VALUE to the python workers, and the filesystem is the only channel
+    back to the test process — executor-side lists would be lost)."""
+    import os as _os
+
+    _os.makedirs(record_dir, exist_ok=True)
+
+    def transport(url, payload, key):
+        if fail_marker and fail_marker in payload:
+            raise RuntimeError("simulated slack 500")
+        fname = f"{key}-{_os.urandom(6).hex()}.json"
+        with open(_os.path.join(record_dir, fname), "w") as f:
+            json.dump({"url": url, "key": key, "payload": payload}, f)
+
+    return transport
+
+
+def read_posts(record_dir):
+    import os as _os
+
+    out = []
+    if _os.path.isdir(record_dir):
+        for fn in sorted(_os.listdir(record_dir)):
+            with open(_os.path.join(record_dir, fn)) as f:
+                p = json.load(f)
+            out.append((p["url"], p["key"], p["payload"]))
+    return out
+
+
+def test_consumer_pipeline_posts_blockkit(spark, tmp_path):
+    env_dir = _envelope_rows(
+        spark, tmp_path,
+        [("*A*", "Heading one\nhttps://x.co/1\nplain"), ("*B*", "short")],
+    )
+    record_dir = str(tmp_path / "posts")
+    sink = SlackWebhookSink(
+        "https://hooks.test/T000",
+        transport=make_recording_transport(record_dir),
+        rate_limit_per_sec=0, parallelism=2,
+    )
+    q = run_consumer_stream(
+        envelope_stream_from_dir(spark, env_dir), sink,
+        str(tmp_path / "ckpt"), serde="json",
+    )
+    _await(q)
+
+    posts = read_posts(record_dir)
+    assert len(posts) == 2
+    payloads = {json.loads(p)["blocks"][0]["text"]["text"]: json.loads(p)
+                for _, _, p in posts}
+    a = payloads["*Subject:* *A*\n*Body:*"]
+    assert a["blocks"][1]["text"]["text"] == "<https://x.co/1|Heading one>\nplain"
+    # idempotency keys are kafka-coordinate-derived and distinct
+    assert len({k for _, k, _ in posts}) == 2
+
+
+def test_consumer_dlq_captures_failures(spark, tmp_path):
+    env_dir = _envelope_rows(
+        spark, tmp_path, [("*OK*", "fine"), ("*BAD*", "poison-pill")]
+    )
+    record_dir = str(tmp_path / "posts")
+    dlq = str(tmp_path / "dlq")
+    sink = SlackWebhookSink(
+        "https://hooks.test/T000",
+        transport=make_recording_transport(record_dir, fail_marker="poison-pill"),
+        dlq_dir=dlq, rate_limit_per_sec=0, max_retries=1,
+    )
+    q = run_consumer_stream(
+        envelope_stream_from_dir(spark, env_dir), sink,
+        str(tmp_path / "ckpt"), serde="json",
+    )
+    _await(q)
+
+    assert len(read_posts(record_dir)) == 1  # good row delivered
+    failures = spark.read.parquet(dlq).collect()
+    assert len(failures) == 1
+    assert "simulated slack 500" in failures[0].error
+    assert "poison-pill" in failures[0].payload  # replayable from DLQ
+
+
+def test_sink_epoch_idempotency(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k1", '{"blocks":[]}')], "idempotency_key string, payload string"
+    )
+    record_dir = str(tmp_path / "posts")
+    sink = SlackWebhookSink(
+        "https://hooks.test/T000",
+        transport=make_recording_transport(record_dir),
+        epoch_dir=str(tmp_path / "epochs"), rate_limit_per_sec=0,
+    )
+    sink(df, epoch_id=7)
+    sink(df, epoch_id=7)  # foreachBatch replay of the same epoch → no-op
+    assert len(read_posts(record_dir)) == 1
+    sink(df, epoch_id=8)
+    assert len(read_posts(record_dir)) == 2
+
+
+# ---------------------------------------------------------------------------
+SLACK_EVENTS = [
+    Row(event_id=1, type="app_mention", channel="C1", channel_type="channel",
+        user="U1", text="<@UBOT> summarize today", ts="1712345600.000100",
+        thread_ts=None, subtype=None, bot_id=None, files=None),
+    Row(event_id=2, type="app_mention", channel="C1", channel_type="channel",
+        user="U2", text="<@UBOT> and again", ts="1712345700.000100",
+        thread_ts="1712345600.000100", subtype=None, bot_id=None, files=None),
+    Row(event_id=3, type="app_mention", channel="C1", channel_type="channel",
+        user="U1", text="<@UBOT>", ts="1712345800.000100",  # empty question
+        thread_ts=None, subtype=None, bot_id=None, files=None),
+    Row(event_id=4, type="app_mention", channel="C1", channel_type="channel",
+        user="BOT", text="bot noise", ts="1712345900.000100",
+        thread_ts=None, subtype="bot_message", bot_id="B99", files=None),
+]
+
+HISTORY = [
+    Row(channel="C1", ts="1712345000.000001", thread_ts=None, user="U1",
+        text="earlier message"),
+    Row(channel="C1", ts="1712345100.000001", thread_ts=None, user="U2",
+        text="later message"),
+]
+
+
+def test_enrich_mentions_batch_semantics(spark):
+    events = spark.createDataFrame(SLACK_EVENTS, SLACK_EVENT_SCHEMA)
+    history = spark.createDataFrame(HISTORY, SLACK_MESSAGE_SCHEMA)
+    out = {r.idempotency_key: r for r in
+           enrich_mentions(events, history, DeterministicStubModel()).collect()}
+    assert len(out) == 3  # bot row filtered (F4)
+    rows = sorted(out.values(), key=lambda r: r.thread_ts)
+    # ST2: unthreaded mention roots at its own ts; threaded keeps the root
+    assert rows[0].thread_ts == "1712345600.000100"
+    assert rows[1].thread_ts == "1712345600.000100"
+    # LLM stub replied deterministically, context included
+    again = {r.idempotency_key: r for r in
+             enrich_mentions(events, history, DeterministicStubModel()).collect()}
+    assert {k: v.reply_text for k, v in out.items()} == \
+        {k: v.reply_text for k, v in again.items()}
+    # F6: empty question → canned reply
+    empty = [r for r in out.values() if "ask me a question" in r.reply_text]
+    assert len(empty) == 1
+
+
+def test_history_context_order_and_limit(spark):
+    rows = [Row(channel="C9", ts=f"{1712345000 + i}.0", thread_ts=None,
+                user=f"u{i}", text=f"m{i}") for i in range(150)]
+    history = spark.createDataFrame(rows, SLACK_MESSAGE_SCHEMA)
+    ctx = history_context(history).collect()[0].context_info
+    lines = ctx.split("\n")
+    assert len(lines) == 100  # W1 limit
+    assert lines[0] == "u50: m50" and lines[-1] == "u149: m149"  # oldest→newest
+
+
+def test_thread_registry_streaming_dedup(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(SLACK_EVENTS[:2], SLACK_EVENT_SCHEMA) \
+        .write.parquet(events_dir)
+
+    def run_batch():
+        stream = spark.readStream.schema(SLACK_EVENT_SCHEMA).parquet(events_dir)
+        q = (
+            thread_registry_stream(stream, ttl="7 days")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "registry"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    run_batch()
+    # both events share (C1, root 1712345600.000100) → one registry row
+    reg = spark.read.parquet(str(tmp_path / "registry")).collect()
+    assert len(reg) == 1
+    assert reg[0].thread_root == "1712345600.000100"
+
+    # second run: same key arrives again in a NEW file → state store dedups
+    spark.createDataFrame(SLACK_EVENTS[1:2], SLACK_EVENT_SCHEMA) \
+        .write.mode("append").parquet(events_dir)
+    run_batch()
+    reg = spark.read.parquet(str(tmp_path / "registry")).collect()
+    assert len(reg) == 1  # ST1 with durable state, no duplicate emission
+
+
+def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    # batch formulation on real events
+    batch = windowed_event_counts(table(spark, sf_dir, "events"))
+    total = batch.agg(F.sum("n_events")).first()[0]
+    assert total == table(spark, sf_dir, "events").count()
+
+    # streaming formulation over a file stream (append mode: only windows
+    # finalized by the watermark are emitted)
+    rows = [Row(ts=dt.datetime(2024, 1, 1, h, 30), event_type="click")
+            for h in range(5)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, event_type string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, event_type string") \
+        .parquet(src)
+    q = (
+        windowed_event_counts(stream, watermark="30 minutes")
+        .writeStream.format("memory").queryName("win_counts")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    # watermark = max(04:30) - 30min = 04:00 → windows 00..03 finalized
+    assert {r.window_start.hour for r in got} == {0, 1, 2, 3}
+    assert all(r.n_events == 1 for r in got)
