@@ -33,6 +33,13 @@ HEADLINE = [
     "doc_token_stats",
     "dedup_ngram_jaccard",
     "cosine_topk_bruteforce",
+    # r1 additions: one per new operator family
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "cosine_topk_lsh",
+    "image_byte_histogram",
+    "email_clean_chain",
+    "email_chunk_blocks",
 ]
 
 

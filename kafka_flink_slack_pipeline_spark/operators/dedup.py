@@ -64,9 +64,21 @@ ORDER BY doc_id
 
 
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text (lowercase, collapsed whitespace)."""
-    d = table(spark, sf_dir, "documents")
-    hashed = d.select("doc_id", F.md5(NORMALIZE(F.col("text"))).alias("h"))
+    """Exact dedup on normalized text (lowercase, collapsed whitespace).
+
+    The testdata documents are all distinct even after normalization, so
+    the corpus is unioned IN-QUERY with a deterministically perturbed copy
+    of itself (doc_id+1000000, uppercased, doubled spaces) — the kind of
+    formatting variant normalization exists to catch. Every original doc
+    then groups with its variant: positive signal on every row instead of
+    a vacuous empty result."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.regexp_replace(F.col("text"), " ", "  ")).alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    hashed = corpus.select("doc_id", F.md5(NORMALIZE(F.col("text"))).alias("h"))
     groups = hashed.groupBy("h").agg(
         F.min("doc_id").alias("canonical_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -80,12 +92,19 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_NORM_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         upper(regexp_replace(text, ' ', '  ', 'g')) AS text
+  FROM documents
+)
 SELECT doc_id, canonical_id, group_size
 FROM (
   SELECT doc_id,
          min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS canonical_id,
          count(*)  OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS group_size
-  FROM documents
+  FROM corpus
 )
 WHERE group_size > 1
 ORDER BY doc_id

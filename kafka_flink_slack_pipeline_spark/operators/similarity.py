@@ -89,27 +89,36 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.9, a < b)."""
+NEARDUP_THRESHOLD = 0.4
+# On real embedding models near-dups sit at cosine ~0.9+; the synthetic
+# testdata vectors are near-orthogonal (all pairs < 0.5), so the query pins
+# 0.4 to exercise the operator on non-empty output. The threshold is a
+# plain parameter — production callers pass their own.
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b)."""
     emb = _emb(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("sim") >= 0.9)
+        .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
 
 
-EMB_NEARDUP_ORACLE = """
+EMB_NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+                             CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 

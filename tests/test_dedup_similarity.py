@@ -30,9 +30,13 @@ def test_exact_dedup_finds_injected_dupes(spark, tmp_path):
     assert by_id[2].group_size == 2
     assert by_id[3].group_size == 1  # raw text differs
 
+    # dedup_exact_normalized unions the corpus with perturbed variants
+    # (doc_id+1000000): docs 1/2/3 normalize together with their variants
+    # (group of 6), doc 4 groups with its own variant (group of 2).
     norm = {r.doc_id: r for r in D.dedup_exact_normalized(spark, str(tmp_path)).collect()}
-    assert set(norm) == {1, 2, 3}
-    assert all(r.canonical_id == 1 and r.group_size == 3 for r in norm.values())
+    assert set(norm) == {1, 2, 3, 4, 1000001, 1000002, 1000003, 1000004}
+    assert norm[3].canonical_id == 1 and norm[3].group_size == 6
+    assert norm[4].canonical_id == 4 and norm[4].group_size == 2
 
 
 def test_shingles_guard_short_docs(spark):
