@@ -213,29 +213,47 @@ ORDER BY doc_a, doc_b
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup detection.
 #
-# Cross-engine determinism: the "hash family" is md5 over a seed-prefixed
-# shingle, compared LEXICOGRAPHICALLY as its lowercase-hex string — both
-# Spark and DuckDB produce identical md5 hex, so min() agrees exactly and
-# the oracle replicates the Spark result bit-for-bit (no float, no
-# engine-specific hash).
+# Cross-engine determinism: ONE md5 per shingle (28 bits of it parsed as
+# an integer — identical via Spark conv(,16,10) and DuckDB '0x'::BIGINT),
+# then a K-member universal hash family h_i(x) = (A_i*x + B_i) mod P over
+# exact int64 arithmetic — no float, no engine-specific hash, and 16× less
+# hashing than an md5-per-seed scheme (A_i*x stays < 2^59, no overflow).
+# A_i/B_i are derived driver-side from md5 and embedded as literals.
 #
 # Scale notes (100 TB): signatures are one groupBy over the exploded
 # shingles (K mins fold into one partial-agg pass); the LSH band join keys
-# on (band, 4×32-hex concat) — candidate generation is a hash-shuffle join
+# on (band, 4-int concat) — candidate generation is a hash-shuffle join
 # on a high-entropy key, never an O(n²) cross join. est_jaccard is computed
 # only for candidate pairs.
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4  # K = BANDS * ROWS
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) pairs for the universal hash family."""
+    import hashlib
+
+    out = []
+    for i in range(MINHASH_K):
+        a = int(hashlib.md5(f"mh:a:{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"mh:b:{i}".encode()).hexdigest()[:8], 16)
+        out.append((a % (MINHASH_P - 1) + 1, b % MINHASH_P))
+    return out
 
 
 def _minhash_sigs(shingled: DataFrame) -> DataFrame:
-    """doc_id + h0..h{K-1}: per-doc min of seed-prefixed md5 per seed."""
-    return shingled.groupBy("doc_id").agg(
+    """doc_id + h0..h{K-1}: per-doc min of (A_i*h + B_i) mod P over the
+    28-bit md5-integer of each shingle."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 7), 16, 10).cast("long")
+    return shingled.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(MINHASH_K)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(_minhash_coeffs())
         ]
     )
 
@@ -261,11 +279,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
+                        F.concat_ws(
+                            ",",
                             *[
                                 F.col(f"h{b * MINHASH_ROWS + r}")
                                 for r in range(MINHASH_ROWS)
-                            ]
+                            ],
                         ).alias("bkey"),
                     )
                     for b in range(MINHASH_BANDS)
@@ -310,12 +329,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(MINHASH_K)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs())
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
             b=b,
-            key=" || ".join(f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)),
+            key=" || ',' || ".join(
+                f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            ),
         )
         for b in range(MINHASH_BANDS)
     )
@@ -336,10 +358,14 @@ WITH shingled AS (
   )
   WHERE shingle <> ''
 ),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shingled
+),
 sigs AS (
   SELECT doc_id,
          {mins}
-  FROM shingled GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
