@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import exact_avg, money_sum
 from ..plans.registry import QuerySpec
 from ..tables import table
 
@@ -51,22 +52,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                scale=6,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,13 +74,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                           AS sum_qty,
-       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
-       round(avg(l_quantity), 4)                                           AS avg_qty,
-       round(avg(l_extendedprice), 4)                                      AS avg_price,
-       round(avg(l_discount), 4)                                           AS avg_disc,
+       round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE                    AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE               AS sum_base_price,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS sum_disc_price,
+       round(sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(18,6)), 2)::DOUBLE AS sum_charge,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*)                   AS avg_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*)              AS avg_price,
+       sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*)                   AS avg_disc,
        count(*)                                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -107,9 +106,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -126,7 +125,7 @@ Q3_ORACLE = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d')                                   AS o_orderdate,
        o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -161,9 +160,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -171,7 +170,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_ORACLE = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -284,7 +283,7 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            exact_avg(F.col("c_acctbal")).alias("avg_acctbal"),
             F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
             F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
         )
@@ -295,7 +294,7 @@ def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_DECILES_ORACLE = """
 SELECT decile,
        count(*)                 AS n_customers,
-       round(avg(c_acctbal), 2) AS avg_acctbal,
+       sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_acctbal,
        round(min(c_acctbal), 2) AS min_acctbal,
        round(max(c_acctbal), 2) AS max_acctbal
 FROM (
@@ -323,7 +322,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -339,7 +338,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_ORACLE = """
 SELECT coalesce(r_name, 'ALL')       AS region,
        coalesce(n_name, 'ALL')       AS nation,
-       round(sum(o_totalprice), 2)   AS total_price,
+       round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price,
        count(*)                      AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -416,7 +415,7 @@ def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        exact_avg(F.col("c_acctbal")).alias("avg_bal")
     )
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     return (
@@ -426,7 +425,7 @@ def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum(F.col("c_acctbal")).alias("total_acctbal"),
         )
         .orderBy("n_name")
     )
@@ -435,10 +434,11 @@ def rich_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
 RICH_NO_ORDERS_ORACLE = """
 SELECT n_name,
        count(*)                    AS n_customers,
-       round(sum(c_acctbal), 2)    AS total_acctbal
+       round(sum(c_acctbal::DECIMAL(18,2)), 2)::DOUBLE AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*)
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01')

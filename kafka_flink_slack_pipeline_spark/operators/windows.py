@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import money_sum
 from ..plans.registry import QuerySpec
 from ..tables import table
 
@@ -41,7 +42,7 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -57,7 +58,7 @@ EVENTS_HOURLY_ORACLE = """
 SELECT (epoch_ms(date_trunc('hour', ts)) / 1000)::BIGINT AS window_start_epoch,
        event_type,
        count(*)             AS n_events,
-       round(sum(value), 2) AS total_value
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2

@@ -39,14 +39,15 @@ def all_queries() -> dict[str, QuerySpec]:
         emailpipe,
         multimodal,
         relational,
+        relational2,
         similarity,
         textops,
         windows,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, windows, textops, dedup, similarity, multimodal,
-                emailpipe):
+    for mod in (relational, relational2, windows, textops, dedup, similarity,
+                multimodal, emailpipe):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")
