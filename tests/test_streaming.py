@@ -324,3 +324,77 @@ def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
     # watermark = max(04:30) - 30min = 04:00 → windows 00..03 finalized
     assert {r.window_start.hour for r in got} == {0, 1, 2, 3}
     assert all(r.n_events == 1 for r in got)
+
+
+def test_apply_in_pandas_with_state_counts(spark, tmp_path):
+    """Custom keyed state: running mention counts accumulate across
+    micro-batches via the state store."""
+    from kafka_flink_slack_pipeline_spark.streaming.stateful import (
+        thread_mention_counts,
+    )
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(SLACK_EVENTS[:2], SLACK_EVENT_SCHEMA) \
+        .write.parquet(events_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_batch():
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # append each update-mode batch to parquet
+        def save(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(SLACK_EVENT_SCHEMA).parquet(events_dir)
+        q = (
+            thread_mention_counts(stream)
+            .writeStream.foreachBatch(save)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return spark.read.parquet(out_dir).collect()
+
+    rows = run_batch()
+    # both initial events share (C1, 1712345600.000100)
+    assert [(r.channel, r.thread_root, r.n_mentions) for r in rows] == \
+        [("C1", "1712345600.000100", 2)]
+
+    # second batch: one more mention on the same thread → cumulative count 3
+    # (state persisted in the checkpoint across query restarts)
+    spark.createDataFrame(SLACK_EVENTS[1:2], SLACK_EVENT_SCHEMA) \
+        .write.mode("append").parquet(events_dir)
+    rows = run_batch()
+    assert sorted((r.channel, r.thread_root, r.n_mentions) for r in rows) == \
+        [("C1", "1712345600.000100", 2), ("C1", "1712345600.000100", 3)]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.streaming.stateful import (
+        sessionized_event_counts,
+    )
+
+    rows = [
+        Row(ts=dt.datetime(2024, 1, 1, 10, 0), user_id=1),
+        Row(ts=dt.datetime(2024, 1, 1, 10, 10), user_id=1),  # same session
+        Row(ts=dt.datetime(2024, 1, 1, 12, 0), user_id=1),   # new session
+        Row(ts=dt.datetime(2024, 1, 1, 10, 5), user_id=2),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "ts timestamp, user_id bigint").write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user_id bigint").parquet(src)
+    q = (
+        sessionized_event_counts(stream)
+        .writeStream.format("memory").queryName("sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {(r.user_id, r.session_start.hour, r.n_events)
+           for r in spark.sql("SELECT * FROM sessions").collect()}
+    # the 12:00 session is NOT finalized (watermark = 12:00 - 30min = 11:30
+    # < session end 12:30), so append mode emits only the closed ones
+    assert (1, 10, 2) in got and (2, 10, 1) in got
+    assert all(h != 12 for _, h, _ in got)
