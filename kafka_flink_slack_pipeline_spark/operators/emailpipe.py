@@ -457,6 +457,72 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipelines as rows-only queries (no SQL oracle: they
+# route through the P1 html-to-text pandas UDF and the D1 quoted-printable
+# UDF — the driver records the weaker rows-only check, and the per-stage
+# oracles above plus unit goldens carry the exact-correctness burden).
+
+
+def email_producer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full producer path (§3.1) as a batch frame: raw emails (half HTML,
+    half quoted-printable text) → D1 → P1 gate → P0/P2-P16 → JSON serde."""
+    from ..streaming.producer_pipeline import producer_transform
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html_body = F.concat(
+        F.lit("<html><body><p>Intro Together With X</p>"),
+        F.lit("<p>TLDR daily brief</p><p><a href=\"https://x.co/"), did,
+        F.lit("\">Read this now</a></p><p>"),
+        F.substring(F.col("text"), 1, 120),
+        F.lit("</p></body></html>"),
+    )
+    text_body = F.concat(
+        F.lit("TLDR plain\nCaf=C3=A9 corner\n"), F.substring(F.col("text"), 1, 120)
+    )
+    raw = d.select(
+        F.col("doc_id").alias("email_id"),
+        (F.col("doc_id") % 100000).cast("int").alias("seqno"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Brief #"), did))
+        .alias("subject_raw"),
+        F.when(F.col("doc_id") % 2 == 0, html_body)
+        .otherwise(text_body)
+        .alias("body_raw"),
+    )
+    out = producer_transform(raw, serde="json")
+    return out.select(
+        "email_id", "seqno", "subject", "body",
+        F.col("value").cast("string").alias("value_json"),
+    ).orderBy("email_id")
+
+
+def email_consumer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full consumer path (§3.2) as a batch frame: Kafka-envelope rows →
+    D4 decode → W3 → E1 → E3/D5 payload + idempotency key."""
+    from ..streaming.consumer_pipeline import consumer_transform
+
+    d = table(spark, sf_dir, "documents")
+    record = F.struct(
+        (F.col("doc_id") % 100000).cast("int").alias("seqno"),
+        F.concat(F.lit("*Brief #"), F.col("doc_id").cast("string"), F.lit("*"))
+        .alias("subject"),
+        F.concat(
+            F.lit("Heading for doc "), F.col("doc_id").cast("string"),
+            F.lit("\nhttps://news.example.com/"), F.col("doc_id").cast("string"),
+            F.lit("\n"), _multiline_col(),
+        ).alias("body"),
+    )
+    envelope = d.select(
+        F.to_json(record).cast("binary").alias("value"),
+        F.lit("technews").alias("topic"),
+        (F.col("doc_id") % 8).cast("int").alias("partition"),
+        F.col("doc_id").alias("offset"),
+    )
+    return consumer_transform(envelope, serde="json").orderBy("idempotency_key")
+
+
 QUERIES = [
     QuerySpec("email_clean_chain", email_clean_chain, EMAIL_CLEAN_CHAIN_ORACLE,
               "P0+P2-P16 clean chain over constructed noisy emails"),
@@ -472,4 +538,8 @@ QUERIES = [
     QuerySpec("slack_mention_prompt", slack_mention_prompt,
               SLACK_MENTION_PROMPT_ORACLE,
               "P18-P20 mention strip + prompt assembly"),
+    QuerySpec("email_producer_pipeline", email_producer_pipeline, None,
+              "composed §3.1 ingest path (rows-only: P1/D1 UDFs)"),
+    QuerySpec("email_consumer_pipeline", email_consumer_pipeline, None,
+              "composed §3.2 delivery path (rows-only: fold-heavy)"),
 ]
