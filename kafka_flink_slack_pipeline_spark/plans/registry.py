@@ -41,13 +41,14 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         relational2,
         similarity,
+        temporal,
         textops,
         windows,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, relational2, windows, textops, dedup, similarity,
-                multimodal, emailpipe):
+    for mod in (relational, relational2, windows, temporal, textops, dedup,
+                similarity, multimodal, emailpipe):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")

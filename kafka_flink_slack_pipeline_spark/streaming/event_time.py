@@ -15,6 +15,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def clicks_followed_by_errors(
+    events: DataFrame,
+    within_minutes: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream self-join: error events within N minutes after a
+    click by the same user. Both sides carry watermarks and the join
+    condition is time-bounded, so Structured Streaming can expire join
+    state — unbounded-state stream joins don't run at scale.
+
+    Batch frames run the identical expression (the batch oracle analogue
+    is operators/temporal.py:events_range_join_errors)."""
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    x = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("eu"),
+        F.col("ts").alias("err_ts"),
+    )
+    if events.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        x = x.withWatermark("err_ts", watermark)
+    return c.join(
+        x,
+        F.expr(
+            f"cu = eu AND err_ts > click_ts "
+            f"AND err_ts <= click_ts + interval {within_minutes} minutes"
+        ),
+    ).select(
+        "click_id", "error_id", F.col("cu").alias("user_id"),
+        "click_ts", "err_ts",
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

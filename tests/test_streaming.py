@@ -398,3 +398,39 @@ def test_streaming_session_windows(spark, tmp_path):
     # < session end 12:30), so append mode emits only the closed ones
     assert (1, 10, 2) in got and (2, 10, 1) in got
     assert all(h != 12 for _, h, _ in got)
+
+
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        clicks_followed_by_errors,
+    )
+
+    rows = [
+        Row(event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0), user_id=1,
+            event_type="click"),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 1, 10, 3), user_id=1,
+            event_type="error"),   # within 5 min of click 1 → pair
+        Row(event_id=3, ts=dt.datetime(2024, 1, 1, 10, 30), user_id=1,
+            event_type="error"),   # too late → no pair
+        Row(event_id=4, ts=dt.datetime(2024, 1, 1, 10, 1), user_id=2,
+            event_type="error"),   # other user → no pair
+        Row(event_id=5, ts=dt.datetime(2024, 1, 1, 12, 0), user_id=9,
+            event_type="click"),   # advances the watermark
+    ]
+    src = str(tmp_path / "ev")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        clicks_followed_by_errors(stream)
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {(r.click_id, r.error_id)
+           for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert got == {(1, 2)}
+
+    # batch frame runs the identical expression
+    batch = clicks_followed_by_errors(spark.createDataFrame(rows, schema))
+    assert {(r.click_id, r.error_id) for r in batch.collect()} == {(1, 2)}
