@@ -509,6 +509,94 @@ ORDER BY doc_a, doc_b
 DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 
 
+# --------------------------------------------------------------------------
+NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many docs
+
+
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard with a document-frequency cap on the inverted
+    index — the production scale path: a stop-shingle appearing in k docs
+    contributes k² candidate pairs, so capping df bounds the join fan-out
+    at any corpus size. Sizes (na/nb) still count ALL shingles, so the
+    Jaccard denominators are unchanged; only candidate RECALL is traded
+    (pairs sharing solely ultra-common shingles are missed) — the standard
+    trade, here made explicit and oracle-verified."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    w = Window.partitionBy("doc_id")
+    sized = shingled.withColumn("n", F.count(F.lit(1)).over(w))
+    dfreq = Window.partitionBy("shingle")
+    capped = sized.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    )
+    a, b = capped.alias("a"), capped.hint("SHUFFLE_HASH").alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common_capped"))
+        .withColumn(
+            "jaccard_lb",
+            F.round(
+                F.col("n_common_capped")
+                / (F.col("na") + F.col("nb") - F.col("n_common_capped")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard_lb") >= 0.5)
+        .select("doc_a", "doc_b", "n_common_capped", "jaccard_lb")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_CAPPED_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+  WHERE shingle <> ''
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+    FROM shingled
+  ) WHERE df <= {NGRAM_DF_CAP}
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common_capped
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common_capped,
+       round(n_common_capped / (sa.n_shingles + sb.n_shingles - n_common_capped), 4)
+         AS jaccard_lb
+FROM pair_common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common_capped / (sa.n_shingles + sb.n_shingles - n_common_capped), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -521,4 +609,7 @@ QUERIES = [
               "MinHash signatures + banded LSH candidate pairs"),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
               "SimHash 60-bit fingerprints, banded hamming<=3 pairs"),
+    QuerySpec("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped,
+              DEDUP_NGRAM_CAPPED_ORACLE,
+              "df-capped inverted index: bounded join fan-out at scale"),
 ]

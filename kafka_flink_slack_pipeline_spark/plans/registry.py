@@ -41,6 +41,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         relational2,
         similarity,
+        skew,
         temporal,
         textops,
         windows,
@@ -48,7 +49,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     specs: dict[str, QuerySpec] = {}
     for mod in (relational, relational2, windows, temporal, textops, dedup,
-                similarity, multimodal, emailpipe):
+                similarity, multimodal, emailpipe, skew):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name!r}")

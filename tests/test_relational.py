@@ -68,3 +68,54 @@ def test_q5_broadcast_in_plan(spark, sf_dir):
     """The dimension joins must be broadcast (scale guard, not just correctness)."""
     plan = R.q5_local_supplier_volume(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key pre-partitions them on
+    disk: the sort-merge join then needs NO Exchange — the physical plan
+    a 100 TB deployment wants for repeated orders⋈lineitem joins."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+            spark.sql(f"DROP TABLE IF EXISTS b_{name}")
+            (
+                table(spark, sf_dir, name)
+                .write.bucketBy(8, key).sortBy(key)
+                .option("path", str(tmp_path / name))
+                .saveAsTable(f"b_{name}")
+            )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_section, join_section
+        # and the result matches the unbucketed join
+        plain = (
+            table(spark, sf_dir, "orders")
+            .join(
+                table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == \
+            sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
