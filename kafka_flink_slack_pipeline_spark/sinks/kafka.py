@@ -15,11 +15,18 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def email_kafka_sink_frame(record: Column, serde: str = "json") -> Column:
-    """struct<seqno,subject,body> → binary `value` column (D3)."""
+    """struct<seqno,subject,body> → binary `value` column (D3).
+
+    serde: 'avro' (spark-avro jar), 'avro-py' (pure-Python Avro wire
+    format, jar-free), or 'json'."""
     if serde == "avro":
         from ..functions.serde import email_to_avro
 
         return email_to_avro(record)
+    if serde == "avro-py":
+        from ..functions.avro_py import email_to_avro_py
+
+        return email_to_avro_py(record)
     from ..functions.serde import email_to_json
 
     return email_to_json(record)

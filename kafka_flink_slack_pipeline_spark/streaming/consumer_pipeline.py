@@ -29,13 +29,21 @@ def consumer_transform(envelope: DataFrame, serde: str = "json") -> DataFrame:
     """Kafka envelope → (idempotency_key, subject, payload)."""
     if serde == "avro":
         from ..functions.serde import email_from_avro as decode
+    elif serde == "avro-py":
+        from ..functions.avro_py import email_from_avro_py as decode
     else:
         from ..functions.serde import email_from_json as decode
 
-    rec = decode(F.col("value"))
-    hyperlinked = hyperlink_headings(rec["body"])  # W3 (kafkaConsumer.js:119)
+    # decode into its own projection: the downstream E1/W3 folds are
+    # higher-order-function lambdas, which cannot contain Python UDF calls
+    # (the avro-py decode path) — the boundary makes them reference plain
+    # struct fields instead.
+    decoded = envelope.select(
+        decode(F.col("value")).alias("rec"), "topic", "partition", "offset"
+    )
+    hyperlinked = hyperlink_headings(F.col("rec")["body"])  # W3 (kafkaConsumer.js:119)
     chunks = split_into_blocks(hyperlinked, MAX_BLOCK_TEXT)  # E1 (:122)
-    payload = slack_blocks_payload(rec["subject"], chunks)  # E3/D5 (:123-140)
+    payload = slack_blocks_payload(F.col("rec")["subject"], chunks)  # E3/D5 (:123-140)
     key = F.md5(
         F.concat_ws(
             "/",
@@ -44,9 +52,9 @@ def consumer_transform(envelope: DataFrame, serde: str = "json") -> DataFrame:
             F.col("offset").cast("string"),
         )
     )
-    return envelope.select(
+    return decoded.select(
         key.alias("idempotency_key"),
-        rec["subject"].alias("subject"),
+        F.col("rec")["subject"].alias("subject"),
         payload.alias("payload"),
     )
 
