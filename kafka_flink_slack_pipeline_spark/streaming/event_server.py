@@ -103,6 +103,61 @@ def history_context(history: DataFrame, by_thread: bool = False) -> DataFrame:
     )
 
 
+def attach_image_contents(
+    events: DataFrame,
+    fetcher: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """E2/S7/D6 — the files[] fan-out of the interactive path: explode
+    `files`, keep images (F7), fetch bytes (S7 — injectable fetcher;
+    deterministic stub by default since this container has no network),
+    base64-encode (D6), and re-aggregate to one `image_contents` array per
+    event, order-preserved by file position.
+
+    Reference: slackEventServer.js:157-184 (fetch), :243-259 (fan-out),
+    :174 (base64), :245 (mimetype gate)."""
+    import hashlib
+
+    fetch = fetcher or (
+        lambda url: b"IMGBYTES:" + hashlib.md5(url.encode()).digest()
+    )
+
+    @F.udf("binary")
+    def fetch_udf(url: str) -> bytes:
+        return fetch(url) if url else None
+
+    exploded = events.select(
+        "event_id",
+        F.posexplode_outer(F.coalesce(F.col("files"), F.array())).alias(
+            "pos", "file"
+        ),
+    )
+    images = exploded.filter(
+        F.col("file").isNotNull()
+        & F.col("file")["mimetype"].startswith("image/")  # F7
+    ).select(
+        "event_id",
+        "pos",
+        F.base64(fetch_udf(F.col("file")["url_private"])).alias("b64"),  # S7+D6
+        F.col("file")["mimetype"].alias("mimetype"),
+    )
+    packed = images.groupBy("event_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "mimetype", "b64"))
+            ),
+            lambda s: F.struct(
+                s["mimetype"].alias("mimetype"), s["b64"].alias("data_b64")
+            ),
+        ).alias("image_contents")
+    )
+    return events.join(packed, "event_id", "left").withColumn(
+        "image_contents",
+        F.coalesce(F.col("image_contents"), F.array().cast(
+            "array<struct<mimetype:string,data_b64:string>>"
+        )),
+    )
+
+
 def enrich_mentions(
     events: DataFrame,
     history: DataFrame,

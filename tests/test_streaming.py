@@ -434,3 +434,40 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     # batch frame runs the identical expression
     batch = clicks_followed_by_errors(spark.createDataFrame(rows, schema))
     assert {(r.click_id, r.error_id) for r in batch.collect()} == {(1, 2)}
+
+
+def test_attach_image_contents_fanout(spark):
+    """E2/S7/D6: files explode → image filter → fetch stub → base64 →
+    order-preserving re-aggregation."""
+    import base64
+
+    from kafka_flink_slack_pipeline_spark.streaming.event_server import (
+        attach_image_contents,
+    )
+
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, type="app_mention", channel="C1",
+                channel_type="channel", user="U1", text="look",
+                ts="1712345600.1", thread_ts=None, subtype=None, bot_id=None,
+                files=[
+                    Row(id="F1", mimetype="image/png",
+                        url_private="https://f/1.png", permalink_public=None),
+                    Row(id="F2", mimetype="application/pdf",
+                        url_private="https://f/2.pdf", permalink_public=None),
+                    Row(id="F3", mimetype="image/jpeg",
+                        url_private="https://f/3.jpg", permalink_public=None),
+                ]),
+            Row(event_id=2, type="app_mention", channel="C1",
+                channel_type="channel", user="U2", text="no files",
+                ts="1712345601.1", thread_ts=None, subtype=None, bot_id=None,
+                files=None),
+        ],
+        SLACK_EVENT_SCHEMA,
+    )
+    out = {r.event_id: r for r in attach_image_contents(events).collect()}
+    imgs = out[1].image_contents
+    assert [i.mimetype for i in imgs] == ["image/png", "image/jpeg"]  # F7 + order
+    decoded = base64.b64decode(imgs[0].data_b64)
+    assert decoded.startswith(b"IMGBYTES:")  # D6 round-trips the stub fetch
+    assert out[2].image_contents == []  # no files → empty array, row kept
