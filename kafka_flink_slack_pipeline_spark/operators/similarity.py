@@ -216,15 +216,18 @@ def _hyperplanes(
 
 
 def _bucket_expr(emb: Column, planes: list[list[float]]) -> Column:
-    """NBITS-bit LSH bucket: bit p = (plane_p . emb) > 0."""
+    """NBITS-bit LSH bucket: bit p = (plane_p . emb) > 0.
+
+    Each plane is a TRUE array literal (`F.lit(list)`, one Literal node
+    holding data) rather than F.array of 64 scalar literals: the
+    element-wise form inlines ~2k expression nodes into whole-stage
+    codegen, and compiling that source dominated query time (~3.5s per
+    fresh plan, paid on every run because new expression ids defeat the
+    codegen cache)."""
     bucket = F.lit(0).cast("long")
     for p, row in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(x) for x in row]),
-                lambda x, y: x * y,
-            ),
+            F.zip_with(emb, F.lit(row), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
