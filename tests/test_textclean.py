@@ -166,3 +166,35 @@ def test_p1_anchor_rules(spark, html, expected_contains):
     assert expected_contains in out
     if "John Smith" in out:
         assert "<https" not in out
+
+
+def test_parse_headers_udtf(spark):
+    """Python UDTF: header block → rows, with folded-header unfolding."""
+    from pyspark.sql.functions import lit
+
+    from kafka_flink_slack_pipeline_spark.functions.udtf_headers import (
+        ParseHeaders,
+    )
+
+    raw = (
+        "Subject: Hello\r\n world again\r\n"
+        "From: news@example.com\r\n"
+        "X-List: a\n\tb\n"
+    )
+    rows = [tuple(r) for r in ParseHeaders(lit(raw)).collect()]
+    assert rows == [
+        ("Subject", "Hello world again"),
+        ("From", "news@example.com"),
+        ("X-List", "a b"),
+    ]
+
+    # lateral-join usage over a frame
+    spark.udtf.register("parse_headers", ParseHeaders)
+    df = spark.createDataFrame([(1, raw), (2, "A: 1\n")], "id int, raw string")
+    df.createOrReplaceTempView("raw_emails")
+    out = spark.sql(
+        "SELECT id, h.name, h.value FROM raw_emails, "
+        "LATERAL parse_headers(raw) h ORDER BY id, h.name"
+    ).collect()
+    assert ("A", "1") in {(r.name, r.value) for r in out if r.id == 2}
+    assert len([r for r in out if r.id == 1]) == 3
