@@ -125,13 +125,26 @@ ORDER BY vec_a, vec_b
 
 # --------------------------------------------------------------------------
 def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean intra-label cosine to the label centroid (clustering quality)."""
+    """Mean intra-label cosine to the label centroid (clustering quality).
+
+    Determinism: the centroid mean and the final sim mean both go through
+    exact DECIMAL accumulation (inputs quantized at 15 fractional digits —
+    the double→decimal cast is per-row deterministic and identical across
+    engines), so neither Spark's partial-agg order (which varies with
+    partitioning — the driver runs 200 shuffle partitions, not our 32) nor
+    the oracle's scan order can move an ulp. The per-vector cosine stays a
+    fixed-order double fold. Emitted UNROUNDED per the numeric policy."""
     emb = _emb(spark, sf_dir)
     # centroid = element-wise mean: explode with position, avg, re-assemble.
     exploded = emb.select("vec_id", "label", F.posexplode("emb").alias("pos", "x"))
     centroid = (
         exploded.groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cx")
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -146,7 +159,10 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("sim"), 6).alias("avg_centroid_sim"),
+            (
+                F.sum(F.col("sim").cast("decimal(25,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_centroid_sim"),
         )
         .orderBy("label")
     )
@@ -160,7 +176,9 @@ WITH exploded AS (
                        generate_subscripts(embedding, 1) AS pos) u
 ),
 centroid AS (
-  SELECT label, pos, avg(x) AS cx FROM exploded GROUP BY label, pos
+  SELECT label, pos,
+         sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM exploded GROUP BY label, pos
 ),
 sims AS (
   SELECT e.vec_id, e.label,
@@ -168,7 +186,8 @@ sims AS (
   FROM exploded e JOIN centroid c ON e.label = c.label AND e.pos = c.pos
   GROUP BY e.vec_id, e.label
 )
-SELECT label, count(*) AS n_vectors, round(avg(sim), 6) AS avg_centroid_sim
+SELECT label, count(*) AS n_vectors,
+       sum(sim::DECIMAL(25,15))::DOUBLE / count(*) AS avg_centroid_sim
 FROM sims GROUP BY label ORDER BY label
 """
 
