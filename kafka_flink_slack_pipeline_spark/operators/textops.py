@@ -12,6 +12,7 @@ narrow ops; the only shuffles are the final small aggregations.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -211,6 +212,57 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# UDAF surface: a pandas GROUPED_AGG UDF (numpy-backed median over Arrow
+# batches). Median of integer token counts is exact interpolation — the
+# same number DuckDB's quantile_cont produces — so even the UDAF path is
+# oracle-verified, not just smoke-tested.
+_UDAFS: dict = {}
+
+
+def _median_udaf():
+    if "median" not in _UDAFS:
+        import numpy as np
+
+        @F.pandas_udf("double")
+        def _median(v: pd.Series) -> float:
+            return float(np.median(v.to_numpy(dtype="float64")))
+
+        _UDAFS["median"] = _median
+    return _UDAFS["median"]
+
+
+def doc_median_tokens_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language median token count via a pandas grouped-agg UDF."""
+    d = table(spark, sf_dir, "documents")
+    counted = d.select("lang", F.size(tokens_col()).alias("n_tokens"))
+    # a GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — counts come from a separate agg + join
+    medians = counted.groupBy("lang").agg(
+        _median_udaf()(F.col("n_tokens").cast("double")).alias("median_tokens")
+    )
+    counts = counted.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        medians.join(counts, "lang")
+        .select("lang", "median_tokens", "n_docs")
+        .orderBy("lang")
+    )
+
+
+DOC_MEDIAN_TOKENS_ORACLE = """
+SELECT lang,
+       quantile_cont(n_tokens, 0.5) AS median_tokens,
+       count(*)::BIGINT AS n_docs
+FROM (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\\s+'))::DOUBLE AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -220,4 +272,7 @@ QUERIES = [
               "marker-word language ID, confusion matrix"),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_ORACLE,
               "normalizing content fingerprint (md5)"),
+    QuerySpec("doc_median_tokens_udaf", doc_median_tokens_udaf,
+              DOC_MEDIAN_TOKENS_ORACLE,
+              "pandas GROUPED_AGG UDAF (numpy median), oracle-verified"),
 ]
