@@ -119,3 +119,24 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Writing curated data partitionBy(lang) lets a lang filter prune
+    entire directories at planning time — at 100 TB the difference between
+    scanning one partition and the whole corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    out = str(tmp_path / "docs_by_lang")
+    table(spark, sf_dir, "documents").write.partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan[:800]
+    full = spark.read.parquet(out)
+    langs = {r.lang for r in full.select("lang").distinct().collect()}
+    assert "en" in langs and df.count() > 0
+    assert df.count() == full.filter(F.col("lang") == "en").count()
