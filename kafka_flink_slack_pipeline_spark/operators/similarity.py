@@ -385,6 +385,134 @@ ORDER BY query_id, rank
 COSINE_TOPK_LSH_ORACLE = _lsh_oracle()
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer + inverted lists + nprobe search.
+#
+# A production IVF trains k-means centroids; any deterministic coarse
+# quantizer gives the same STRUCTURE, so here the label centroids (computed
+# exactly as in label_centroid_similarity) serve as the codebook — keeping
+# the whole index SQL-expressible for the oracle. Every vector is assigned
+# to its nearest centroid (one inverted list per centroid); a query scans
+# only its NPROBE nearest lists and re-ranks exactly. At billion-vector
+# scale the lists are hash-partitioned by centroid id and the probe join is
+# an equi-join on that id — same shape as the LSH variant, different
+# pruning geometry (Voronoi cells vs random hyperplanes).
+
+IVF_NPROBE = 3
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select("label", F.posexplode("emb").alias("pos", "x"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cid"), "centroid")
+    )
+
+
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via IVF: nearest-centroid
+    inverted lists, nprobe=3 probe, exact re-rank inside probed lists."""
+    emb = _emb(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    # assignment: every vector → nearest centroid (rank 1 of cosine)
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "csim", cosine(F.col("emb"), F.col("centroid"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "emb", "cid")
+    )
+    # queries probe their NPROBE nearest lists
+    probes = (
+        scored.filter(F.col("vec_id") < 10)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            "cid",
+        )
+    )
+    cand = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"), "cid"
+    )
+    rescored = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+COSINE_TOPK_IVF_ORACLE = f"""
+WITH exploded AS (
+  SELECT vec_id, label, u.x, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
+),
+centroid AS (
+  SELECT label AS cid, pos,
+         sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM exploded GROUP BY label, pos
+),
+csims AS (
+  SELECT e.vec_id, c.cid,
+         sum(e.x * c.cx) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))) AS csim
+  FROM exploded e JOIN centroid c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+  FROM csims
+),
+assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE rk <= {IVF_NPROBE} AND vec_id < 10),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
+FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qe.e, ne.e) AS sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(qe.e, ne.e) DESC, a.vec_id ASC
+         ) AS rank
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN emb qe ON qe.vec_id = p.query_id
+  JOIN emb ne ON ne.vec_id = a.vec_id
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "exact cosine top-k, broadcast query side"),
@@ -395,4 +523,6 @@ QUERIES = [
     QuerySpec("label_centroid_similarity", label_centroid_similarity,
               LABEL_CENTROID_ORACLE,
               "per-label centroid + mean intra-label cosine"),
+    QuerySpec("cosine_topk_ivf", cosine_topk_ivf, COSINE_TOPK_IVF_ORACLE,
+              "IVF ANN: centroid inverted lists, nprobe probe, exact re-rank"),
 ]

@@ -120,3 +120,13 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
               for r in S.cosine_topk_lsh(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """nprobe=3 of 10 Voronoi cells should beat random scan coverage."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk_bruteforce(spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.cosine_topk_ivf(spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"

@@ -471,3 +471,18 @@ def test_attach_image_contents_fanout(spark):
     decoded = base64.b64decode(imgs[0].data_b64)
     assert decoded.startswith(b"IMGBYTES:")  # D6 round-trips the stub fetch
     assert out[2].image_contents == []  # no files → empty array, row kept
+
+
+def test_history_context_by_thread(spark):
+    """W2: per-(channel, thread) history context, separate from W1."""
+    rows = [
+        Row(channel="C1", ts="100.1", thread_ts="100.1", user="a", text="root"),
+        Row(channel="C1", ts="101.1", thread_ts="100.1", user="b", text="reply"),
+        Row(channel="C1", ts="102.1", thread_ts="999.9", user="c", text="other"),
+    ]
+    from kafka_flink_slack_pipeline_spark.schemas import SLACK_MESSAGE_SCHEMA
+    history = spark.createDataFrame(rows, SLACK_MESSAGE_SCHEMA)
+    ctx = {(r.channel, r.thread_ts): r.context_info
+           for r in history_context(history, by_thread=True).collect()}
+    assert ctx[("C1", "100.1")] == "a: root\nb: reply"
+    assert ctx[("C1", "999.9")] == "c: other"
