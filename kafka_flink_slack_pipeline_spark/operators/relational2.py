@@ -364,7 +364,123 @@ ORDER BY y, m, dow
 """
 
 
+# --------------------------------------------------------------------------
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered revenue — every predicate is a
+    plain scan-column comparison, so the whole WHERE pushes into the
+    parquet reader (PushedFilters) and the agg is one map-side pass."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), scale=4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_ORACLE = """
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4)), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (promo revenue %).
+    Both sums are exact decimals; the final division is one IEEE op on
+    identical operands — emitted unrounded per the numeric policy."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_ORACLE = """
+SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN (l_extendedprice * (1 - l_discount))::DECIMAL(18,4)
+                        ELSE 0::DECIMAL(18,4) END)::DOUBLE
+            / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands — Catalyst extracts the common join key and pushes the
+    brand/size legs to the part scan."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 15)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 25)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 35)
+    )
+    return j.filter(band1 | band2 | band3).agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_ORACLE = """
+SELECT round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+         AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
 QUERIES = [
+    QuerySpec("q6_forecast_revenue", q6_forecast_revenue, Q6_ORACLE,
+              "single-scan filtered revenue, full predicate pushdown"),
+    QuerySpec("q14_promo_revenue_share", q14_promo_revenue_share, Q14_ORACLE,
+              "conditional-aggregation ratio"),
+    QuerySpec("q19_disjunctive_revenue", q19_disjunctive_revenue, Q19_ORACLE,
+              "disjunctive predicate bands over a join"),
     QuerySpec("q7_volume_shipping", q7_volume_shipping, Q7_ORACLE,
               "bi-nation revenue: 6-way join, broadcast dims"),
     QuerySpec("q10_returned_revenue", q10_returned_revenue, Q10_ORACLE,
