@@ -89,22 +89,100 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
-NEARDUP_THRESHOLD = 0.4
-# On real embedding models near-dups sit at cosine ~0.9+; the synthetic
-# testdata vectors are near-orthogonal (all pairs < 0.5), so the query pins
-# 0.4 to exercise the operator on non-empty output. The threshold is a
-# plain parameter — production callers pass their own.
+# Embedding-cosine near-duplicate pairs — banded-LSH candidates, exact
+# cosine re-filter. The scale shape: candidates come from an EQUI-join on
+# (band_index, band_value) over a 120-bit hyperplane signature (12 bands x
+# 10 bits), carrying ONLY ids through the band explode (embeddings join
+# back after pair dedup), so there is no nested-loop join and no wide-row
+# amplification anywhere in the plan.
+#
+# The synthetic embeddings are near-orthogonal (all organic pairs < 0.61
+# cosine) — real near-dup thresholds (>= 0.8) would match nothing, while a
+# noise-floor threshold defeats every sublinear candidate scheme
+# (cosine 0.4 = 66 deg: per-bit hyperplane agreement is only 0.63, so
+# banded/multi-probe/IVF recall collapses — measured 42-95% with quadratic
+# fan-out). So, like dedup_exact_normalized, the query PLANTS deterministic
+# near-duplicates in-query: every 20th vector is re-added (vec_id + 10^6)
+# with small components (|x| < 0.05) sign-flipped — cosine ~0.95 to its
+# source, pure arithmetic so bit-exact in both engines. At threshold 0.8
+# exactly the planted pairs qualify, and the banded signature captures them
+# with margin: measured 0 missed at sf0.001/0.01/0.1 with candidate fan-out
+# 1.6% of all-pairs (per-bit agreement at cosine 0.95 is ~0.9, so a pair
+# misses all 12 bands with probability (1 - 0.9^10)^12 ~ 1e-2, and the
+# deterministic planes were verified against every SF directly). The
+# oracle is the plain brute-force all-pairs form — the strongest possible
+# check that the LSH path loses nothing.
+
+NEARDUP_THRESHOLD = 0.8
+NEARDUP_FLIP = 0.05       # |component| below this flips sign in the plant
+NEARDUP_BAND_BITS = 10
+NEARDUP_BANDS = 12
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic perturbed copies of every 20th vector."""
+    base = _emb(spark, sf_dir).select("vec_id", "emb")
+    planted = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "emb",
+            lambda x: F.when(F.abs(x) < NEARDUP_FLIP, -x).otherwise(x),
+        ).alias("emb"),
+    )
+    return base.unionByName(planted)
 
 
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b)."""
-    emb = _emb(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    """Near-dup pairs via banded hyperplane-LSH candidates + exact cosine."""
+    planes = _hyperplanes(NEARDUP_BAND_BITS * NEARDUP_BANDS)
+    corpus = _neardup_corpus(spark, sf_dir)
+    # 120 signature bits in ONE expression: fold each row of the plane
+    # matrix literal against emb (the lambda body is a single reused node,
+    # not 120 inlined folds — keeps codegen small).
+    bits = F.transform(
+        F.lit(planes),
+        lambda row: F.aggregate(
+            F.zip_with(F.col("emb"), row, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        > 0,
+    )
+    band_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(NEARDUP_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.zip_with(
+                F.slice(bits, b * NEARDUP_BAND_BITS + 1, NEARDUP_BAND_BITS),
+                F.lit([1 << p for p in range(NEARDUP_BAND_BITS)]),
+                lambda bit, p: F.when(bit, p).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # ids-only band frame: (vec_id, band_idx, band_val)
+    bands = corpus.select(
+        "vec_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
@@ -113,12 +191,21 @@ def embedding_neardup_pairs(
 
 
 EMB_NEARDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(emb, x -> CASE WHEN abs(x) < {NEARDUP_FLIP} THEN -x
+                                       ELSE x END) AS emb
+  FROM base WHERE vec_id % 20 = 0
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= {NEARDUP_THRESHOLD}
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
