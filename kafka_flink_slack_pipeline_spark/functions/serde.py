@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import quopri
 
+import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -25,16 +26,21 @@ from pyspark.sql import types as T
 DECODE_ERROR_SENTINEL = "(Unable to decode email body)"  # P17, kafkaProducer.js:200
 
 
-@F.udf(returnType=T.StringType())
-def quoted_printable_decode(raw: str) -> str:
-    """D1 + P17 — decode quoted-printable; sentinel body on failure
-    (kafkaProducer.js:126-128,198-201)."""
+def _qp_decode_one(raw: str | None) -> str | None:
     if raw is None:
         return None
     try:
         return quopri.decodestring(raw.encode("utf-8")).decode("utf-8")
     except Exception:  # noqa: BLE001 — mirrors the reference's catch-all
         return DECODE_ERROR_SENTINEL
+
+
+@F.pandas_udf(T.StringType())
+def quoted_printable_decode(raw: pd.Series) -> pd.Series:
+    """D1 + P17 — decode quoted-printable; sentinel body on failure
+    (kafkaProducer.js:126-128,198-201). Arrow-batched: serialization cost
+    is per-batch, not per-row — the decode itself has no vectorized form."""
+    return raw.map(_qp_decode_one)
 
 
 def parse_subject_header(header_raw: Column) -> Column:

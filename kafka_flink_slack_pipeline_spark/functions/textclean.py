@@ -166,15 +166,43 @@ def history_line(user: Column, text: Column) -> Column:
     return F.concat(user, F.lit(": "), text)
 
 
+# P20 — the enrichment prompt template, byte-exact to the JS template
+# literal (slackEventServer.js:233-240) including its trailing space after
+# the question and the 6-space indentation the backtick literal preserves.
+PROMPT_PREFIX = (
+    "You are May's Slack Agent, an AI assistant helping users in a "
+    "Slack workspace. Here's the context: "
+)
+PROMPT_TAIL = (
+    '". \n'
+    "      You should respond in a helpful, direct, and concise manner."
+    " Search the web for the latest information if needed.\n"
+    "      Also ensure you follow Slack's markup formatting shown here:"
+    " 1. bold - Surround text with asterisks: \n"
+    "      *your text* 2.Italicize - Surround text with underscores:"
+    " _your text_ 3. Hyperlink - Use <URL|text> format for links."
+    " 4. block quote - Add an angled bracket in front of text:\n"
+    "      >your text"
+)
+
+
+def wrap_context_info(history: Column) -> Column:
+    """The `contextInfo` wrapper (slackEventServer.js:226-230): empty when
+    there is no history, else `\\n\\nRecent channel context:\\n{history}\\n\\n`."""
+    return F.when(history.isNull() | (history == ""), F.lit("")).otherwise(
+        F.concat(
+            F.lit("\n\nRecent channel context:\n"), history, F.lit("\n\n")
+        )
+    )
+
+
 def assemble_prompt(context_info: Column, user_message: Column) -> Column:
-    """P20 — the enrichment prompt template (slackEventServer.js:233-240)."""
+    """P20 — prompt assembly (slackEventServer.js:233-240). `context_info`
+    is the already-wrapped contextInfo (see wrap_context_info)."""
     return F.concat(
-        F.lit(
-            "You are May's Slack Agent, an AI assistant helping users in a "
-            "Slack workspace. Here's the context: "
-        ),
+        F.lit(PROMPT_PREFIX),
         context_info,
         F.lit('. A user asked: "'),
         user_message,
-        F.lit('".'),
+        F.lit(PROMPT_TAIL),
     )

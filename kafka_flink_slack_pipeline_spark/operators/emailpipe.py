@@ -35,11 +35,14 @@ from ..functions.chunking import (
     split_into_blocks,
 )
 from ..functions.textclean import (
+    PROMPT_PREFIX,
+    PROMPT_TAIL,
     assemble_prompt,
     clean_body,
     format_subject,
     history_line,
     strip_mentions,
+    wrap_context_info,
 )
 from ..plans.registry import QuerySpec
 from ..tables import table
@@ -432,25 +435,39 @@ def slack_mention_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             question.alias("question"),
-            assemble_prompt(context, question).alias("prompt"),
+            assemble_prompt(wrap_context_info(context), question)
+            .alias("prompt"),
         )
         .orderBy("event_id")
     )
 
 
-SLACK_MENTION_PROMPT_ORACLE = r"""
+def _sql_str(s: str) -> str:
+    """Byte-exact DuckDB string literal for a Python string (newlines as
+    chr(10) so the oracle can't drift from the shared prompt constants)."""
+    return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+
+_QUESTION_SQL = r"""regexp_replace('<@U' || user_id::VARCHAR || '> what happened with ' ||
+                      event_type || '?', '<@[A-Z0-9]+>', '', 'g')
+         .regexp_replace('\A\s+|\s+\z', '', 'g')"""
+
+# contextInfo wrapper (slackEventServer.js:226-230) — history is always
+# non-empty in this constructed query, so the wrapper always applies.
+_CONTEXT_SQL = (
+    "chr(10) || chr(10) || 'Recent channel context:' || chr(10) || "
+    "'user_' || user_id::VARCHAR || ': last ' || event_type || ' event'"
+    " || chr(10) || chr(10)"
+)
+
+SLACK_MENTION_PROMPT_ORACLE = f"""
 SELECT event_id,
-       regexp_replace('<@U' || user_id::VARCHAR || '> what happened with ' ||
-                      event_type || '?', '<@[A-Z0-9]+>', '', 'g')
-         .regexp_replace('\A\s+|\s+\z', '', 'g') AS question,
-       'You are May''s Slack Agent, an AI assistant helping users in a ' ||
-       'Slack workspace. Here''s the context: ' ||
-       'user_' || user_id::VARCHAR || ': last ' || event_type || ' event' ||
+       {_QUESTION_SQL} AS question,
+       {_sql_str(PROMPT_PREFIX)} ||
+       {_CONTEXT_SQL} ||
        '. A user asked: "' ||
-       regexp_replace('<@U' || user_id::VARCHAR || '> what happened with ' ||
-                      event_type || '?', '<@[A-Z0-9]+>', '', 'g')
-         .regexp_replace('\A\s+|\s+\z', '', 'g') ||
-       '".' AS prompt
+       {_QUESTION_SQL} ||
+       {_sql_str(PROMPT_TAIL)} AS prompt
 FROM events
 WHERE event_id < 500
 ORDER BY event_id

@@ -4,6 +4,8 @@ the reference lacks (ST5)."""
 
 from .consumer_pipeline import consumer_transform, run_consumer_stream  # noqa: F401
 from .event_server import (  # noqa: F401
+    dms_only,
+    enrich_dms,
     enrich_mentions,
     history_context,
     thread_registry_stream,

@@ -17,19 +17,25 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.textclean import assemble_prompt, history_line, strip_mentions
+from ..functions.textclean import (
+    assemble_prompt,
+    history_line,
+    strip_mentions,
+    wrap_context_info,
+)
 from .llm import llm_enrich_col
 
 HISTORY_LIMIT = 100  # slackEventServer.js:187,205
-EMPTY_QUESTION_REPLY = (  # F6 canned reply (slackEventServer.js:75-82)
-    "Hi! Please ask me a question and I'll do my best to help."
+EMPTY_QUESTION_REPLY = (  # F6 canned reply, verbatim (slackEventServer.js:78)
+    "Hi! I was mentioned but didn't see a question. How can I help you?"
 )
-ERROR_REPLY = (  # K4 canned apology (slackEventServer.js:106-109)
-    "Sorry, I ran into an error processing your request. Please try again."
+ERROR_REPLY = (  # K4 canned apology, verbatim (slackEventServer.js:108)
+    "Sorry, I encountered an error. Please try again."
 )
 
 
@@ -78,7 +84,15 @@ def history_context(history: DataFrame, by_thread: bool = False) -> DataFrame:
 
     Batch/static formulation (stream-static join target). The orderBy
     inside the aggregation is explicit — sort_array over (ts, line)
-    structs — never relying on accidental row order."""
+    structs — never relying on accidental row order.
+
+    by_thread groups by the thread ROOT ts (`thread_ts ?? ts`), matching
+    `conversations.replies` (slackEventServer.js:205-211) which returns the
+    root message together with its replies."""
+    if by_thread:
+        history = history.withColumn(
+            "thread_ts", F.coalesce(F.col("thread_ts"), F.col("ts"))
+        )
     keys = ["channel", "thread_ts"] if by_thread else ["channel"]
     w = Window.partitionBy(*keys).orderBy(F.col("ts").cast("double").desc())
     return (
@@ -121,9 +135,10 @@ def attach_image_contents(
         lambda url: b"IMGBYTES:" + hashlib.md5(url.encode()).digest()
     )
 
-    @F.udf("binary")
-    def fetch_udf(url: str) -> bytes:
-        return fetch(url) if url else None
+    @F.pandas_udf("binary")
+    def fetch_udf(urls: pd.Series) -> pd.Series:
+        # Arrow-batched: one Python call per batch of URLs, not per row.
+        return urls.map(lambda u: fetch(u) if u else None)
 
     exploded = events.select(
         "event_id",
@@ -167,28 +182,74 @@ def enrich_mentions(
 
     Returns a reply frame (channel, thread_ts, reply_text, idempotency_key)
     ready for the Slack chat sink (K3). Works on batch and streaming
-    frames alike (history is the static side of the join)."""
+    frames alike (history is the static side of the join).
+
+    Faithful to slackEventServer.js:
+      - history is THREAD history keyed by `thread_ts || ts` — the mention
+        path always passes a truthy threadTs (:86-92, :224), so
+        getRecentThreadHistory is always the branch taken;
+      - the reply posts with the event's RAW thread_ts (:99-101, :80):
+        unthreaded when the mention wasn't in a thread (NULL here);
+      - contextInfo gets the "Recent channel context:" wrapper only when
+        history is non-empty (:226-229)."""
     mentions = drop_bot_messages(
         events.filter(F.col("type") == "app_mention")
     ).withColumn("thread_root", thread_root(events))
     question = strip_mentions(F.col("text"))  # P18
     has_files = F.size(F.coalesce(F.col("files"), F.array())) > 0
-    ctx = history_context(history, by_thread=False)
+    # thread-keyed context; one bounded row per thread, but thread count is
+    # unbounded at scale — shuffle equi-join (AQE may still broadcast).
+    ctx = history_context(history, by_thread=True).withColumnRenamed(
+        "thread_ts", "thread_root"
+    )
     joined = (
         mentions.withColumn("question", question)
-        .join(F.broadcast(ctx), "channel", "left")
+        .join(ctx, ["channel", "thread_root"], "left")
         .withColumn("context_info", F.coalesce(F.col("context_info"), F.lit("")))
     )
-    prompt = assemble_prompt(F.col("context_info"), F.col("question"))  # P20
+    prompt = assemble_prompt(  # P20 (:233-240)
+        wrap_context_info(F.col("context_info")), F.col("question")
+    )
     reply = F.when(
-        (F.col("question") == "") & ~has_files,  # F6 empty guard
+        (F.col("question") == "") & ~has_files,  # F6 empty guard (:75-82)
         F.lit(EMPTY_QUESTION_REPLY),
     ).otherwise(
         F.coalesce(llm_enrich_col(prompt, model), F.lit(ERROR_REPLY))  # U1/K4
     )
     return joined.select(
         "channel",
-        F.col("thread_root").alias("thread_ts"),  # threaded reply (K3 :97-101)
+        F.col("thread_ts"),  # RAW event thread_ts (K3 :99-101) — may be NULL
+        reply.alias("reply_text"),
+        F.md5(F.concat_ws("/", F.col("channel"), F.col("ts"))).alias(
+            "idempotency_key"
+        ),
+    )
+
+
+def enrich_dms(
+    events: DataFrame,
+    history: DataFrame,
+    model: Callable[[str], str] | None = None,
+) -> DataFrame:
+    """DM path (slackEventServer.js:114-149): F4 bot filter → F5 `channel_type
+    === 'im'` gate → CHANNEL history (no thread_ts is passed to
+    generateClaudeResponse, so getRecentChannelHistory is the branch taken)
+    → prompt → LLM → UNTHREADED reply (postMessage without thread_ts, :138-141).
+
+    The DM path has no mention strip and no empty-question guard — event.text
+    goes into the prompt as-is (:125)."""
+    dms = dms_only(drop_bot_messages(events.filter(F.col("type") == "message")))
+    ctx = history_context(history, by_thread=False)
+    joined = dms.join(ctx, "channel", "left").withColumn(
+        "context_info", F.coalesce(F.col("context_info"), F.lit(""))
+    )
+    prompt = assemble_prompt(
+        wrap_context_info(F.col("context_info")), F.col("text")
+    )
+    reply = F.coalesce(llm_enrich_col(prompt, model), F.lit(ERROR_REPLY))
+    return joined.select(
+        "channel",
+        F.lit(None).cast("string").alias("thread_ts"),  # unthreaded (:138-141)
         reply.alias("reply_text"),
         F.md5(F.concat_ws("/", F.col("channel"), F.col("ts"))).alias(
             "idempotency_key"

@@ -25,6 +25,8 @@ from kafka_flink_slack_pipeline_spark.sources import (
 from kafka_flink_slack_pipeline_spark.streaming import (
     DeterministicStubModel,
     consumer_transform,
+    dms_only,
+    enrich_dms,
     enrich_mentions,
     history_context,
     producer_transform,
@@ -241,17 +243,20 @@ def test_enrich_mentions_batch_semantics(spark):
     out = {r.idempotency_key: r for r in
            enrich_mentions(events, history, DeterministicStubModel()).collect()}
     assert len(out) == 3  # bot row filtered (F4)
-    rows = sorted(out.values(), key=lambda r: r.thread_ts)
-    # ST2: unthreaded mention roots at its own ts; threaded keeps the root
-    assert rows[0].thread_ts == "1712345600.000100"
-    assert rows[1].thread_ts == "1712345600.000100"
+    # K3 faithful: replies carry the RAW event thread_ts — the threaded
+    # mention keeps its root, the unthreaded ones post unthreaded (NULL),
+    # exactly chat.postMessage({thread_ts: event.thread_ts}) (:99-101).
+    threaded = [r for r in out.values() if r.thread_ts is not None]
+    assert [r.thread_ts for r in threaded] == ["1712345600.000100"]
+    assert sum(r.thread_ts is None for r in out.values()) == 2
     # LLM stub replied deterministically, context included
     again = {r.idempotency_key: r for r in
              enrich_mentions(events, history, DeterministicStubModel()).collect()}
     assert {k: v.reply_text for k, v in out.items()} == \
         {k: v.reply_text for k, v in again.items()}
-    # F6: empty question → canned reply
-    empty = [r for r in out.values() if "ask me a question" in r.reply_text]
+    # F6: empty question → verbatim canned reply (slackEventServer.js:78)
+    empty = [r for r in out.values() if r.reply_text ==
+             "Hi! I was mentioned but didn't see a question. How can I help you?"]
     assert len(empty) == 1
 
 
@@ -471,6 +476,87 @@ def test_attach_image_contents_fanout(spark):
     decoded = base64.b64decode(imgs[0].data_b64)
     assert decoded.startswith(b"IMGBYTES:")  # D6 round-trips the stub fetch
     assert out[2].image_contents == []  # no files → empty array, row kept
+
+
+def test_dms_only_gate(spark):
+    """F5: `channel_type === 'im'` (slackEventServer.js:121) — channel and
+    group messages are dropped, DMs pass."""
+    rows = [
+        Row(event_id=1, type="message", channel="D1", channel_type="im",
+            user="U1", text="hello", ts="1712345600.1", thread_ts=None,
+            subtype=None, bot_id=None, files=None),
+        Row(event_id=2, type="message", channel="C1", channel_type="channel",
+            user="U1", text="not a dm", ts="1712345601.1", thread_ts=None,
+            subtype=None, bot_id=None, files=None),
+        Row(event_id=3, type="message", channel="G1", channel_type="group",
+            user="U2", text="group msg", ts="1712345602.1", thread_ts=None,
+            subtype=None, bot_id=None, files=None),
+    ]
+    events = spark.createDataFrame(rows, SLACK_EVENT_SCHEMA)
+    kept = dms_only(events).collect()
+    assert [r.event_id for r in kept] == [1]
+
+
+def test_enrich_dms_end_to_end(spark):
+    """DM path e2e (slackEventServer.js:114-149): bot filter → im gate →
+    channel history context → LLM → UNTHREADED reply."""
+    rows = [
+        Row(event_id=1, type="message", channel="D1", channel_type="im",
+            user="U1", text="what's new?", ts="1712345600.1",
+            thread_ts="1712345500.1",  # even in a thread, reply is unthreaded
+            subtype=None, bot_id=None, files=None),
+        Row(event_id=2, type="message", channel="D1", channel_type="im",
+            user="BOT", text="bot echo", ts="1712345601.1", thread_ts=None,
+            subtype="bot_message", bot_id="B1", files=None),  # F4 dropped
+        Row(event_id=3, type="message", channel="C1", channel_type="channel",
+            user="U1", text="channel msg", ts="1712345602.1", thread_ts=None,
+            subtype=None, bot_id=None, files=None),  # F5 dropped
+    ]
+    events = spark.createDataFrame(rows, SLACK_EVENT_SCHEMA)
+    history = spark.createDataFrame(
+        [Row(channel="D1", ts="1712345000.1", thread_ts=None, user="U9",
+             text="earlier dm")], SLACK_MESSAGE_SCHEMA)
+    out = enrich_dms(events, history, DeterministicStubModel()).collect()
+    assert len(out) == 1
+    assert out[0].channel == "D1"
+    assert out[0].thread_ts is None  # postMessage without thread_ts (:138-141)
+    assert out[0].reply_text  # LLM replied (context joined, no empty guard)
+
+
+def test_prompt_template_reference_golden(spark):
+    """P20 byte-exact golden: assemble_prompt + wrap_context_info must
+    reproduce the JS template literal (slackEventServer.js:226-240),
+    including the 'Recent channel context:' wrapper, the trailing space
+    after the question, and the 6-space backtick indentation."""
+    from kafka_flink_slack_pipeline_spark.functions.textclean import (
+        assemble_prompt,
+        wrap_context_info,
+    )
+    df = spark.createDataFrame(
+        [("u1: hi\nu2: yo", "what is up?"), ("", "no context?")],
+        "history string, question string")
+    got = [r.p for r in df.select(assemble_prompt(
+        wrap_context_info(F.col("history")), F.col("question")
+    ).alias("p")).collect()]
+
+    def js_template(context_info, user_message):
+        return (
+            "You are May's Slack Agent, an AI assistant helping users in a "
+            "Slack workspace. Here's the context: " + context_info
+            + '. A user asked: "' + user_message + '". \n'
+            "      You should respond in a helpful, direct, and concise "
+            "manner. Search the web for the latest information if needed.\n"
+            "      Also ensure you follow Slack's markup formatting shown "
+            "here: 1. bold - Surround text with asterisks: \n"
+            "      *your text* 2.Italicize - Surround text with underscores: "
+            "_your text_ 3. Hyperlink - Use <URL|text> format for links. "
+            "4. block quote - Add an angled bracket in front of text:\n"
+            "      >your text"
+        )
+
+    assert got[0] == js_template(
+        "\n\nRecent channel context:\nu1: hi\nu2: yo\n\n", "what is up?")
+    assert got[1] == js_template("", "no context?")  # empty history → no wrapper
 
 
 def test_history_context_by_thread(spark):
