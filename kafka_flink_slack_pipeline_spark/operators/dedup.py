@@ -408,6 +408,16 @@ SIMHASH_BAND_BITS = 15
 SIMHASH_MAX_HAMMING = 3
 
 
+# Packed aggregation: 3 per-bit counters of 20 bits each share one 64-bit
+# SUM accumulator (20 aggregates + 1 count instead of 60 aggregates). A
+# counter holds "number of distinct tokens with bit j set" — exact while a
+# doc has < 2^20 distinct tokens (cross-counter carry is impossible below
+# that). The sign test sum(2b-1) > 0 is recovered as 2*s_j > n.
+SIMHASH_PACK = 3
+SIMHASH_COUNTER_BITS = 20
+SIMHASH_COUNTER_MASK = (1 << SIMHASH_COUNTER_BITS) - 1
+
+
 def _simhash_fps(d: DataFrame) -> DataFrame:
     """doc_id + 60-bit simhash fingerprint over distinct lowercase tokens."""
     toks = d.select(
@@ -417,19 +427,32 @@ def _simhash_fps(d: DataFrame) -> DataFrame:
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    n_packed = SIMHASH_BITS // SIMHASH_PACK
+    packed_exprs = [
+        F.sum(
+            sum(
+                F.shiftright(th, SIMHASH_PACK * i + k)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * F.lit(1 << (SIMHASH_COUNTER_BITS * k)).cast("long")
+                for k in range(SIMHASH_PACK)
+            )
+        ).alias(f"p{i}")
+        for i in range(n_packed)
+    ]
     sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(th, j).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
-            ).alias(f"s{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+        F.count(F.lit(1)).alias("n"), *packed_exprs
     )
+
+    def s_bit(j: int):
+        i, k = divmod(j, SIMHASH_PACK)
+        return F.shiftright(
+            F.col(f"p{i}"), SIMHASH_COUNTER_BITS * k
+        ).bitwiseAND(F.lit(SIMHASH_COUNTER_MASK))
+
     fp = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        * F.lit(1 << j).cast("long")
+        F.when(s_bit(j) * 2 > F.col("n"), F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
         for j in range(SIMHASH_BITS)
     )
     return sums.select("doc_id", fp.alias("fp"))
@@ -471,8 +494,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("a.fp").bitwiseXOR(F.col("b.fp"))
             ).cast("bigint").alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: the hamming test is a cheap map-side
+        # predicate, so the dedup shuffle only carries surviving pairs
+        # instead of every band-collision candidate.
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
     return pairs
