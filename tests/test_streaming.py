@@ -478,6 +478,35 @@ def test_attach_image_contents_fanout(spark):
     assert out[2].image_contents == []  # no files → empty array, row kept
 
 
+def test_kafka_sink_option_plumbing(spark, tmp_path):
+    """K1 wiring: write_stream_to_kafka builds a kafka-format writer with
+    the bootstrap/topic/checkpoint options and hands it to Spark's
+    data-source resolver. No broker or connector jar exists in this
+    environment, so reaching the resolver and failing with the
+    kafka-specific missing-connector error IS the executable evidence that
+    the format/option plumbing is wired (README: environment constraints)."""
+    from kafka_flink_slack_pipeline_spark.sinks.kafka import (
+        write_stream_to_kafka,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(b"payload",)], "value binary").write.parquet(src)
+    stream = spark.readStream.schema("value binary").parquet(src)
+    with pytest.raises(Exception) as ei:
+        write_stream_to_kafka(
+            stream, "broker:9092", "technews", str(tmp_path / "ckpt")
+        )
+    msg = str(ei.value).lower()
+    assert "kafka" in msg  # resolver saw format("kafka"), not a generic error
+
+    # missing value column → guarded before any Spark work
+    bad = spark.readStream.schema("x int").parquet(src)
+    with pytest.raises(ValueError, match="value"):
+        write_stream_to_kafka(
+            bad, "broker:9092", "technews", str(tmp_path / "ckpt")
+        )
+
+
 def test_dms_only_gate(spark):
     """F5: `channel_type === 'im'` (slackEventServer.js:121) — channel and
     group messages are dropped, DMs pass."""
