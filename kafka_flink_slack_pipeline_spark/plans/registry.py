@@ -49,6 +49,20 @@ _DEMOTED = (
     "cube_revenue_status_priority",
     "median_order_by_status",
     "orders_by_dow",
+    # r2 TPC-H tail shapes (relational3): registered demoted so they don't
+    # push reference-parity queries out of the driver's 50-entry window;
+    # verified by tools/verify_local.py instead.
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 )
 
 
@@ -60,6 +74,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         skew,
         temporal,
@@ -70,7 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
     collected: list[QuerySpec] = []
     seen: set[str] = set()
     for mod in (emailpipe, skew, dedup, similarity, multimodal, textops,
-                temporal, windows, relational, relational2):
+                temporal, windows, relational, relational2, relational3):
         for spec in mod.QUERIES:
             if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name!r}")
