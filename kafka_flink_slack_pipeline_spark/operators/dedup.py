@@ -623,6 +623,114 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# Cluster assignment: near-dup PAIRS → connected components → one canonical
+# cluster id per document. This is the step a real training-data dedup
+# pipeline actually ships (keep one doc per cluster); pairs alone aren't
+# actionable.
+#
+# Spark realization: distributed min-label propagation — each round every
+# node adopts the smallest label among itself and its neighbors; converges
+# in graph-diameter rounds. Near-dup clusters have tiny diameters (they're
+# quasi-cliques — LSH links most members directly), so rounds stay single
+# digits at any corpus size. Each round is one shuffle join + agg;
+# localCheckpoint truncates the growing lineage. At 100 TB with adversarial
+# long-chain graphs you'd switch to alternating large-star/small-star
+# (O(log n) rounds, same join primitives); for dedup graphs min-propagation
+# is the cheaper plan.
+#
+# Oracle: exact transitive closure via DuckDB RECURSIVE CTE (UNION dedup
+# guarantees termination) — an iterative Spark algorithm checked against a
+# declarative fixpoint.
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, cluster_id=min id in
+    component). Driver loop with one distributed round per iteration;
+    stops at fixpoint (no label changed)."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # compute edges once, reuse per round
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs → connected components → per-doc cluster
+    id and cluster size (only docs that appear in some near-dup pair)."""
+    edges = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM labels l JOIN sizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -638,4 +746,7 @@ QUERIES = [
     QuerySpec("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped,
               DEDUP_NGRAM_CAPPED_ORACLE,
               "df-capped inverted index: bounded join fan-out at scale"),
+    QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
+              "pairs -> connected components -> per-doc cluster id "
+              "(iterative min-label propagation vs recursive-CTE oracle)"),
 ]

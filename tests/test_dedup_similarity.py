@@ -130,3 +130,20 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
               for r in S.cosine_topk_ivf(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+
+
+def test_connected_components_known_graph(spark):
+    """CC over chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), and
+    isolated pair 20-21: min-label propagation must reach the fixpoint
+    cluster_id = min(component) for every node."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain, diameter 3
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                       # pair
+        "doc_a bigint, doc_b bigint",
+    )
+    labels = {r.doc_id: r.label
+              for r in D.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
+                      10: 10, 11: 10, 12: 10,
+                      20: 20, 21: 20}
