@@ -263,6 +263,180 @@ ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Dataset split assignment: deterministic hash-bucket train/val/test split,
+# stratified report per language. The split is a pure function of doc_id
+# (first 6 hex chars of md5 mod 100 → 90/5/5), so it is reproducible across
+# engines, runs, and cluster sizes — the property a training pipeline needs
+# from a split (no RNG, no sampling state). At 100 TB this is a narrow map
+# + small agg; the assignment can also be used as a filter predicate that
+# pushes into any downstream query.
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+DATASET_SPLIT_ORACLE = """
+SELECT lang, split, count(*)::BIGINT AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS b
+        FROM documents)
+)
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+# --------------------------------------------------------------------------
+# PII / URL scrubbing: count and redact emails, URLs, and phone-like
+# number runs. The corpus is synthetic clean text, so PII is injected
+# in-query for one doc in three (like dedup_exact_normalized does) to make
+# the scrub non-vacuous. Patterns restricted to the regex dialect subset
+# Java and RE2/DuckDB share.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^\\s]+"
+PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"), did, F.lit("@example.com or "),
+                F.lit("https://t.example/"), did,
+                F.lit(" call +1 (555) 010-"), F.lpad(did, 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(salted, PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>"),
+        PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(salted, F.lit(PII_EMAIL), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(salted, F.lit(PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(salted, F.lit(PII_PHONE), 0)).alias(
+            "n_phones"
+        ),
+        F.length(scrubbed).alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+DOC_SCRUB_ORACLE = f"""
+WITH salted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0
+                      THEN ' contact user' || doc_id::VARCHAR
+                           || '@example.com or https://t.example/'
+                           || doc_id::VARCHAR || ' call +1 (555) 010-'
+                           || lpad(doc_id::VARCHAR, 4, '0')
+                      ELSE '' END AS s
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(s, '{PII_URL}'))::BIGINT   AS n_urls,
+       len(regexp_extract_all(s, '{PII_PHONE}'))::BIGINT AS n_phones,
+       length(regexp_replace(regexp_replace(regexp_replace(s,
+              '{PII_EMAIL}', '<EMAIL>', 'g'),
+              '{PII_URL}', '<URL>', 'g'),
+              '{PII_PHONE}', '<PHONE>', 'g'))::BIGINT    AS scrubbed_len
+FROM salted
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary building: top terms per language by tf-rarity score.
+# Determinism note: ln() is a transcendental whose last ulp may differ
+# between JVM and DuckDB libm, which would break exact hashing — so the
+# idf factor is the RATIONAL surrogate (N+1)/(df+1) (pure IEEE division,
+# bit-identical cross-engine). Ranking is monotone in true idf, which is
+# what a vocab/stopword builder needs.
+# 100 TB: tf agg and df agg both shuffle on (lang, term) — one exchange
+# reused; top-k per lang is a window over the small aggregated set.
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", "doc_id", F.explode(tokens_col()).alias("term")
+    ).filter(F.col("term") != "")
+    per_term = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n_docs = d.groupBy("lang").agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = per_term.join(F.broadcast(n_docs), "lang").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * (F.col("n_docs") + 1) / (F.col("df") + 1), 6
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "term", "tf", "df", "score")
+        .orderBy("lang", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+per_term AS (
+  SELECT lang, term, count(*)::BIGINT AS tf,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM toks WHERE term <> '' GROUP BY lang, term
+),
+n AS (SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM documents GROUP BY lang),
+scored AS (
+  SELECT p.lang, term, tf, df,
+         round(tf * (n_docs + 1) / (df + 1), 6) AS score
+  FROM per_term p JOIN n ON p.lang = n.lang
+)
+SELECT lang, rank, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -275,4 +449,11 @@ QUERIES = [
     QuerySpec("doc_median_tokens_udaf", doc_median_tokens_udaf,
               DOC_MEDIAN_TOKENS_ORACLE,
               "pandas GROUPED_AGG UDAF (numpy median), oracle-verified"),
+    QuerySpec("dataset_split_assign", dataset_split_assign,
+              DATASET_SPLIT_ORACLE,
+              "deterministic hash-bucket train/val/test split, stratified"),
+    QuerySpec("doc_scrub_pii", doc_scrub_pii, DOC_SCRUB_ORACLE,
+              "PII/URL scrub: count + redact emails, urls, phone runs"),
+    QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE,
+              "vocab building: top terms per language by tf-rarity"),
 ]
