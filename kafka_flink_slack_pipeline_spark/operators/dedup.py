@@ -546,29 +546,54 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size. Sizes (na/nb) still count ALL shingles, so the
     Jaccard denominators are unchanged; only candidate RECALL is traded
     (pairs sharing solely ultra-common shingles are missed) — the standard
-    trade, here made explicit and oracle-verified."""
+    trade, here made explicit and oracle-verified.
+
+    Plan shape (r2 rewrite, measured at sf0.1): per-doc sizes come from a
+    NARROW map over the shingle array (no doc_id window/shuffle — 4 full
+    shuffles of the shingle set drop to 2, 1.52s → 1.03s); the df cap
+    stays a count-window over shingle (one pass; the posting-list and
+    broadcast-anti-join alternatives both measured slower here — HOF pair
+    generation doesn't codegen, and the blocked-shingle broadcast only
+    wins when the blocked set is too big to matter). The self-join's
+    upstream is computed per side (Catalyst doesn't reuse the exchange);
+    a long-running production job would persist `capped` once instead."""
     d = table(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
     )
+    arr = _word_shingles(F.col("toks"), 3)
+    sizes = toked.select(
+        "doc_id",
+        F.size(F.filter(arr, lambda x: x != "")).alias("n"),
+    )
     shingled = toked.select(
-        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+        "doc_id", F.explode(arr).alias("shingle")
     ).filter(F.col("shingle") != "")
-    w = Window.partitionBy("doc_id")
-    sized = shingled.withColumn("n", F.count(F.lit(1)).over(w))
     dfreq = Window.partitionBy("shingle")
-    capped = sized.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
+    capped = shingled.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
         F.col("df") <= NGRAM_DF_CAP
     )
-    a, b = capped.alias("a"), capped.hint("SHUFFLE_HASH").alias("b")
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+    common = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).alias("n_common_capped"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
         .withColumn(
             "jaccard_lb",
             F.round(
