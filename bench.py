@@ -44,6 +44,11 @@ HEADLINE = [
     "image_byte_histogram",
     "email_clean_chain",
     "email_chunk_blocks",
+    # r2 addition: vocabulary building (two reused shuffles + window top-k).
+    # dedup_clusters is deliberately NOT benched: its iterative rounds run
+    # eagerly inside fn() (localCheckpoint), so timing only the final
+    # count() would under-report it.
+    "tfidf_top_terms",
 ]
 
 
