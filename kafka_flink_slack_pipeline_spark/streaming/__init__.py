@@ -8,6 +8,8 @@ from .event_server import (  # noqa: F401
     enrich_dms,
     enrich_mentions,
     history_context,
+    reply_payload,
+    run_event_server_stream,
     thread_registry_stream,
 )
 from .event_time import windowed_event_counts  # noqa: F401

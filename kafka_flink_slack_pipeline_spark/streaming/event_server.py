@@ -226,6 +226,41 @@ def enrich_mentions(
     )
 
 
+def reply_payload(reply: DataFrame) -> DataFrame:
+    """K3 — reply frame → chat.postMessage JSON body + idempotency key.
+
+    `to_json` omits NULL fields, so an unthreaded reply's POST body has no
+    `thread_ts` key at all — matching the JS client, where an undefined
+    `thread_ts` is absent from the request (slackEventServer.js:97-101,
+    :138-141)."""
+    return reply.select(
+        F.to_json(
+            F.struct(
+                F.col("channel"),
+                F.col("reply_text").alias("text"),
+                F.col("thread_ts"),
+            )
+        ).alias("payload"),
+        "idempotency_key",
+    )
+
+
+def run_event_server_stream(
+    events_stream: DataFrame,
+    history: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    model: Callable[[str], str] | None = None,
+    trigger: dict | None = None,
+):
+    """§3.3 end-to-end: streaming events → enrich_mentions (stream-static
+    history join) → chat payload → foreachBatch Slack sink."""
+    frame = reply_payload(enrich_mentions(events_stream, history, model))
+    return sink.attach(
+        frame, checkpoint_dir, trigger or {"availableNow": True}
+    )
+
+
 def enrich_dms(
     events: DataFrame,
     history: DataFrame,

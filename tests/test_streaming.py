@@ -260,6 +260,46 @@ def test_enrich_mentions_batch_semantics(spark):
     assert len(empty) == 1
 
 
+def test_event_server_stream_end_to_end(spark, tmp_path):
+    """§3.3 full interactive path as a STREAM: events parquet stream →
+    enrich_mentions (stream-static history join) → chat payload →
+    foreachBatch Slack sink. Asserts delivered POST bodies: threaded reply
+    carries thread_ts, unthreaded reply body has NO thread_ts key (JS
+    undefined-field semantics), empty question gets the verbatim canned
+    reply."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        run_event_server_stream,
+    )
+
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(SLACK_EVENTS, SLACK_EVENT_SCHEMA) \
+        .write.parquet(events_dir)
+    history = spark.createDataFrame(HISTORY, SLACK_MESSAGE_SCHEMA)
+    record_dir = str(tmp_path / "posts")
+    sink = SlackWebhookSink(
+        "https://hooks.test/chat.postMessage",
+        transport=make_recording_transport(record_dir),
+        rate_limit_per_sec=0,
+    )
+    stream = spark.readStream.schema(SLACK_EVENT_SCHEMA).parquet(events_dir)
+    q = run_event_server_stream(
+        stream, history, sink, str(tmp_path / "ckpt"),
+        model=DeterministicStubModel(),
+    )
+    _await(q)
+
+    posts = [json.loads(payload) for _url, _key, payload in
+             read_posts(record_dir)]
+    assert len(posts) == 3  # bot row filtered
+    threaded = [p for p in posts if "thread_ts" in p]
+    assert [p["thread_ts"] for p in threaded] == ["1712345600.000100"]
+    assert all(p["channel"] == "C1" for p in posts)
+    canned = [p for p in posts if p["text"] ==
+              "Hi! I was mentioned but didn't see a question. "
+              "How can I help you?"]
+    assert len(canned) == 1
+
+
 def test_history_context_order_and_limit(spark):
     rows = [Row(channel="C9", ts=f"{1712345000 + i}.0", thread_ts=None,
                 user=f"u{i}", text=f"m{i}") for i in range(150)]
