@@ -9,6 +9,7 @@ from .event_server import (  # noqa: F401
     enrich_mentions,
     history_context,
     reply_payload,
+    run_dm_server_stream,
     run_event_server_stream,
     thread_registry_stream,
 )

@@ -261,6 +261,22 @@ def run_event_server_stream(
     )
 
 
+def run_dm_server_stream(
+    events_stream: DataFrame,
+    history: DataFrame,
+    sink,
+    checkpoint_dir: str,
+    model: Callable[[str], str] | None = None,
+    trigger: dict | None = None,
+):
+    """DM half of §3.3 as a stream (slackEventServer.js:114-149): message
+    events → enrich_dms → unthreaded chat payload → foreachBatch sink."""
+    frame = reply_payload(enrich_dms(events_stream, history, model))
+    return sink.attach(
+        frame, checkpoint_dir, trigger or {"availableNow": True}
+    )
+
+
 def enrich_dms(
     events: DataFrame,
     history: DataFrame,

@@ -300,6 +300,47 @@ def test_event_server_stream_end_to_end(spark, tmp_path):
     assert len(canned) == 1
 
 
+def test_dm_server_stream_end_to_end(spark, tmp_path):
+    """DM half of §3.3 as a stream: im-gated messages → channel-history
+    context → LLM → unthreaded POST (no thread_ts key in the body)."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        run_dm_server_stream,
+    )
+
+    rows = [
+        Row(event_id=1, type="message", channel="D1", channel_type="im",
+            user="U1", text="hello there", ts="1712345600.1",
+            thread_ts=None, subtype=None, bot_id=None, files=None),
+        Row(event_id=2, type="message", channel="C1", channel_type="channel",
+            user="U1", text="not a dm", ts="1712345601.1", thread_ts=None,
+            subtype=None, bot_id=None, files=None),
+    ]
+    events_dir = str(tmp_path / "events")
+    spark.createDataFrame(rows, SLACK_EVENT_SCHEMA).write.parquet(events_dir)
+    history = spark.createDataFrame(
+        [Row(channel="D1", ts="1712345000.1", thread_ts=None, user="U9",
+             text="earlier dm")], SLACK_MESSAGE_SCHEMA)
+    record_dir = str(tmp_path / "posts")
+    sink = SlackWebhookSink(
+        "https://hooks.test/chat.postMessage",
+        transport=make_recording_transport(record_dir),
+        rate_limit_per_sec=0,
+    )
+    stream = spark.readStream.schema(SLACK_EVENT_SCHEMA).parquet(events_dir)
+    q = run_dm_server_stream(
+        stream, history, sink, str(tmp_path / "ckpt"),
+        model=DeterministicStubModel(),
+    )
+    _await(q)
+
+    posts = [json.loads(payload) for _u, _k, payload in
+             read_posts(record_dir)]
+    assert len(posts) == 1  # channel message gated out
+    assert posts[0]["channel"] == "D1"
+    assert "thread_ts" not in posts[0]  # unthreaded POST body
+    assert posts[0]["text"]
+
+
 def test_history_context_order_and_limit(spark):
     rows = [Row(channel="C9", ts=f"{1712345000 + i}.0", thread_ts=None,
                 user=f"u{i}", text=f"m{i}") for i in range(150)]
