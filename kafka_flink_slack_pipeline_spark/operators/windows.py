@@ -243,6 +243,83 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequential funnel: first view → first click AFTER it → first purchase
+# after that, per user. The ordering constraint makes this a sequential
+# pattern match, not a plain conditional aggregation: each stage's
+# anchor timestamp depends on the previous stage's result.
+# 100 TB: three aggregations + two joins, ALL keyed on user_id — one
+# logical partitioning reused across every stage; no window-sort over
+# full event history per user.
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks.select("user_id", "click_ts"), "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        views.join(clicks.select("user_id", "click_ts"), "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+            F.when(F.col("purchase_ts").isNotNull(), "purchase")
+            .when(F.col("click_ts").isNotNull(), "click")
+            .otherwise("view")
+            .alias("furthest_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FUNNEL_STAGES_ORACLE = """
+WITH views AS (
+  SELECT user_id, min(ts) AS view_ts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+clicks AS (
+  SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id, v.view_ts
+),
+purchases AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id,
+       (epoch_ms(v.view_ts) // 1000)     AS view_epoch,
+       (epoch_ms(c.click_ts) // 1000)    AS click_epoch,
+       (epoch_ms(p.purchase_ts) // 1000) AS purchase_epoch,
+       CASE WHEN p.purchase_ts IS NOT NULL THEN 'purchase'
+            WHEN c.click_ts IS NOT NULL THEN 'click'
+            ELSE 'view' END AS furthest_stage
+FROM views v
+LEFT JOIN clicks c    ON v.user_id = c.user_id
+LEFT JOIN purchases p ON v.user_id = p.user_id
+ORDER BY v.user_id
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
@@ -256,4 +333,6 @@ QUERIES = [
               "keyed recency top-k (W4)"),
     QuerySpec("user_history_window", user_history_window, USER_HISTORY_ORACLE,
               "last-100 keyed history, oldest-first concat (W1/W2 + P19)"),
+    QuerySpec("funnel_stages", funnel_stages, FUNNEL_STAGES_ORACLE,
+              "sequential funnel pattern match (view -> click -> purchase)"),
 ]
