@@ -320,6 +320,55 @@ ORDER BY v.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Weekly retention cohorts: users cohorted by first-signup week; for each
+# later week, how many of the cohort were active at all. Two aggregations
+# (cohort assignment, distinct user-week activity) joined on user_id, then
+# a conditional count per (cohort_week, week_offset) — the standard cohort
+# triangle. Weeks are integer floor(epoch/604800): timezone-proof and
+# identical across engines.
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # integer `div`, not `/`: long / long is DOUBLE division in Spark, and
+    # a timestamp within an ulp of a week boundary could floor differently
+    # than the oracle's exact integer division.
+    week = F.expr("unix_timestamp(ts) div 604800")
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    activity = e.select("user_id", week.alias("act_week")).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.col("act_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_COHORTS_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, min(epoch_ms(ts) // 604800000) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS act_week FROM events
+)
+SELECT cohort_week,
+       (act_week - cohort_week) AS week_offset,
+       count(DISTINCT a.user_id)::BIGINT AS n_active
+FROM activity a JOIN cohorts c USING (user_id)
+WHERE act_week >= cohort_week
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
@@ -335,4 +384,7 @@ QUERIES = [
               "last-100 keyed history, oldest-first concat (W1/W2 + P19)"),
     QuerySpec("funnel_stages", funnel_stages, FUNNEL_STAGES_ORACLE,
               "sequential funnel pattern match (view -> click -> purchase)"),
+    QuerySpec("retention_cohorts", retention_cohorts,
+              RETENTION_COHORTS_ORACLE,
+              "weekly signup cohorts x activity retention triangle"),
 ]
