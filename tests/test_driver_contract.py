@@ -35,3 +35,30 @@ def test_oracle_keys_subset():
     # every oracle is non-empty SQL
     for name, sql in entrymod.oracle_sql().items():
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+
+
+def test_oracle_columns_match_spark_schema(spark, sf_dir):
+    """Column-name parity, the contract invariant the driver's value-hash
+    silently punishes: for every oracle-bearing query, DuckDB's DESCRIBE
+    of the oracle SQL must name exactly the Spark result's columns.
+    Analysis-only on both sides (no query execution)."""
+    import duckdb
+
+    from kafka_flink_slack_pipeline_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    mismatches = {}
+    for name, sql in entrymod.oracle_sql().items():
+        spark_cols = sorted(qs[name](spark, sf_dir).columns)
+        oracle_cols = sorted(
+            r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+        )
+        if spark_cols != oracle_cols:
+            mismatches[name] = (spark_cols, oracle_cols)
+    assert not mismatches, mismatches
