@@ -7,7 +7,7 @@ Reference parity (SURVEY.md §2.6, §2.7):
                                                                       → last_events_per_user
   ST5    event-time tumbling/sliding/session windows (absent in the
          reference — north-star extension; batch formulations here,
-         streaming formulations in streaming/windows.py)              → events_* queries
+         streaming formulations in streaming/event_time.py)              → events_* queries
 
 Scale notes (100 TB):
   - Tumbling/sliding windows are pure narrow ops (floor arithmetic on the
@@ -98,7 +98,7 @@ ORDER BY 1, 2
 
 # --------------------------------------------------------------------------
 # Session windows (batch formulation): 30-minute inactivity gap per user.
-# Streaming formulation: F.session_window in streaming/windows.py.
+# Streaming formulation: F.session_window in streaming/event_time.py.
 def events_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
