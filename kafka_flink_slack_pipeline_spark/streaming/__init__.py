@@ -4,9 +4,11 @@ the reference lacks (ST5)."""
 
 from .consumer_pipeline import consumer_transform, run_consumer_stream  # noqa: F401
 from .event_server import (  # noqa: F401
+    content_blocks,
     dms_only,
     enrich_dms,
     enrich_mentions,
+    enrich_mentions_multimodal,
     history_context,
     reply_payload,
     run_dm_server_stream,

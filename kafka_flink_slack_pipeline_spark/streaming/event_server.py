@@ -226,6 +226,84 @@ def enrich_mentions(
     )
 
 
+_SOURCE_SCHEMA = "struct<type:string,media_type:string,data:string>"
+
+
+def content_blocks(prompt: Column, image_contents: Column) -> Column:
+    """Anthropic-style content array as JSON: one text block followed by a
+    base64 image block per attached image (slackEventServer.js:231-258).
+
+    One struct schema covers both block kinds with NULL unused fields;
+    to_json drops NULLs, so the wire shape is exactly
+    `[{"type":"text","text":...},{"type":"image","source":{"type":
+    "base64","media_type":...,"data":...}}]`."""
+    text_block = F.struct(
+        F.lit("text").alias("type"),
+        prompt.alias("text"),
+        F.lit(None).cast(_SOURCE_SCHEMA).alias("source"),
+    )
+    image_blocks = F.transform(
+        F.coalesce(
+            image_contents,
+            F.array().cast("array<struct<mimetype:string,data_b64:string>>"),
+        ),
+        lambda ic: F.struct(
+            F.lit("image").alias("type"),
+            F.lit(None).cast("string").alias("text"),
+            F.struct(
+                F.lit("base64").alias("type"),
+                ic["mimetype"].alias("media_type"),
+                ic["data_b64"].alias("data"),
+            ).alias("source"),
+        ),
+    )
+    return F.to_json(F.concat(F.array(text_block), image_blocks))
+
+
+def enrich_mentions_multimodal(
+    events: DataFrame,
+    history: DataFrame,
+    model: Callable[[str], str] | None = None,
+    fetcher: Callable[[str], bytes] | None = None,
+) -> DataFrame:
+    """Mention path with full content-array parity: files[] fan-out →
+    image fetch + base64 (E2/S7/D6) → text + image blocks into the model
+    (slackEventServer.js:241-258). The model callable receives the
+    JSON-encoded content array instead of the bare prompt string."""
+    with_images = attach_image_contents(events, fetcher)
+    mentions = drop_bot_messages(
+        with_images.filter(F.col("type") == "app_mention")
+    ).withColumn("thread_root", thread_root(with_images))
+    question = strip_mentions(F.col("text"))
+    has_files = F.size(F.coalesce(F.col("files"), F.array())) > 0
+    ctx = history_context(history, by_thread=True).withColumnRenamed(
+        "thread_ts", "thread_root"
+    )
+    joined = (
+        mentions.withColumn("question", question)
+        .join(ctx, ["channel", "thread_root"], "left")
+        .withColumn("context_info", F.coalesce(F.col("context_info"), F.lit("")))
+    )
+    prompt = assemble_prompt(
+        wrap_context_info(F.col("context_info")), F.col("question")
+    )
+    content = content_blocks(prompt, F.col("image_contents"))
+    reply = F.when(
+        (F.col("question") == "") & ~has_files,
+        F.lit(EMPTY_QUESTION_REPLY),
+    ).otherwise(
+        F.coalesce(llm_enrich_col(content, model), F.lit(ERROR_REPLY))
+    )
+    return joined.select(
+        "channel",
+        F.col("thread_ts"),
+        reply.alias("reply_text"),
+        F.md5(F.concat_ws("/", F.col("channel"), F.col("ts"))).alias(
+            "idempotency_key"
+        ),
+    )
+
+
 def reply_payload(reply: DataFrame) -> DataFrame:
     """K3 — reply frame → chat.postMessage JSON body + idempotency key.
 

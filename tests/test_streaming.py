@@ -588,6 +588,43 @@ def test_kafka_sink_option_plumbing(spark, tmp_path):
         )
 
 
+def test_multimodal_content_blocks_wire_shape(spark):
+    """Content-array parity (slackEventServer.js:231-258): a mention with
+    an image must hand the model `[{"type":"text",...},{"type":"image",
+    "source":{"type":"base64","media_type":...,"data":...}}]` — NULL
+    fields absent, block order text-first."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        enrich_mentions_multimodal,
+    )
+
+    import base64
+
+    rows = [
+        Row(event_id=1, type="app_mention", channel="C1",
+            channel_type="channel", user="U1", text="<@UBOT> what is this?",
+            ts="1712345600.1", thread_ts=None, subtype=None, bot_id=None,
+            files=[Row(id="F1", mimetype="image/png",
+                       url_private="https://files.test/a.png",
+                       permalink_public=None)]),
+    ]
+    events = spark.createDataFrame(rows, SLACK_EVENT_SCHEMA)
+    history = spark.createDataFrame([], SLACK_MESSAGE_SCHEMA)
+
+    # echo model: the UDF runs in a worker process, so the only channel
+    # back to the test is the reply itself
+    out = enrich_mentions_multimodal(
+        events, history, lambda content: content
+    ).collect()
+    assert len(out) == 1
+    blocks = json.loads(out[0].reply_text)
+    assert [b["type"] for b in blocks] == ["text", "image"]
+    assert "source" not in blocks[0] and "text" not in blocks[1]
+    assert blocks[0]["text"].startswith("You are May's Slack Agent")
+    src = blocks[1]["source"]
+    assert src["type"] == "base64" and src["media_type"] == "image/png"
+    assert base64.b64decode(src["data"]).startswith(b"IMGBYTES:")
+
+
 def test_dms_only_gate(spark):
     """F5: `channel_type === 'im'` (slackEventServer.js:121) — channel and
     group messages are dropped, DMs pass."""
