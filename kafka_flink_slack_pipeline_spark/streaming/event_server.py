@@ -192,6 +192,18 @@ def enrich_mentions(
         unthreaded when the mention wasn't in a thread (NULL here);
       - contextInfo gets the "Recent channel context:" wrapper only when
         history is non-empty (:226-229)."""
+    return _mention_reply_frame(events, history, model, lambda prompt: prompt)
+
+
+def _mention_reply_frame(
+    events: DataFrame,
+    history: DataFrame,
+    model: Callable[[str], str] | None,
+    to_model_input: Callable[[Column], Column],
+) -> DataFrame:
+    """Shared mention-path skeleton; `to_model_input` maps the assembled
+    prompt column to whatever the model callable consumes (bare prompt or
+    JSON content array)."""
     mentions = drop_bot_messages(
         events.filter(F.col("type") == "app_mention")
     ).withColumn("thread_root", thread_root(events))
@@ -214,7 +226,9 @@ def enrich_mentions(
         (F.col("question") == "") & ~has_files,  # F6 empty guard (:75-82)
         F.lit(EMPTY_QUESTION_REPLY),
     ).otherwise(
-        F.coalesce(llm_enrich_col(prompt, model), F.lit(ERROR_REPLY))  # U1/K4
+        F.coalesce(  # U1/K4
+            llm_enrich_col(to_model_input(prompt), model), F.lit(ERROR_REPLY)
+        )
     )
     return joined.select(
         "channel",
@@ -270,37 +284,11 @@ def enrich_mentions_multimodal(
     image fetch + base64 (E2/S7/D6) → text + image blocks into the model
     (slackEventServer.js:241-258). The model callable receives the
     JSON-encoded content array instead of the bare prompt string."""
-    with_images = attach_image_contents(events, fetcher)
-    mentions = drop_bot_messages(
-        with_images.filter(F.col("type") == "app_mention")
-    ).withColumn("thread_root", thread_root(with_images))
-    question = strip_mentions(F.col("text"))
-    has_files = F.size(F.coalesce(F.col("files"), F.array())) > 0
-    ctx = history_context(history, by_thread=True).withColumnRenamed(
-        "thread_ts", "thread_root"
-    )
-    joined = (
-        mentions.withColumn("question", question)
-        .join(ctx, ["channel", "thread_root"], "left")
-        .withColumn("context_info", F.coalesce(F.col("context_info"), F.lit("")))
-    )
-    prompt = assemble_prompt(
-        wrap_context_info(F.col("context_info")), F.col("question")
-    )
-    content = content_blocks(prompt, F.col("image_contents"))
-    reply = F.when(
-        (F.col("question") == "") & ~has_files,
-        F.lit(EMPTY_QUESTION_REPLY),
-    ).otherwise(
-        F.coalesce(llm_enrich_col(content, model), F.lit(ERROR_REPLY))
-    )
-    return joined.select(
-        "channel",
-        F.col("thread_ts"),
-        reply.alias("reply_text"),
-        F.md5(F.concat_ws("/", F.col("channel"), F.col("ts"))).alias(
-            "idempotency_key"
-        ),
+    return _mention_reply_frame(
+        attach_image_contents(events, fetcher),
+        history,
+        model,
+        lambda prompt: content_blocks(prompt, F.col("image_contents")),
     )
 
 
