@@ -437,6 +437,54 @@ ORDER BY lang, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality profiling: per-column null count, distinct count, min/max
+# (stringified) over the documents table — the pre-flight check a training
+# pipeline runs before ingesting a new shard. One aggregation pass
+# computes every metric (Catalyst plans multi-distinct via expand), then
+# stack() unpivots to one row per column.
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = d.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)",
+        )
+        .select("col_name", "n_rows", "n_nulls", "n_distinct",
+                "min_val", "max_val")
+        .orderBy("col_name")
+    )
+
+
+TABLE_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       (SELECT count(*) FROM documents) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c}::VARCHAR) AS min_val,
+       max({c}::VARCHAR) AS max_val
+FROM documents"""
+    for c in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -456,4 +504,6 @@ QUERIES = [
               "PII/URL scrub: count + redact emails, urls, phone runs"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE,
               "vocab building: top terms per language by tf-rarity"),
+    QuerySpec("table_profile", table_profile, TABLE_PROFILE_ORACLE,
+              "per-column null/distinct/min/max profiling (one agg pass)"),
 ]

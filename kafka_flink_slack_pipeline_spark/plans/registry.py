@@ -49,9 +49,10 @@ _DEMOTED = (
     "cube_revenue_status_priority",
     "median_order_by_status",
     "orders_by_dow",
-    # r2 TPC-H tail shapes (relational3): registered demoted so they don't
-    # push reference-parity queries out of the driver's 50-entry window;
-    # verified by tools/verify_local.py instead.
+    # r2 extras: registered demoted so they don't push reference-parity
+    # queries out of the driver's 50-entry window; verified by
+    # tools/verify_local.py instead.
+    "table_profile",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
