@@ -600,6 +600,81 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# ANN evaluation: per-query recall of the approximate indexes against the
+# exact top-k — the metric a training pipeline tracks when it swaps
+# brute-force for LSH/IVF. Composes the three top-k queries; the oracle
+# composes their oracles as CTEs, so the metric can never drift from the
+# queries it evaluates.
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    k = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    lsh = hits(cosine_topk_lsh(spark, sf_dir), "lsh_hits")
+    ivf = hits(cosine_topk_ivf(spark, sf_dir), "ivf_hits")
+    return (
+        k.join(lsh, "query_id", "left")
+        .join(ivf, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("lsh_hits", F.lit(0)).alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).alias("ivf_hits"),
+            F.round(
+                F.coalesce("lsh_hits", F.lit(0)).cast("double") / F.col("k"), 4
+            ).alias("lsh_recall"),
+            F.round(
+                F.coalesce("ivf_hits", F.lit(0)).cast("double") / F.col("k"), 4
+            ).alias("ivf_recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+WITH exact_r AS ({COSINE_TOPK_ORACLE}),
+lsh_r AS ({COSINE_TOPK_LSH_ORACLE}),
+ivf_r AS ({COSINE_TOPK_IVF_ORACLE}),
+k AS (SELECT query_id, count(*)::BIGINT AS k FROM exact_r GROUP BY query_id),
+lsh_h AS (
+  SELECT e.query_id, count(*)::BIGINT AS lsh_hits FROM exact_r e
+  WHERE EXISTS (SELECT 1 FROM lsh_r l
+                WHERE l.query_id = e.query_id
+                  AND l.neighbor_id = e.neighbor_id)
+  GROUP BY e.query_id
+),
+ivf_h AS (
+  SELECT e.query_id, count(*)::BIGINT AS ivf_hits FROM exact_r e
+  WHERE EXISTS (SELECT 1 FROM ivf_r i
+                WHERE i.query_id = e.query_id
+                  AND i.neighbor_id = e.neighbor_id)
+  GROUP BY e.query_id
+)
+SELECT k.query_id, k.k,
+       coalesce(lsh_hits, 0) AS lsh_hits,
+       coalesce(ivf_hits, 0) AS ivf_hits,
+       round(coalesce(lsh_hits, 0)::DOUBLE / k.k, 4) AS lsh_recall,
+       round(coalesce(ivf_hits, 0)::DOUBLE / k.k, 4) AS ivf_recall
+FROM k
+LEFT JOIN lsh_h ON k.query_id = lsh_h.query_id
+LEFT JOIN ivf_h ON k.query_id = ivf_h.query_id
+ORDER BY k.query_id
+"""
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "exact cosine top-k, broadcast query side"),
@@ -612,4 +687,6 @@ QUERIES = [
               "per-label centroid + mean intra-label cosine"),
     QuerySpec("cosine_topk_ivf", cosine_topk_ivf, COSINE_TOPK_IVF_ORACLE,
               "IVF ANN: centroid inverted lists, nprobe probe, exact re-rank"),
+    QuerySpec("ann_recall_report", ann_recall_report, ANN_RECALL_ORACLE,
+              "per-query LSH/IVF recall vs exact top-k (composed oracle)"),
 ]

@@ -53,6 +53,7 @@ _DEMOTED = (
     # queries out of the driver's 50-entry window; verified by
     # tools/verify_local.py instead.
     "table_profile",
+    "ann_recall_report",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
