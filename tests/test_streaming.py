@@ -412,6 +412,45 @@ def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
     assert all(r.n_events == 1 for r in got)
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST5 late-data policy, observable semantics: a row older than the
+    checkpointed watermark is DROPPED in append mode — the finalized
+    window's count does not change when the late row arrives in a later
+    run over the same checkpoint."""
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_event_counts(stream, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        _await(q)
+
+    spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1, 0, 30), event_type="click"),
+         Row(ts=dt.datetime(2024, 1, 1, 5, 30), event_type="click")], schema
+    ).write.mode("append").parquet(src)
+    run()  # watermark → 05:00; hour-00 window finalized with count 1
+
+    spark.createDataFrame(
+        [Row(ts=dt.datetime(2024, 1, 1, 0, 45), event_type="click"),  # LATE
+         Row(ts=dt.datetime(2024, 1, 1, 10, 30), event_type="click")], schema
+    ).write.mode("append").parquet(src)
+    run()  # late 00:45 row below watermark → dropped; hour-05 finalizes
+
+    got = {r.window_start.hour: r.n_events
+           for r in spark.read.parquet(out).collect()}
+    assert got[0] == 1      # NOT 2: the late row never lands
+    assert got[5] == 1      # finalized once the watermark passed it
+    assert 10 not in got    # newest window still open
+
+
 def test_apply_in_pandas_with_state_counts(spark, tmp_path):
     """Custom keyed state: running mention counts accumulate across
     micro-batches via the state store."""
