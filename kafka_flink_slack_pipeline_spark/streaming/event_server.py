@@ -68,12 +68,19 @@ def thread_registry_stream(
     """ST1 — participating-thread registry as watermarked streaming dedup.
 
     One output row per newly-seen (channel, thread_root); state for a key
-    is dropped once the watermark passes its event time + ttl."""
+    is dropped once the watermark passes its event time + ttl.
+
+    dropDuplicatesWithinWatermark, NOT plain dropDuplicates: a streaming
+    dropDuplicates whose key subset omits the event-time column keeps its
+    state FOREVER (the watermark only bounds lateness, not state) — the
+    WithinWatermark variant is the API that actually evicts keys at
+    watermark + ttl, which is the bounded-state upgrade over the
+    reference's unbounded Set this operator promises."""
     return (
         events.withColumn("event_time", event_ts(F.col("ts")))
         .withColumn("thread_root", thread_root(events))
         .withWatermark("event_time", ttl)
-        .dropDuplicates(["channel", "thread_root"])
+        .dropDuplicatesWithinWatermark(["channel", "thread_root"])
         .select("channel", "thread_root", "event_time")
     )
 

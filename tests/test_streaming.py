@@ -412,6 +412,34 @@ def test_windowed_event_counts_streaming(spark, tmp_path, sf_dir):
     assert all(r.n_events == 1 for r in got)
 
 
+def test_ingest_dedup_stream(spark, tmp_path):
+    """Streaming exact dedup: same normalized content (case/whitespace
+    variants) collapses to one surviving row per fingerprint within the
+    watermark horizon."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        dedup_documents_stream,
+    )
+
+    rows = [
+        Row(doc_id=1, text="Hello  World", ingest_ts=dt.datetime(2024, 1, 1, 0, 0)),
+        Row(doc_id=2, text="hello world",  ingest_ts=dt.datetime(2024, 1, 1, 0, 5)),
+        Row(doc_id=3, text="different",    ingest_ts=dt.datetime(2024, 1, 1, 0, 6)),
+    ]
+    src = str(tmp_path / "docs")
+    schema = "doc_id bigint, text string, ingest_ts timestamp"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_documents_stream(stream, ttl="1 hour")
+        .writeStream.format("memory").queryName("ingest_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = spark.sql("SELECT * FROM ingest_dedup").collect()
+    fps = {r.fingerprint for r in got}
+    assert len(got) == 2 and len(fps) == 2  # 1 and 2 collapse; 3 survives
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """ST5 late-data policy, observable semantics: a row older than the
     checkpointed watermark is DROPPED in append mode — the finalized
