@@ -8,8 +8,8 @@ Mirrors `Slack Event Server/slackEventServer.js`:
 
 State-model upgrade (ST1): the reference keeps an unbounded in-memory
 `Set` of "channel-thread_ts" keys (`slackEventServer.js:48,63`) that dies
-with the process. Here the registry is `dropDuplicates` over keyed
-streaming state with a watermark TTL — bounded, checkpointed,
+with the process. Here the registry is `dropDuplicatesWithinWatermark`
+over keyed streaming state with a watermark TTL — bounded, checkpointed,
 restart-safe.
 """
 
