@@ -140,10 +140,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         element_at inside the lambda;
       * per-doc shingle counts attached via a window over doc_id BEFORE the
         self-join, so sizes ride along with the postings — no extra joins;
-      * self-join on shingle with a SHUFFLE_HASH hint: both sides are the
-        IDENTICAL subplan, so ReuseExchange materializes the shingle
-        explosion once (a broadcast on one side would defeat the reuse and,
-        at 100 TB, broadcasting an inverted index is wrong anyway).
+      * self-join on shingle with a SHUFFLE_HASH hint — a hash-shuffle
+        equi-join on the posting key (a broadcast would be wrong at scale:
+        an inverted index is not a small dim). Spark 4.1 does NOT reuse
+        the two shingle-explosion exchanges here (the hint makes the
+        subplans differ), so this variant pays the explosion twice; it is
+        kept for oracle fidelity only. The benched scale path is
+        `dedup_ngram_jaccard_capped`, which bounds join fan-out by
+        document frequency and uses narrow-map sizes.
     """
     d = table(spark, sf_dir, "documents")
     toked = d.select(

@@ -485,6 +485,258 @@ FROM documents"""
 ) + "\nORDER BY col_name"
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing a word-5-gram
+# with an eval-benchmark set. The benchmark here is derived in-query (an
+# excerpt — tokens 5..25 — of every 17th document, simulating an eval set
+# quoting corpus text), which guarantees non-vacuous signal: each excerpt's
+# source document must be flagged, plus any near-duplicates of it.
+#
+# Scale notes (100 TB): eval benchmarks are small and bounded (thousands of
+# rows), so the benchmark shingle postings are BROADCAST — the corpus-side
+# shingle explosion never shuffles for the join; the only shuffle is the
+# final per-doc aggregation. This is the standard n-gram-overlap
+# decontamination pass an LLM training pipeline runs before training.
+_DECON_EVERY = 17       # every k-th doc seeds the in-query benchmark set
+_DECON_NGRAM = 5        # word-n-gram overlap unit
+_DECON_SLICE = (5, 21)  # benchmark excerpt: tokens 5..25 (start, length)
+
+
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col().alias("toks"))
+    bench = toked.filter(F.col("doc_id") % _DECON_EVERY == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.slice(F.col("toks"), *_DECON_SLICE).alias("toks"),
+    )
+    bench_sh = bench.select(
+        "bench_id",
+        F.explode(_word_shingles(F.col("toks"), _DECON_NGRAM)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    corpus_sh = toked.select(
+        "doc_id",
+        F.explode(_word_shingles(F.col("toks"), _DECON_NGRAM)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_SHINGLE_SQL = """
+  SELECT DISTINCT {id_col}, shingle FROM (
+    SELECT {id_col},
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 4, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                  || ' ' || toks[i+3] || ' ' || toks[i+4]
+           )) AS shingle
+    FROM {src})
+  WHERE shingle <> ''
+"""
+
+BENCHMARK_DECON_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id, list_slice(toks, 5, 25) AS toks
+  FROM toked WHERE doc_id % {_DECON_EVERY} = 0
+),
+bench_sh AS ({_DECON_SHINGLE_SQL.format(id_col="bench_id", src="bench")}),
+corpus_sh AS ({_DECON_SHINGLE_SQL.format(id_col="doc_id", src="toked")})
+SELECT doc_id,
+       count(DISTINCT bench_id) AS n_bench_docs,
+       count(DISTINCT shingle) AS n_shared_shingles
+FROM corpus_sh JOIN bench_sh USING (shingle)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher/MassiveText-style quality filters): per-doc
+# duplicate-word fraction, duplicate-bigram fraction, and the fraction of
+# bigrams taken by the single most frequent bigram. Documents dominated by
+# repeated n-grams are boilerplate/spam candidates.
+#
+# Scale notes (100 TB): every metric — including the per-doc mode — is a
+# pure array expression (size/array_distinct/nested transform+filter), so
+# the whole query is a narrow map with ZERO shuffles; cost is O(distinct
+# bigrams × bigrams) per row, bounded by doc length. The nested HOF does
+# not whole-stage-codegen, but it stays JVM-side and embarrassingly
+# parallel, which is the property that matters at scale.
+_REP_FLAG_DUP_BIGRAM = 0.2  # dup_bigram_frac above this → repetitive
+
+
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_words"),
+        bigrams.alias("bigrams"),
+    ).filter(F.col("n_words") >= 2)
+    # per-doc mode without a shuffle: count each distinct bigram in place
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bigrams")),
+            lambda b: F.size(F.filter(F.col("bigrams"), lambda x: x == b)),
+        )
+    ).cast("long")
+    return (
+        base.select(
+            "doc_id",
+            "n_words",
+            F.round(1 - F.col("n_distinct_words") / F.col("n_words"), 4)
+            .alias("dup_word_frac"),
+            F.round(
+                1 - F.size(F.array_distinct("bigrams"))
+                / (F.col("n_words") - 1), 4
+            ).alias("dup_bigram_frac"),
+            F.round(top_cnt / (F.col("n_words") - 1), 4)
+            .alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_bigram_frac") > _REP_FLAG_DUP_BIGRAM).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> toks[i] || ' ' || toks[i+1]
+         ) AS bigrams
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 2
+)
+SELECT doc_id, n_words,
+       round(1 - n_distinct_words / n_words, 4) AS dup_word_frac,
+       round(1 - len(list_distinct(bigrams)) / (n_words - 1), 4)
+         AS dup_bigram_frac,
+       round(CAST(list_max(list_transform(
+               list_distinct(bigrams),
+               b -> len(list_filter(bigrams, x -> x = b))
+             )) AS BIGINT) / (n_words - 1), 4) AS top_bigram_frac,
+       CAST(round(1 - len(list_distinct(bigrams)) / (n_words - 1), 4)
+            > {_REP_FLAG_DUP_BIGRAM} AS INTEGER) AS repetitive
+FROM base
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: greedily pack documents into fixed token-budget
+# sequences (the batching step of an LLM training pipeline). Documents are
+# hash-sharded by (lang, doc_id % N_SHARDS); within each shard they are
+# packed in doc_id order — first-fit-in-order, a document that would
+# overflow the budget starts a new sequence (oversized docs get their own).
+#
+# Scale notes (100 TB): packing is inherently sequential WITHIN a
+# sequence, so parallelism comes from sharding — raise _PACK_SHARDS until
+# each (lang, shard) group fits an executor's Arrow batch comfortably.
+# Because the order inside a group is (doc_id), the assignment is fully
+# deterministic regardless of cluster partitioning. applyInPandas streams
+# groups through Arrow; no state, no driver collect.
+_PACK_CAPACITY = 128
+_PACK_SHARDS = 4
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+        "doc_id",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, fill = 0, 0
+        for i, tok in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + tok > _PACK_CAPACITY:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += tok
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf[["lang", "shard", "seq_id", "seq_offset",
+                    "doc_id", "n_tokens"]]
+
+    return (
+        sized.groupBy("lang", "shard")
+        .applyInPandas(
+            pack,
+            "lang string, shard int, seq_id long, seq_offset long, "
+            "doc_id long, n_tokens long",
+        )
+        .orderBy("lang", "shard", "seq_id", "seq_offset", "doc_id")
+    )
+
+
+SEQUENCE_PACK_ORACLE = f"""
+WITH RECURSIVE ordered AS (
+  SELECT lang,
+         CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (
+           PARTITION BY lang, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+         ) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.seq_offset + p.n_tokens + o.n_tokens > {_PACK_CAPACITY}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_offset + p.n_tokens + o.n_tokens > {_PACK_CAPACITY}
+              THEN CAST(0 AS BIGINT)
+              ELSE p.seq_offset + p.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.lang = p.lang AND o.shard = p.shard
+                AND o.rn = p.rn + 1
+)
+SELECT lang, shard, seq_id, seq_offset, doc_id, n_tokens
+FROM packed
+ORDER BY lang, shard, seq_id, seq_offset, doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -506,4 +758,12 @@ QUERIES = [
               "vocab building: top terms per language by tf-rarity"),
     QuerySpec("table_profile", table_profile, TABLE_PROFILE_ORACLE,
               "per-column null/distinct/min/max profiling (one agg pass)"),
+    QuerySpec("benchmark_decontaminate", benchmark_decontaminate,
+              BENCHMARK_DECON_ORACLE,
+              "eval-set 5-gram decontamination via broadcast overlap join"),
+    QuerySpec("doc_repetition_metrics", doc_repetition_metrics,
+              DOC_REPETITION_ORACLE,
+              "Gopher-style dup-word/dup-bigram/top-bigram fractions"),
+    QuerySpec("sequence_pack", sequence_pack, SEQUENCE_PACK_ORACLE,
+              "greedy token-budget sequence packing per (lang, shard)"),
 ]

@@ -1,0 +1,76 @@
+"""Unit tests for the training-pipeline operators added in round 2:
+benchmark decontamination, repetition metrics, and sequence packing.
+Semantics are pinned on hand-built corpora; cross-engine equivalence vs
+the DuckDB oracles is covered by tools/verify_local.py and the driver.
+"""
+
+from __future__ import annotations
+
+from kafka_flink_slack_pipeline_spark.operators.textops import (
+    _PACK_CAPACITY,
+    benchmark_decontaminate,
+    doc_repetition_metrics,
+    sequence_pack,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_decontaminate_flags_source_and_quoting_docs(spark, tmp_path):
+    # doc 0 (0 % 17 == 0) seeds the benchmark with its tokens 5..25;
+    # doc 1 quotes exactly that excerpt; doc 2 is disjoint.
+    w = [f"w{i}" for i in range(40)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, " ".join(w), "en"),
+            (1, " ".join(w[4:25]), "en"),  # tokens 5..25 of doc 0
+            (2, " ".join(f"x{i}" for i in range(30)), "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in benchmark_decontaminate(spark, sf).collect()}
+    assert set(out) == {0, 1}  # source doc self-hit + quoting doc
+    assert out[0].n_bench_docs == 1 and out[1].n_bench_docs == 1
+    # the excerpt has 21 tokens -> 17 distinct 5-grams, all shared
+    assert out[1].n_shared_shingles == 17
+
+
+def test_repetition_metrics_known_fractions(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a a a a", "en"), (2, "a b c d", "en")],
+    )
+    out = {r.doc_id: r for r in doc_repetition_metrics(spark, sf).collect()}
+    r1, r2 = out[1], out[2]
+    assert r1.n_words == 4 and r1.dup_word_frac == 0.75
+    assert r1.dup_bigram_frac == 0.6667  # 3 bigrams, 1 distinct
+    assert r1.top_bigram_frac == 1.0 and r1.repetitive == 1
+    assert r2.dup_word_frac == 0.0 and r2.dup_bigram_frac == 0.0
+    assert r2.top_bigram_frac == 0.3333 and r2.repetitive == 0
+
+
+def test_sequence_pack_greedy_fill_and_oversize(spark, tmp_path):
+    assert _PACK_CAPACITY == 128  # expectations below assume this budget
+
+    def doc(doc_id, n_tokens):
+        return (doc_id, " ".join(f"t{i}" for i in range(n_tokens)), "en")
+
+    # all doc_ids = 0 mod 4 -> one (lang, shard) group, packed in id order
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [doc(0, 100), doc(4, 30), doc(8, 60), doc(12, 200), doc(16, 10)],
+    )
+    out = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in sequence_pack(spark, sf).collect()}
+    assert out[0] == (0, 0)    # first doc opens seq 0
+    assert out[4] == (1, 0)    # 100 + 30 > 128 -> new seq
+    assert out[8] == (1, 30)   # 30 + 60 <= 128 -> packs behind doc 4
+    assert out[12] == (2, 0)   # oversized doc gets its own seq
+    assert out[16] == (3, 0)   # seq after an oversized doc starts fresh
