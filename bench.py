@@ -49,6 +49,12 @@ HEADLINE = [
     # eagerly inside fn() (localCheckpoint), so timing only the final
     # count() would under-report it.
     "tfidf_top_terms",
+    # r2 additions: decontamination (broadcast overlap join) and sequence
+    # packing (applyInPandas over hash shards) — the two newest pipeline
+    # families; repetition metrics share doc_token_stats' narrow-map shape
+    # so they'd add runtime without adding signal.
+    "benchmark_decontaminate",
+    "sequence_pack",
 ]
 
 
