@@ -64,20 +64,25 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
-    timings: dict[str, float] = {}
+    # One DataFrame per query: the warmup pass pays analysis + codegen
+    # compilation for THIS plan, the timed passes measure execution.
+    # (Rebuilding the frame would re-codegen — fresh expression ids
+    # defeat the codegen cache — and time compilation, not the query.)
+    # The two timed samples are taken in separate FULL passes over the
+    # query list, so a transient host stall (observed: ~80 s windows
+    # where everything runs 3-26× slow) can spoil at most one of a
+    # query's samples — back-to-back samples would both land in it.
+    frames = {}
     for name in HEADLINE:
-        # one DataFrame per query: the warmup pass pays analysis + codegen
-        # compilation for THIS plan, the timed pass measures execution.
-        # (Rebuilding the frame would re-codegen — fresh expression ids
-        # defeat the codegen cache — and time compilation, not the query.)
-        df = specs[name].fn(spark, sf_dir)
-        df.count()  # warmup (not timed)
-        samples = []
-        for _ in range(2):
+        frames[name] = specs[name].fn(spark, sf_dir)
+        frames[name].count()  # warmup (not timed)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
             t0 = time.time()
-            df.count()
-            samples.append(time.time() - t0)
-        timings[name] = round(min(samples), 3)
+            frames[name].count()
+            samples[name].append(time.time() - t0)
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(
