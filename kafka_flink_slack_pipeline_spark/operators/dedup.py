@@ -561,6 +561,13 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins when the blocked set is too big to matter). The self-join's
     upstream is computed per side (Catalyst doesn't reuse the exchange);
     a long-running production job would persist `capped` once instead."""
+    return capped_jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered df-capped jaccard pairs — the reusable core of
+    `dedup_ngram_jaccard_capped` (also feeds `corpus_filter_report`,
+    which must not inherit a useless sort before its join)."""
     d = table(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
@@ -608,7 +615,6 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_lb") >= 0.5)
         .select("doc_a", "doc_b", "n_common_capped", "jaccard_lb")
-        .orderBy("doc_a", "doc_b")
     )
 
 

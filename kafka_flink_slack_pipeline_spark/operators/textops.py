@@ -737,6 +737,128 @@ ORDER BY lang, shard, seq_id, seq_offset, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Composite corpus filter: the keep/drop decision a C4/FineWeb-style
+# cleaning pipeline ships, composing three signal families with a fixed
+# priority — near-duplicate (df-capped jaccard pairs, drop the higher
+# doc_id of each pair) > repetitive (dup-bigram fraction) > low quality
+# (the doc_quality_scores formula). One row per document with every
+# signal and the first-matching drop reason (NULL = kept).
+#
+# Scale notes (100 TB): the row-local signals (quality, repetition) are
+# ONE narrow pass over the scan — no shuffle; the only exchanges are the
+# bounded-fan-out candidate join inside capped_jaccard_pairs and the
+# final doc_id equi-join of victims against the corpus (victims are not
+# assumed broadcastable — near-dup rates of 30%+ are normal in web-scale
+# corpora).
+_FILTER_MIN_QUALITY = 0.7
+_FILTER_MAX_DUP_BIGRAM = 0.1
+
+
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import capped_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop = _marker_count(toks, ("the", "a", "of", "is", "and"))
+    mean_word_len = F.length(F.regexp_replace("text", "\\s+", "")) / n_tokens
+    quality = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(0.4))
+        .otherwise(F.lit(0.0))
+        + F.when((stop / n_tokens >= 0.01) & (stop / n_tokens <= 0.5),
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0),
+                 F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    bigrams = F.when(
+        n_tokens >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_tokens - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bigram = F.when(
+        n_tokens >= 2,
+        F.round(1 - F.size(F.array_distinct(bigrams)) / (n_tokens - 1), 4),
+    ).otherwise(F.lit(0.0))
+    sig = d.select(
+        "doc_id",
+        F.round(quality, 1).alias("quality_score"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+    victims = (
+        capped_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(1))
+    )
+    joined = sig.join(victims, "doc_id", "left").withColumn(
+        "near_dup", F.coalesce(F.col("near_dup"), F.lit(0)).cast("int")
+    )
+    reason = (
+        F.when(F.col("near_dup") == 1, F.lit("near_duplicate"))
+        .when(F.col("dup_bigram_frac") > _FILTER_MAX_DUP_BIGRAM,
+              F.lit("repetitive"))
+        .when(F.col("quality_score") < _FILTER_MIN_QUALITY,
+              F.lit("low_quality"))
+    )
+    return (
+        joined.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull().cast("int"))
+        .select("doc_id", "quality_score", "dup_bigram_frac", "near_dup",
+                "keep", "drop_reason")
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_filter_oracle() -> str:
+    from .dedup import DEDUP_NGRAM_CAPPED_ORACLE
+
+    return f"""
+WITH pairs AS ({DEDUP_NGRAM_CAPPED_ORACLE}),
+victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+sig AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN n BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stop / n BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN sq / n BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         , 1) AS quality_score,
+         CASE WHEN n >= 2 THEN
+           round(1 - len(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> toks[i] || ' ' || toks[i+1]))) / (n - 1), 4)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM (
+    SELECT doc_id, toks, len(toks) AS n,
+           len(list_filter(toks,
+               t -> t IN ('the','a','of','is','and')))::DOUBLE AS stop,
+           length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS sq
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+)
+SELECT s.doc_id, s.quality_score, s.dup_bigram_frac,
+       CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+       CASE WHEN v.doc_id IS NULL
+                 AND NOT s.dup_bigram_frac > {_FILTER_MAX_DUP_BIGRAM}
+                 AND NOT s.quality_score < {_FILTER_MIN_QUALITY}
+            THEN 1 ELSE 0 END AS keep,
+       CASE WHEN v.doc_id IS NOT NULL THEN 'near_duplicate'
+            WHEN s.dup_bigram_frac > {_FILTER_MAX_DUP_BIGRAM}
+              THEN 'repetitive'
+            WHEN s.quality_score < {_FILTER_MIN_QUALITY}
+              THEN 'low_quality'
+       END AS drop_reason
+FROM sig s LEFT JOIN victims v USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -766,4 +888,7 @@ QUERIES = [
               "Gopher-style dup-word/dup-bigram/top-bigram fractions"),
     QuerySpec("sequence_pack", sequence_pack, SEQUENCE_PACK_ORACLE,
               "greedy token-budget sequence packing per (lang, shard)"),
+    QuerySpec("corpus_filter_report", corpus_filter_report,
+              _corpus_filter_oracle(),
+              "composite keep/drop: near-dup > repetitive > low-quality"),
 ]

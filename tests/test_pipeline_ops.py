@@ -9,6 +9,7 @@ from __future__ import annotations
 from kafka_flink_slack_pipeline_spark.operators.textops import (
     _PACK_CAPACITY,
     benchmark_decontaminate,
+    corpus_filter_report,
     doc_repetition_metrics,
     sequence_pack,
 )
@@ -53,6 +54,24 @@ def test_repetition_metrics_known_fractions(spark, tmp_path):
     assert r1.top_bigram_frac == 1.0 and r1.repetitive == 1
     assert r2.dup_word_frac == 0.0 and r2.dup_bigram_frac == 0.0
     assert r2.top_bigram_frac == 0.3333 and r2.repetitive == 0
+
+
+def test_corpus_filter_reasons_and_priority(spark, tmp_path):
+    good = "the " + " ".join(f"w{i}" for i in range(24))      # quality 1.0
+    rep = "the " + "r1 r2 " * 12                              # dup bigrams
+    lowq = "x y z"                                            # quality 0.0
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, good, "en"), (2, rep, "en"), (3, rep, "en"), (4, lowq, "en")],
+    )
+    out = {r.doc_id: r for r in corpus_filter_report(spark, sf).collect()}
+    assert out[1].keep == 1 and out[1].drop_reason is None
+    # docs 2/3 are an identical near-dup pair; only the higher id is the
+    # victim, and near_duplicate outranks repetitive for it
+    assert out[2].drop_reason == "repetitive" and out[2].near_dup == 0
+    assert out[3].drop_reason == "near_duplicate" and out[3].near_dup == 1
+    assert out[4].drop_reason == "low_quality" and out[4].keep == 0
 
 
 def test_sequence_pack_greedy_fill_and_oversize(spark, tmp_path):
