@@ -262,21 +262,10 @@ def _minhash_sigs(shingled: DataFrame) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
-
-    Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
-    with est_jaccard (fraction of equal signature components) >= 0.25.
-    """
-    d = table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
-    )
-    shingled = toked.select(
-        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
-    ).filter(F.col("shingle") != "")
-    sigs = _minhash_sigs(shingled)
-    bands = sigs.select(
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """doc_id + (band, bkey): one row per LSH band, key = the band's
+    signature components joined with ','."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -296,6 +285,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+
+
+def _minhash_sig_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
+
+    Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
+    with est_jaccard (fraction of equal signature components) >= 0.25.
+    """
+    sigs = _minhash_sigs(_minhash_sig_input(spark, sf_dir))
+    bands = _minhash_bands(sigs)
     cand = (
         bands.alias("a")
         .join(
@@ -390,6 +399,148 @@ ORDER BY doc_a, doc_b
 
 
 DEDUP_MINHASH_LSH_ORACLE = _minhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup: check an INCOMING shard against the
+# EXISTING corpus — the nightly-ingest pattern, where re-deduping the
+# whole corpus per shard would be quadratic over time. Here the shard is
+# derived in-query (doc_id % 5 == 0); signatures for all docs come from
+# one pass.
+#
+# Scale notes (100 TB corpus + bounded daily shard): the corpus
+# signatures/bands are computed once and stored in production (docstring
+# contract — this query recomputes them only because the sandbox has no
+# persisted state); the shard side is small, so its bands are BROADCAST
+# and the corpus bands never shuffle; per-shard cost is O(shard), not
+# O(corpus). Output: one verdict row per incoming doc with >= 1 corpus
+# match at est_jaccard >= 0.25.
+_INCR_EVERY = 5  # every 5th doc forms the incoming shard
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(_minhash_sig_input(spark, sf_dir))
+    bands = _minhash_bands(sigs)
+    new_bands = bands.filter(F.col("doc_id") % _INCR_EVERY == 0).select(
+        F.col("doc_id").alias("new_doc_id"), "band", "bkey"
+    )
+    corpus_bands = bands.filter(F.col("doc_id") % _INCR_EVERY != 0)
+    cand = (
+        corpus_bands.join(F.broadcast(new_bands), ["band", "bkey"])
+        .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    scored = (
+        cand.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .withColumn("est_jaccard", F.round(agree / F.lit(MINHASH_K), 4))
+        .filter(F.col("est_jaccard") >= 0.25)
+        .select("new_doc_id", "corpus_doc_id", "est_jaccard")
+    )
+    w = Window.partitionBy("new_doc_id")
+    rank = Window.partitionBy("new_doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("corpus_doc_id")
+    )
+    return (
+        scored.withColumn("n_corpus_matches", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_doc_id",
+            "n_corpus_matches",
+            F.col("corpus_doc_id").alias("best_match_id"),
+            F.col("est_jaccard").alias("best_est_jaccard"),
+        )
+        .orderBy("new_doc_id")
+    )
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs())
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"h{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+  WHERE shingle <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shingled
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.doc_id % {_INCR_EVERY} = 0 AND c.doc_id % {_INCR_EVERY} <> 0
+),
+scored AS (
+  SELECT new_doc_id, corpus_doc_id,
+         round(({agree}) / {MINHASH_K}.0, 4) AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = new_doc_id
+  JOIN sigs sb ON sb.doc_id = corpus_doc_id
+  WHERE round(({agree}) / {MINHASH_K}.0, 4) >= 0.25
+)
+SELECT new_doc_id, n_corpus_matches, corpus_doc_id AS best_match_id,
+       est_jaccard AS best_est_jaccard
+FROM (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY new_doc_id
+           ORDER BY est_jaccard DESC, corpus_doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY new_doc_id) AS n_corpus_matches
+  FROM scored
+)
+WHERE rn = 1
+ORDER BY new_doc_id
+"""
+
+
+DEDUP_INCREMENTAL_ORACLE = _incremental_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -784,4 +935,7 @@ QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
               "pairs -> connected components -> per-doc cluster id "
               "(iterative min-label propagation vs recursive-CTE oracle)"),
+    QuerySpec("dedup_incremental", dedup_incremental,
+              DEDUP_INCREMENTAL_ORACLE,
+              "incoming-shard vs corpus minhash dedup, shard side broadcast"),
 ]

@@ -56,6 +56,29 @@ def test_repetition_metrics_known_fractions(spark, tmp_path):
     assert r2.top_bigram_frac == 0.3333 and r2.repetitive == 0
 
 
+def test_dedup_incremental_shard_vs_corpus(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(30))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, shared, "en"),                                   # shard (0%5==0)
+            (1, shared, "en"),                                   # corpus dup
+            (2, " ".join(f"u{i}" for i in range(30)), "en"),     # unrelated
+            (5, " ".join(f"v{i}" for i in range(30)), "en"),     # clean shard doc
+        ],
+    )
+    out = dedup_incremental(spark, sf).collect()
+    assert len(out) == 1  # only doc 0 has a corpus match; doc 5 is clean
+    r = out[0]
+    assert r.new_doc_id == 0 and r.best_match_id == 1
+    assert r.n_corpus_matches == 1 and r.best_est_jaccard == 1.0
+
+
 def test_corpus_filter_reasons_and_priority(spark, tmp_path):
     good = "the " + " ".join(f"w{i}" for i in range(24))      # quality 1.0
     rep = "the " + "r1 r2 " * 12                              # dup bigrams
