@@ -306,6 +306,66 @@ ORDER BY lang, split
 
 
 # --------------------------------------------------------------------------
+# Lang-balanced stratified sampling: draw toward a fixed per-language
+# quota (rate = min(1, target/n_lang)), deterministically via a salted
+# md5 of doc_id — no RNG, so the sample is reproducible at any scale and
+# independent of the train/val/test hash (different salt). Each kept row
+# carries sample_weight = 1/rate for unbiased reweighting downstream.
+#
+# Scale notes (100 TB): per-lang counts are a tiny aggregate (map-side
+# partial -> a handful of rows) BROADCAST back onto the corpus — the
+# corpus itself never shuffles (a count-window over lang would instead
+# hash-partition 100 TB by a low-cardinality skewed key). Filter and
+# weight are then row-local.
+_SAMPLE_TARGET = 60  # per-language quota
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rates = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .select(
+            "lang",
+            F.least(F.lit(1.0), F.lit(float(_SAMPLE_TARGET)) / F.col("n"))
+            .alias("rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))),
+                1, 6,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(16777216.0)
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(u < F.col("rate"))
+        .select(
+            "doc_id", "lang",
+            F.round(F.lit(1.0) / F.col("rate"), 4).alias("sample_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH rates AS (
+  SELECT lang, least(1.0, {_SAMPLE_TARGET} / count(*)::DOUBLE) AS rate
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, round(1.0 / r.rate, 4) AS sample_weight
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5('samp:' || d.doc_id::VARCHAR), 1, 6))::BIGINT
+      / 16777216.0 < r.rate
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # PII / URL scrubbing: count and redact emails, URLs, and phone-like
 # number runs. The corpus is synthetic clean text, so PII is injected
 # in-query for one doc in three (like dedup_exact_normalized does) to make
@@ -891,4 +951,7 @@ QUERIES = [
     QuerySpec("corpus_filter_report", corpus_filter_report,
               _corpus_filter_oracle(),
               "composite keep/drop: near-dup > repetitive > low-quality"),
+    QuerySpec("stratified_sample", stratified_sample,
+              STRATIFIED_SAMPLE_ORACLE,
+              "lang-balanced deterministic sampling with inverse weights"),
 ]
