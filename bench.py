@@ -55,6 +55,9 @@ HEADLINE = [
     # so they'd add runtime without adding signal.
     "benchmark_decontaminate",
     "sequence_pack",
+    # r2 addition: SemDeDup — cluster-scoped embedding dedup (centroid
+    # broadcast + cid equi-join), the semantic member of the dedup family.
+    "semantic_dedup",
 ]
 
 

@@ -675,6 +675,134 @@ ORDER BY k.query_id
 """
 
 
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the embedding
+# space with a coarse quantizer, then near-dup-prune WITHIN each cluster,
+# keeping the lowest id of every near-dup pair. The cluster step is what
+# makes the O(n^2) cosine comparison tractable: pair generation is an
+# EQUI-join on the cluster id, so total pair work is sum(|cluster|^2), not
+# n^2. Production runs k-means with k ~ sqrt(n) (SemDeDup used 100k
+# clusters on LAION) and splits oversized cells; here the 10 deterministic
+# label centroids (same codebook as cosine_topk_ivf) keep the whole query
+# SQL-expressible for the oracle. Pairs that straddle a cluster boundary
+# are missed by design — that is exactly the approximation SemDeDup makes.
+#
+# Corpus: the same planted near-dups as embedding_neardup_pairs (organic
+# pairs top out below cosine 0.61, so a real 0.8 threshold would match
+# nothing). Measured at sf0.01: 17 of the 25 planted copies share their
+# source's cluster and are dropped in favor of the lower-id original; the
+# other 8 straddle a boundary of the deliberately coarse 10-cell codebook
+# and survive — the cluster-boundary recall loss inherent to SemDeDup
+# (production shrinks it with more clusters, k ~ sqrt(n)). Zero organic
+# vectors are dropped.
+#
+# Assignment is a broadcast join against the tiny centroid table followed
+# by ONE partial-aggregating groupBy (max over a (csim, -cid) struct ==
+# highest similarity, ties to lowest cid) — n*k rows combine map-side to n,
+# cheaper than the window-rank form cosine_topk_ivf uses on its query side.
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Per-vector keep/drop verdict: drop iff a lower-id vector in the same
+    centroid cluster has cosine >= threshold (SemDeDup keep-first rule)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("csim", cosine(F.col("emb"), F.col("centroid")))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim").alias("s"), (-F.col("cid")).alias("n")
+                )
+            ).alias("best"),
+            F.first("emb").alias("emb"),
+        )
+        .select("vec_id", (-F.col("best.n")).alias("cid"), "emb")
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "cid")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("sim", cosine(F.col("a.emb"), F.col("b.emb")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"), "sim")
+    )
+    stats = pairs.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.max("sim").alias("best_sim")
+    )
+    return (
+        assigned.join(stats, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+            F.round("best_sim", 6).alias("best_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(emb, x -> CASE WHEN abs(x) < {NEARDUP_FLIP} THEN -x
+                                       ELSE x END) AS emb
+  FROM base WHERE vec_id % 20 = 0
+),
+exploded AS (
+  SELECT label, u.x, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
+),
+centroid AS (
+  SELECT label AS cid, pos,
+         sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM exploded GROUP BY label, pos
+),
+clist AS (
+  SELECT cid, list(cx ORDER BY pos) AS centroid FROM centroid GROUP BY cid
+),
+assigned AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT c.vec_id, c.emb, l.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.emb, l.centroid) DESC,
+                      l.cid ASC
+           ) AS rk
+    FROM corpus c CROSS JOIN clist l
+  ) WHERE rk = 1
+),
+pairs AS (
+  SELECT b.vec_id, list_cosine_similarity(a.emb, b.emb) AS sim
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_THRESHOLD}
+),
+stats AS (
+  SELECT vec_id, count(*)::BIGINT AS n_dups, max(sim) AS best_sim
+  FROM pairs GROUP BY vec_id
+)
+SELECT a.vec_id, a.cid,
+       s.vec_id IS NULL AS keep,
+       coalesce(s.n_dups, 0)::BIGINT AS n_dups,
+       round(s.best_sim, 6) AS best_sim
+FROM assigned a LEFT JOIN stats s ON a.vec_id = s.vec_id
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "exact cosine top-k, broadcast query side"),
@@ -689,4 +817,6 @@ QUERIES = [
               "IVF ANN: centroid inverted lists, nprobe probe, exact re-rank"),
     QuerySpec("ann_recall_report", ann_recall_report, ANN_RECALL_ORACLE,
               "per-query LSH/IVF recall vs exact top-k (composed oracle)"),
+    QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE,
+              "SemDeDup: centroid-clustered embedding near-dup pruning"),
 ]

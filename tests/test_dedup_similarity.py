@@ -147,3 +147,22 @@ def test_connected_components_known_graph(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
                       10: 10, 11: 10, 12: 10,
                       20: 20, 21: 20}
+
+
+def test_semantic_dedup_drops_planted_copies_only(spark, sf_dir):
+    """SemDeDup verdicts: every drop is a planted copy (vec_id >= 1e6),
+    every dropped copy names its lower-id source stats, and no organic
+    vector is pruned. Boundary-straddling copies surviving is expected
+    (coarse 10-cell codebook)."""
+    rows = S.semantic_dedup(spark, sf_dir).collect()
+    dropped = [r for r in rows if not r.keep]
+    assert dropped, "planted near-dups must produce drops"
+    assert all(r.vec_id >= 1_000_000 for r in dropped)
+    assert all(r.n_dups >= 1 and r.best_sim >= S.NEARDUP_THRESHOLD
+               for r in dropped)
+    kept = [r for r in rows if r.keep]
+    assert all(r.n_dups == 0 and r.best_sim is None for r in kept)
+    # keep-first rule: sources (lowest id of each pair) are all kept
+    sources = {r.vec_id - 1_000_000 for r in dropped}
+    kept_ids = {r.vec_id for r in kept}
+    assert sources <= kept_ids
