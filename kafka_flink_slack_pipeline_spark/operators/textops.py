@@ -16,6 +16,8 @@ import pandas as pd  # module-level: pandas_udf resolves string type hints here
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..plans.registry import QuerySpec
 from ..tables import table
 
@@ -919,6 +921,71 @@ ORDER BY s.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Data-mixture weights: temperature-based sampling weights per (lang,
+# source) domain — the mC4/T5 recipe (alpha-scaled domain probabilities,
+# p_g ∝ c_g^alpha) that balances a multilingual/multi-source corpus before
+# training. alpha is fixed at 0.5 because x^0.5 == sqrt(x), and IEEE-754
+# sqrt is CORRECTLY ROUNDED in both engines — a general pow(x, 0.3) is
+# last-ulp unsafe cross-engine, same reason tfidf uses a rational idf
+# surrogate (see functions/numeric.py). The denominator accumulates in
+# DECIMAL per the repo numeric policy: group count (#langs x #sources) is
+# tiny, so the unpartitioned window sum is a ~15-row frame — free at any
+# corpus scale, because the heavy lifting (per-doc token counts) happened
+# in the partial-aggregating groupBy below it.
+#
+# repeat_factor = p_g * total_tokens / c_g is the per-domain epoch
+# multiplier a sampler applies (>1: upsample, <1: downsample).
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled (alpha=0.5) domain mixture over (lang, source)."""
+    docs = table(spark, sf_dir, "documents")
+    by_domain = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col())).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    scaled = F.sqrt(F.col("n_tokens").cast("double"))
+    weighted = by_domain.withColumn(
+        "denom",
+        F.sum(scaled.cast("decimal(25,15)")).over(w_all).cast("double"),
+    ).withColumn("total_tokens", F.sum("n_tokens").over(w_all))
+    p = scaled / F.col("denom")
+    return weighted.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(p, 6).alias("weight"),
+        F.round(
+            p * F.col("total_tokens").cast("double") / F.col("n_tokens"), 4
+        ).alias("repeat_factor"),
+    ).orderBy("lang", "source")
+
+
+MIXTURE_WEIGHTS_ORACLE = """
+WITH by_domain AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+win AS (
+  SELECT lang, source, n_docs, n_tokens,
+         sum(sqrt(n_tokens::DOUBLE)::DECIMAL(25,15)) OVER ()::DOUBLE
+           AS denom,
+         sum(n_tokens) OVER ()::BIGINT AS total_tokens
+  FROM by_domain
+)
+SELECT lang, source, n_docs, n_tokens,
+       round(sqrt(n_tokens::DOUBLE) / denom, 6) AS weight,
+       round(sqrt(n_tokens::DOUBLE) / denom * total_tokens::DOUBLE
+             / n_tokens, 4) AS repeat_factor
+FROM win ORDER BY lang, source
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -954,4 +1021,6 @@ QUERIES = [
     QuerySpec("stratified_sample", stratified_sample,
               STRATIFIED_SAMPLE_ORACLE,
               "lang-balanced deterministic sampling with inverse weights"),
+    QuerySpec("mixture_weights", mixture_weights, MIXTURE_WEIGHTS_ORACLE,
+              "temperature (alpha=0.5) domain mixture weights per lang/source"),
 ]

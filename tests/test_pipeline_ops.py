@@ -116,3 +116,33 @@ def test_sequence_pack_greedy_fill_and_oversize(spark, tmp_path):
     assert out[8] == (1, 30)   # 30 + 60 <= 128 -> packs behind doc 4
     assert out[12] == (2, 0)   # oversized doc gets its own seq
     assert out[16] == (3, 0)   # seq after an oversized doc starts fresh
+
+
+def test_mixture_weights_sqrt_temperature(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "web"),     # 4 tokens
+            (1, "a b c d e f g h i", "en", "web"),  # 9 tokens
+            (2, "x y z w", "en", "books"),   # 4 tokens
+            (3, "q r s t", "fr", "web"),     # 4 tokens
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {(r.lang, r.source): r
+            for r in mixture_weights(spark, str(tmp_path)).collect()}
+    # token counts: en/web=13, en/books=4, fr/web=4 -> denom = sqrt sums
+    import math
+    denom = math.sqrt(13) + math.sqrt(4) + math.sqrt(4)
+    assert rows[("en", "web")].n_docs == 2
+    assert rows[("en", "web")].n_tokens == 13
+    assert abs(rows[("en", "web")].weight - math.sqrt(13) / denom) < 1e-6
+    # weights sum to 1; sqrt temperature upsamples small domains:
+    # repeat_factor > 1 for the minority domains, < 1 for the majority
+    assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5
+    assert rows[("en", "books")].repeat_factor > 1.0
+    assert rows[("en", "web")].repeat_factor < 1.0
