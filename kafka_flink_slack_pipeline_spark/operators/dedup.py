@@ -917,6 +917,56 @@ ORDER BY l.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Dedup evaluation: precision/recall of the MinHash-LSH candidate pairs
+# against exact word-3-gram Jaccard pairs — the metric that justifies
+# swapping the O(pairs-sharing-a-shingle) exact join for the sketch at
+# scale. Composes the two queries it evaluates (and the oracle composes
+# their oracles as CTEs), so the report can never drift from them. The
+# three 1-row aggregates combine via crossJoin — broadcast of single rows,
+# a no-op at any scale.
+
+
+def dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row precision/recall of minhash-LSH pairs vs exact Jaccard pairs."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    approx = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(approx, ["doc_a", "doc_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.agg(F.count(F.lit(1)).alias("n_approx"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return ne.crossJoin(na).crossJoin(nh).select(
+        "n_exact",
+        "n_approx",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_approx"), 4
+        ).alias("precision"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_exact"), 4
+        ).alias("recall"),
+    )
+
+
+def _dedup_recall_oracle() -> str:
+    return f"""
+WITH exact_r AS ({DEDUP_NGRAM_JACCARD_ORACLE}),
+approx_r AS ({DEDUP_MINHASH_LSH_ORACLE}),
+counts AS (
+  SELECT (SELECT count(*) FROM exact_r)::BIGINT  AS n_exact,
+         (SELECT count(*) FROM approx_r)::BIGINT AS n_approx,
+         (SELECT count(*) FROM exact_r e
+          WHERE EXISTS (SELECT 1 FROM approx_r a
+                        WHERE a.doc_a = e.doc_a
+                          AND a.doc_b = e.doc_b))::BIGINT AS n_hits
+)
+SELECT n_exact, n_approx, n_hits,
+       round(n_hits::DOUBLE / n_approx, 4) AS precision,
+       round(n_hits::DOUBLE / n_exact, 4)  AS recall
+FROM counts
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -938,4 +988,7 @@ QUERIES = [
     QuerySpec("dedup_incremental", dedup_incremental,
               DEDUP_INCREMENTAL_ORACLE,
               "incoming-shard vs corpus minhash dedup, shard side broadcast"),
+    QuerySpec("dedup_recall_report", dedup_recall_report,
+              _dedup_recall_oracle(),
+              "minhash-LSH precision/recall vs exact Jaccard (composed)"),
 ]

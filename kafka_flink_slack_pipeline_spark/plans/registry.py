@@ -65,6 +65,13 @@ _DEMOTED = (
     "q20_volume_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    # Demoted late in r2 to keep the never-driver-verified funnel/retention
+    # queries inside the window as new north-star entries (semantic_dedup,
+    # mixture_weights, dedup_recall_report) were added above them: both of
+    # these were driver-green in r1 and are unchanged since; hourly
+    # (ST5 parity) and session windows stay in-window.
+    "events_sliding_counts",
+    "events_json_stats",
 )
 
 

@@ -166,3 +166,13 @@ def test_semantic_dedup_drops_planted_copies_only(spark, sf_dir):
     sources = {r.vec_id - 1_000_000 for r in dropped}
     kept_ids = {r.vec_id for r in kept}
     assert sources <= kept_ids
+
+
+def test_dedup_recall_report_bounds(spark, sf_dir):
+    """Composed metric: counts positive, precision/recall in (0, 1]."""
+    r = D.dedup_recall_report(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.n_exact > 0 and row.n_approx > 0
+    assert row.n_hits <= min(row.n_exact, row.n_approx)
+    assert 0.0 < row.precision <= 1.0 and 0.0 < row.recall <= 1.0
