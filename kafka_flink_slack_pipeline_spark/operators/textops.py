@@ -730,14 +730,18 @@ _PACK_CAPACITY = 128
 _PACK_SHARDS = 4
 
 
-def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sized = d.select(
+def _sized_docs(d: DataFrame) -> DataFrame:
+    """Project (lang, shard, doc_id, n_tokens) for the packer."""
+    return d.select(
         "lang",
         (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
         "doc_id",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
     )
+
+
+def _apply_pack(sized: DataFrame) -> DataFrame:
+    """First-fit-in-doc_id-order packing per (lang, shard) via Arrow."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
@@ -755,14 +759,17 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["lang", "shard", "seq_id", "seq_offset",
                     "doc_id", "n_tokens"]]
 
-    return (
-        sized.groupBy("lang", "shard")
-        .applyInPandas(
-            pack,
-            "lang string, shard int, seq_id long, seq_offset long, "
-            "doc_id long, n_tokens long",
-        )
-        .orderBy("lang", "shard", "seq_id", "seq_offset", "doc_id")
+    return sized.groupBy("lang", "shard").applyInPandas(
+        pack,
+        "lang string, shard int, seq_id long, seq_offset long, "
+        "doc_id long, n_tokens long",
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return _apply_pack(_sized_docs(d)).orderBy(
+        "lang", "shard", "seq_id", "seq_offset", "doc_id"
     )
 
 
@@ -922,6 +929,89 @@ ORDER BY s.doc_id
 
 
 # --------------------------------------------------------------------------
+# Corpus export manifest: the END-TO-END shape of a pre-training data
+# pipeline as ONE Catalyst plan — composite filter (near-dup > repetitive >
+# low-quality) -> greedy sequence packing of the SURVIVORS -> per-(lang,
+# shard) export manifest (sequences, docs, tokens, fill ratio). This is
+# what a training job reads to schedule shard downloads.
+#
+# Composes corpus_filter_report and the shared _apply_pack; the oracle
+# composes their oracles (filter CTE feeds the recursive pack CTE), so the
+# manifest can never drift from the stages it summarizes. Scale shape =
+# the union of its parts: narrow row-local signals, one bounded candidate
+# join, one doc_id semi-join, Arrow packing per shard, tiny final agg.
+# fill_ratio can exceed 1.0 when an oversized doc (> capacity) gets its
+# own sequence — expected, the packer never splits documents.
+
+
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = (
+        corpus_filter_report(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    d = table(spark, sf_dir, "documents").join(kept, "doc_id", "left_semi")
+    packed = _apply_pack(_sized_docs(d))
+    n_seqs = F.max("seq_id") + 1
+    return (
+        packed.groupBy("lang", "shard")
+        .agg(
+            n_seqs.alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double")
+                / ((F.max("seq_id") + 1) * _PACK_CAPACITY),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+def _export_manifest_oracle() -> str:
+    return f"""
+WITH RECURSIVE filter_r AS ({_corpus_filter_oracle()}),
+kept AS (SELECT doc_id FROM filter_r WHERE keep = 1),
+ordered AS (
+  SELECT d.lang,
+         CAST(d.doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+         d.doc_id,
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (
+           PARTITION BY d.lang, d.doc_id % {_PACK_SHARDS} ORDER BY d.doc_id
+         ) AS rn
+  FROM documents d JOIN kept k USING (doc_id)
+),
+packed AS (
+  SELECT lang, shard, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.seq_offset + p.n_tokens + o.n_tokens > {_PACK_CAPACITY}
+              THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.seq_offset + p.n_tokens + o.n_tokens > {_PACK_CAPACITY}
+              THEN CAST(0 AS BIGINT)
+              ELSE p.seq_offset + p.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.lang = p.lang AND o.shard = p.shard
+                AND o.rn = p.rn + 1
+)
+SELECT lang, shard,
+       (max(seq_id) + 1)::BIGINT AS n_seqs,
+       count(*)::BIGINT          AS n_docs,
+       sum(n_tokens)::BIGINT     AS n_tokens,
+       round(sum(n_tokens)::DOUBLE
+             / ((max(seq_id) + 1) * {_PACK_CAPACITY}), 4) AS fill_ratio
+FROM packed
+GROUP BY lang, shard
+ORDER BY lang, shard
+"""
+
+
+# --------------------------------------------------------------------------
 # Data-mixture weights: temperature-based sampling weights per (lang,
 # source) domain — the mC4/T5 recipe (alpha-scaled domain probabilities,
 # p_g ∝ c_g^alpha) that balances a multilingual/multi-source corpus before
@@ -1023,4 +1113,7 @@ QUERIES = [
               "lang-balanced deterministic sampling with inverse weights"),
     QuerySpec("mixture_weights", mixture_weights, MIXTURE_WEIGHTS_ORACLE,
               "temperature (alpha=0.5) domain mixture weights per lang/source"),
+    QuerySpec("corpus_export_manifest", corpus_export_manifest,
+              _export_manifest_oracle(),
+              "end-to-end: composite filter -> pack survivors -> manifest"),
 ]

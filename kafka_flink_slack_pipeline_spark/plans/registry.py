@@ -72,6 +72,9 @@ _DEMOTED = (
     # (ST5 parity) and session windows stay in-window.
     "events_sliding_counts",
     "events_json_stats",
+    # (corpus_export_manifest displaced one more: hourly demoted too;
+    # events_sessions_per_user remains the in-window ST5 representative.)
+    "events_hourly_counts",
 )
 
 

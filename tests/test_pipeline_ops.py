@@ -146,3 +146,29 @@ def test_mixture_weights_sqrt_temperature(spark, tmp_path):
     assert abs(sum(r.weight for r in rows.values()) - 1.0) < 1e-5
     assert rows[("en", "books")].repeat_factor > 1.0
     assert rows[("en", "web")].repeat_factor < 1.0
+
+
+def test_corpus_export_manifest_consistent_with_filter(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        _PACK_CAPACITY,
+        corpus_export_manifest,
+        corpus_filter_report,
+    )
+
+    manifest = corpus_export_manifest(spark, sf_dir).collect()
+    assert manifest, "manifest must not be empty"
+    kept = (
+        corpus_filter_report(spark, sf_dir)
+        .filter("keep = 1")
+        .count()
+    )
+    # every kept doc is packed exactly once, none of the dropped ones are
+    assert sum(r.n_docs for r in manifest) == kept
+    for r in manifest:
+        assert r.n_seqs >= 1 and r.n_tokens > 0
+        # a shard can exceed 1.0 fill only via oversized docs; it can never
+        # be emptier than one doc per sequence allows
+        assert r.fill_ratio > 0.0
+        # greedy first-fit never leaves two consecutive sequences both
+        # under half full (or the second would have merged into the first)
+        assert r.n_tokens > (r.n_seqs - 1) * _PACK_CAPACITY / 2
