@@ -58,6 +58,9 @@ HEADLINE = [
     # r2 addition: SemDeDup — cluster-scoped embedding dedup (centroid
     # broadcast + cid equi-join), the semantic member of the dedup family.
     "semantic_dedup",
+    # r2 addition: the end-to-end pipeline composition (filter -> pack ->
+    # manifest) — the closest thing to a "whole pipeline" headline number.
+    "corpus_export_manifest",
 ]
 
 

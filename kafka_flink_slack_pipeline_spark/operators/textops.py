@@ -827,8 +827,17 @@ _FILTER_MAX_DUP_BIGRAM = 0.1
 def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import capped_jaccard_pairs
 
-    d = table(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # Project tokens ONCE into a column (same lesson as dedup_ngram_jaccard):
+    # downstream consumers filter on the keep/drop_reason CASE chain, and
+    # Spark's codegen subexpression elimination does NOT reach inside
+    # lazily-evaluated CaseWhen branches — with the raw split() expression
+    # inlined, every element_at in the bigram lambda re-splits the text
+    # (measured: a keep==1 filter over this report went 0.7 s -> 5 s at
+    # sf0.1 before this projection).
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens_col().alias("toks")
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks)
     stop = _marker_count(toks, ("the", "a", "of", "is", "and"))
     mean_word_len = F.length(F.regexp_replace("text", "\\s+", "")) / n_tokens
