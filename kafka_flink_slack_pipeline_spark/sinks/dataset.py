@@ -48,11 +48,15 @@ def read_training_shards(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def shard_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read-back manifest: files/sequences/docs/tokens per (lang, shard)."""
-    df = read_training_shards(spark, out_dir)
+    # input_file_name() is non-deterministic, so it must be projected before
+    # the aggregate (Spark 4.x rejects it inside an aggregate function).
+    df = read_training_shards(spark, out_dir).withColumn(
+        "_file", F.input_file_name()
+    )
     return (
         df.groupBy("lang", "shard")
         .agg(
-            F.countDistinct(F.input_file_name()).alias("n_files"),
+            F.countDistinct("_file").alias("n_files"),
             (F.max("seq_id") + 1).alias("n_seqs"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("n_tokens"),

@@ -45,12 +45,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark's reader rejects it
-        # outright. Read nanos as int64 and truncate to microseconds (same
-        # floor DuckDB applies via epoch_us on its TIMESTAMP_NS).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS). Spark <4.1 rejects it unless
+        # nanosAsLong is set (then it arrives as int64 epoch-nanos); Spark
+        # >=4.1 reads it natively as TIMESTAMP_NTZ truncated to micros. Both
+        # paths normalize to a session-tz TimestampType truncated to micros —
+        # the same floor DuckDB applies via epoch_us on its TIMESTAMP_NS
+        # (sessions here run UTC, so NTZ wall time == the stored instant).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed in newer Spark; native NTZ read applies
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

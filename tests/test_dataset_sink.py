@@ -88,7 +88,7 @@ def test_max_records_per_file_splits_output(spark, sf_dir, tmp_path):
     n_rows = (
         read_training_shards(spark, out)
         .filter("lang = '%s' and shard = %s"
-                % (one_lang.split("=")[1], one_shard.split("=")[1]))
+                % (one_lang.split("=")[-1], one_shard.split("=")[-1]))
         .count()
     )
     assert len(files) >= n_rows // 10, (len(files), n_rows)
