@@ -1,0 +1,373 @@
+"""Corpus-curation operators (round-3 north-star surface).
+
+Four training-data-pipeline operators that complete the curation story the
+brief mandates beyond the reference's own surface (the reference —
+Producer/kafkaProducer.js, Consumer/kafkaConsumer.js — has no corpus ops at
+all; these extend SURVEY.md §2.11):
+
+  - interdoc_span_dedup: C4/RefinedWeb-style inter-document duplicated-span
+    measurement (which docs are mostly made of text that also appears in
+    other docs) — the span-level complement to the doc-level pair dedup in
+    operators/dedup.py.
+  - token_budget_select: fill a fixed token budget with the best-quality
+    documents (the "take the top N tokens" selection step before training).
+  - global_shuffle_shard: deterministic pseudo-random global training
+    order + round-robin shard assignment (the data-loader shuffle, made
+    reproducible and cluster-size-independent).
+  - embedding_quantize_int8: per-vector max-abs int8 quantization of the
+    embedding column with exact reconstruction-error reporting (the
+    storage/serving compression step of an embedding pipeline).
+
+Every operator is a pure DataFrame plan (no Python in the hot path) with a
+DuckDB oracle. The two rank-style operators (budget select, global shuffle)
+deliberately avoid the naive single-partition global window: they compute
+global positions with the two-phase bucket pattern (tiny bucket-offset
+aggregate broadcast back, then a per-bucket window), which is the shape
+that survives 100 TB — an unpartitioned `Window.orderBy` would funnel the
+whole corpus through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import QuerySpec
+from ..tables import table
+from .textops import tokens_col
+
+# --------------------------------------------------------------------------
+# Inter-document span dedup (C4-style): for each document, how much of it
+# is built from word-3-gram spans that also occur in OTHER documents. C4's
+# cleaning famously removed any three-sentence span occurring more than
+# once in the corpus; on the synthetic corpus (short word-salad docs) the
+# analogous unit is the word-3-gram. A doc whose shared-span fraction
+# exceeds the threshold is a scrub candidate (mostly-boilerplate).
+#
+# Scale notes (100 TB): two shuffles on `span` (distinct doc-span pairs,
+# then span -> n_docs) and one on doc_id — all equi-key, no fan-out joins:
+# the span->doc join re-attaches ONE df number per (doc, span) row, never
+# pairs docs with each other (contrast the k² blowup a pairwise design
+# would hit on stop-spans). In production the span string would be
+# xxhash64-ed to a fixed-width key before the shuffle (kept as text here
+# so the DuckDB oracle is byte-identical).
+_SPAN_N = 3
+_SPAN_SCRUB_FRAC = 0.5
+
+
+def interdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    spans = (
+        d.select(
+            "doc_id",
+            F.explode(_word_shingles(tokens_col(), _SPAN_N)).alias("span"),
+        )
+        .filter(F.col("span") != "")
+        .distinct()
+    )
+    df_counts = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("span_docs")
+    )
+    per_doc = (
+        spans.join(df_counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("span_docs") >= 2).cast("long")).alias(
+                "n_shared_spans"
+            ),
+        )
+    )
+    shared_frac = F.round(
+        F.col("n_shared_spans") / F.col("n_spans"), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared_spans",
+        shared_frac.alias("shared_span_frac"),
+        (F.col("n_shared_spans") / F.col("n_spans") > _SPAN_SCRUB_FRAC)
+        .cast("int")
+        .alias("scrub"),
+    ).orderBy("doc_id")
+
+
+INTERDOC_SPAN_ORACLE = f"""
+WITH spans AS (
+  SELECT DISTINCT doc_id, span FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_SPAN_N - 1}, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS span
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents))
+  WHERE span <> ''
+),
+df AS (SELECT span, count(*) AS span_docs FROM spans GROUP BY span)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared_spans,
+       round(sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS shared_span_frac,
+       (sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+        / count(*) > {_SPAN_SCRUB_FRAC})::INTEGER AS scrub
+FROM spans JOIN df USING (span)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection: order the corpus best-quality-first and keep
+# documents while the running token total stays within a fixed budget —
+# the "select the top-B tokens" step a pretraining pipeline runs after
+# scoring. Selection is take-while (a doc that overflows the budget stops
+# the prefix), so the result is a deterministic function of (score,
+# doc_id) order.
+#
+# Scale notes (100 TB): the quality score is quantized (one decimal), so
+# it doubles as a BUCKET key: per-bucket token totals are a tiny aggregate
+# whose running offsets (computed on <=11 rows) are broadcast back, and
+# the running sum inside each bucket is a per-bucket window — the corpus
+# is never pulled through a single-partition global window, and the
+# result is IDENTICAL to the naive global cumsum because the global order
+# (score DESC, doc_id) sorts bucket-contiguously.
+_BUDGET_TOKENS = 20_000
+
+
+def _doc_quality(d: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, quality_score) — doc_quality_scores core."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "is", "and")))
+    mean_word_len = F.length(F.regexp_replace("text", "\\s+", "")) / n_tokens
+    score = (
+        F.when((n_tokens >= 20) & (n_tokens <= 1000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(
+            (stop / n_tokens >= 0.01) & (stop / n_tokens <= 0.5), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            (mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(score, 1).alias("quality_score"),
+    )
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _doc_quality(table(spark, sf_dir, "documents"))
+    # Phase 1: per-score-bucket totals -> running offset of all BETTER
+    # buckets (tiny frame: quality_score has <=11 distinct values).
+    bucket_totals = scored.groupBy("quality_score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    w_buckets = (
+        Window.orderBy(F.desc("quality_score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_totals.withColumn(
+        "bucket_offset",
+        F.coalesce(F.sum("bucket_tokens").over(w_buckets), F.lit(0)),
+    ).select("quality_score", "bucket_offset")
+    # Phase 2: within-bucket running sum + broadcast offset = global cumsum.
+    w_in = (
+        Window.partitionBy("quality_score")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = scored.join(F.broadcast(offsets), "quality_score").withColumn(
+        "cum_tokens", F.col("bucket_offset") + F.sum("n_tokens").over(w_in)
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "quality_score", "n_tokens", "cum_tokens")
+        .orderBy(F.desc("quality_score"), "doc_id")
+    )
+
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         n::BIGINT AS n_tokens,
+         round(
+           (CASE WHEN n BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stop / n BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN sq / n BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         , 1) AS quality_score
+  FROM (
+    SELECT doc_id, len(toks) AS n,
+           len(list_filter(toks,
+               t -> t IN ('the','a','of','is','and')))::DOUBLE AS stop,
+           length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS sq
+    FROM (SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+)
+SELECT doc_id, quality_score, n_tokens, cum_tokens
+FROM (
+  SELECT doc_id, quality_score, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY quality_score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_tokens
+  FROM scored
+)
+WHERE cum_tokens <= {_BUDGET_TOKENS}
+ORDER BY quality_score DESC, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + shard assignment: the training data-loader
+# shuffle as a reproducible query. Order = md5('shuf:' || doc_id) — no RNG,
+# so the permutation is identical across runs, engines, and cluster sizes —
+# and shards are dealt round-robin so every shard sees a uniform slice of
+# the permutation (what per-worker loaders want).
+#
+# Scale notes (100 TB): global_pos comes from the same two-phase shape as
+# token_budget_select, with the FIRST BYTE of the hash as the bucket key:
+# ordering by (bucket, key) == ordering by key because the bucket is a
+# prefix of the key. 256 bucket counts -> running offsets (tiny, broadcast),
+# then row_number per bucket. No single-partition window anywhere.
+_SHUF_SHARDS = 8
+
+
+def global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    ).withColumn("bucket", F.substring("skey", 1, 2))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(w_b), F.lit(0))
+    ).select("bucket", "offset")
+    w_in = Window.partitionBy("bucket").orderBy("skey", "doc_id")
+    pos = keyed.join(F.broadcast(offsets), "bucket").withColumn(
+        "global_pos", F.col("offset") + F.row_number().over(w_in) - 1
+    )
+    return pos.select(
+        "doc_id",
+        "global_pos",
+        (F.col("global_pos") % _SHUF_SHARDS).cast("int").alias("shard"),
+        (F.col("global_pos") / _SHUF_SHARDS).cast("long").alias(
+            "pos_in_shard"
+        ),
+    ).orderBy("global_pos")
+
+
+GLOBAL_SHUFFLE_ORACLE = f"""
+SELECT doc_id, global_pos,
+       CAST(global_pos % {_SHUF_SHARDS} AS INTEGER) AS shard,
+       CAST(global_pos // {_SHUF_SHARDS} AS BIGINT) AS pos_in_shard
+FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('shuf:' || doc_id::VARCHAR), doc_id
+         ) - 1 AS global_pos
+  FROM documents
+)
+ORDER BY global_pos
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization: per-vector max-abs symmetric quantization
+# (q_i = floor(v_i * 127 / scale + 0.5), the storage format embedding
+# stores/ANN services ship) with exact reconstruction-error reporting.
+# floor(x + 0.5) instead of round() because both engines' floor on DOUBLE
+# is the same IEEE operation, while round()'s half-way convention is
+# engine-specific; the error sums left-fold in index order on both sides
+# (F.aggregate / list_reduce), so the doubles accumulate identically.
+#
+# Scale notes (100 TB): a pure narrow map over the embedding column — no
+# shuffle at all (the ORDER BY is presentation-only); 4x storage
+# compression decided per vector, no global statistics pass needed.
+_QUANT_BITS_MAX = 127
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(F.col("v"), F.abs))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * _QUANT_BITS_MAX / F.col("scale") + 0.5),
+    )
+    deq_err = F.zip_with(
+        F.col("v"),
+        F.col("q"),
+        lambda x, qi: F.abs(x - qi * F.col("scale") / _QUANT_BITS_MAX),
+    )
+    mean_err = F.aggregate(
+        F.col("err"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(F.col("err"))
+    return (
+        e.select("vec_id", "label", v.alias("v"))
+        .withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .withColumn("q", q)
+        .withColumn("err", deq_err)
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale", 7).alias("scale"),
+            F.round(F.array_max("err"), 9).alias("max_abs_err"),
+            F.round(mean_err, 9).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMBED_QUANT_ORACLE = f"""
+WITH prepped AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label, scale,
+         list_transform(
+           list_zip(v, list_transform(
+             v, x -> floor(x * {_QUANT_BITS_MAX} / scale + 0.5))),
+           p -> abs(p[1] - p[2] * scale / {_QUANT_BITS_MAX})
+         ) AS err
+  FROM prepped WHERE scale > 0
+)
+SELECT vec_id, label,
+       round(scale, 7) AS scale,
+       round(list_max(err), 9) AS max_abs_err,
+       round(list_reduce(err, (acc, x) -> acc + x) / len(err), 9)
+         AS mean_abs_err
+FROM quant
+ORDER BY vec_id
+"""
+
+
+QUERIES = [
+    QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
+              INTERDOC_SPAN_ORACLE,
+              "C4-style inter-document duplicated-span fraction + scrub"),
+    QuerySpec("token_budget_select", token_budget_select,
+              TOKEN_BUDGET_ORACLE,
+              "fill a token budget best-quality-first (two-phase cumsum)"),
+    QuerySpec("global_shuffle_shard", global_shuffle_shard,
+              GLOBAL_SHUFFLE_ORACLE,
+              "deterministic global training shuffle + round-robin shards"),
+    QuerySpec("embedding_quantize_int8", embedding_quantize_int8,
+              EMBED_QUANT_ORACLE,
+              "per-vector int8 max-abs quantization + reconstruction error"),
+]

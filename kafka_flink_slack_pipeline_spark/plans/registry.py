@@ -75,12 +75,22 @@ _DEMOTED = (
     # (corpus_export_manifest displaced one more: hourly demoted too;
     # events_sessions_per_user remains the in-window ST5 representative.)
     "events_hourly_counts",
+    # Demoted in r3 to admit the four curation ops (interdoc_span_dedup,
+    # token_budget_select, global_shuffle_shard, embedding_quantize_int8)
+    # into the window: all four below were driver-green in r2 and are
+    # unchanged; dedup_exact stays in-window for its family, and
+    # user_history_window / events_sessions_per_user keep W1/ST5 parity.
+    "funnel_stages",
+    "retention_cohorts",
+    "table_profile",
+    "dedup_exact_normalized",
 )
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Collect QuerySpecs from every operator module (import-light)."""
     from ..operators import (
+        curation,
         dedup,
         emailpipe,
         multimodal,
@@ -97,7 +107,8 @@ def all_queries() -> dict[str, QuerySpec]:
     collected: list[QuerySpec] = []
     seen: set[str] = set()
     for mod in (emailpipe, skew, dedup, similarity, multimodal, textops,
-                temporal, windows, relational, relational2, relational3):
+                curation, temporal, windows, relational, relational2,
+                relational3):
         for spec in mod.QUERIES:
             if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name!r}")
