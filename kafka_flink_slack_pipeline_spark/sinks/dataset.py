@@ -75,17 +75,20 @@ def export_corpus(
     write actually persisted what the plan promised.
     """
     from ..operators.textops import (
+        _PACK_SHARDS,
         _apply_pack,
-        _sized_docs,
-        corpus_filter_report,
+        _corpus_filter_signals,
     )
-    from ..tables import table
 
-    kept = (
-        corpus_filter_report(spark, sf_dir)
+    survivors = (
+        _corpus_filter_signals(spark, sf_dir)
         .filter(F.col("keep") == 1)
-        .select("doc_id")
+        .select(
+            "lang",
+            (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+            "doc_id",
+            "n_tokens",
+        )
     )
-    docs = table(spark, sf_dir, "documents").join(kept, "doc_id", "left_semi")
-    write_training_shards(_apply_pack(_sized_docs(docs)), out_dir)
+    write_training_shards(_apply_pack(survivors), out_dir)
     return shard_manifest(spark, out_dir)
