@@ -61,6 +61,13 @@ HEADLINE = [
     # r2 addition: the end-to-end pipeline composition (filter -> pack ->
     # manifest) — the closest thing to a "whole pipeline" headline number.
     "corpus_export_manifest",
+    # r3 additions: span-level dedup (two equi-key shuffles over the span
+    # explosion), budget selection (two-phase bucketed global cumsum), and
+    # the unigram-LM surprisal score (vocab agg + broadcast re-join) — one
+    # per new curation family; shuffle/quantize share these shapes.
+    "interdoc_span_dedup",
+    "token_budget_select",
+    "doc_unigram_surprisal",
 ]
 
 

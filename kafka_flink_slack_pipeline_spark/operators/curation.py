@@ -357,6 +357,154 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal scoring: the language-model-based quality signal
+# (CCNet's perplexity filter, shrunk to a unigram LM that two engines can
+# agree on bit-for-bit). Each token scores total_tokens/freq(token) — a
+# rational inverse-probability surrogate, monotone in -log p(token), so
+# ranking behaves like perplexity without transcendental ln() (whose last
+# ulp differs between JVM and DuckDB libm; same policy as tfidf's
+# rational idf). Per-doc sums accumulate in DECIMAL so partial-agg order
+# cannot perturb the double result.
+#
+# Scale notes (100 TB): the vocabulary aggregate shuffles on term once;
+# the per-token re-join BROADCASTS the vocab (a real pipeline caps it at
+# top-K tokens + a default for the tail — bounded by construction). The
+# per-doc aggregate shuffles on doc_id. No Python anywhere.
+
+
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+        F.col("term") != ""
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    # corpus total folded out of the vocab (1-row broadcast) — no second
+    # corpus pass, stays lazy
+    total = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    s = (F.col("total") / F.col("freq").cast("double")).alias("s")
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", s)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal"),
+            F.round(F.max("s"), 6).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+nonempty AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS freq FROM nonempty GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM nonempty)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round((sum(((SELECT n FROM total) / freq::DOUBLE)::DECIMAL(25,10))
+              ::DOUBLE) / count(*), 6) AS avg_surprisal,
+       round(max((SELECT n FROM total) / freq::DOUBLE), 6) AS max_surprisal
+FROM nonempty JOIN vocab USING (term)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's algorithm) over the embedding column — the iterative-
+# algorithm representative the brief's "custom operators" clause calls
+# for. Deterministic throughout: init centroids are the first K vectors
+# by vec_id, assignment ties break to the lowest centroid id, and inertia
+# accumulates in DECIMAL. Not SQL-expressible as one query (the driver
+# records the weaker rows-only check, like the streaming pipelines).
+#
+# Scale notes (100 TB): the classic Spark k-means shape (what MLlib
+# does) — centroids live on the DRIVER between iterations because they
+# are O(k*d) (here 10x64 doubles), never O(n): each iteration broadcasts
+# centroids as array literals into a narrow assignment map, then one
+# (cid, dim) shuffle of dimension partial-sums computes the new means.
+# The per-iteration collect is 640 rows — bounded by the model size, not
+# the data. Array-literal centroids (not a crossJoin against a centroid
+# frame) keep assignment inside whole-stage codegen, the same trick
+# cosine_topk_lsh uses for its hyperplanes.
+_KM_K = 10
+_KM_ITERS = 3
+
+
+def _km_assign(emb_df: DataFrame, cents: list[list[float]]) -> DataFrame:
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    return emb_df.withColumn("dists", dists).select(
+        "vec_id",
+        "emb",
+        (F.array_position(F.col("dists"), F.array_min("dists")) - 1)
+        .cast("int")
+        .alias("cid"),
+        F.array_min("dists").alias("dist"),
+    )
+
+
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = [
+        r.emb
+        for r in emb.filter(F.col("vec_id") < _KM_K).orderBy("vec_id").collect()
+    ]
+    for _ in range(_KM_ITERS):
+        sums = (
+            _km_assign(emb, cents)
+            .select("cid", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()  # O(k*d) model rows, not O(n) data rows
+        )
+        by_cid: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(r.cid, {})[r.dim] = (r.sx, r.n)
+        cents = [
+            [by_cid[c][d][0] / by_cid[c][d][1] for d in range(len(cents[0]))]
+            if c in by_cid
+            else cents[c]  # empty cluster keeps its old centroid
+            for c in range(_KM_K)
+        ]
+    return (
+        _km_assign(emb, cents)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(25,15)")).cast("double"), 6
+            ).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
 QUERIES = [
     QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
               INTERDOC_SPAN_ORACLE,
@@ -370,4 +518,9 @@ QUERIES = [
     QuerySpec("embedding_quantize_int8", embedding_quantize_int8,
               EMBED_QUANT_ORACLE,
               "per-vector int8 max-abs quantization + reconstruction error"),
+    QuerySpec("doc_unigram_surprisal", doc_unigram_surprisal,
+              DOC_SURPRISAL_ORACLE,
+              "unigram-LM surprisal quality score (rational, ln-free)"),
+    QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, None,
+              "iterative Lloyd k-means, driver-held O(k*d) model state"),
 ]

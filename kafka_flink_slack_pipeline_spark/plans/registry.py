@@ -84,6 +84,13 @@ _DEMOTED = (
     "retention_cohorts",
     "table_profile",
     "dedup_exact_normalized",
+    # Two more r3 demotions (both r2-green, unchanged) so the W1/W4 parity
+    # windows (user_history_window, last_events_per_user) stay in-window
+    # alongside doc_unigram_surprisal + kmeans_lloyd_clusters: sampling
+    # stays represented by dataset_split_assign, multimodal by byte_stats
+    # + image_byte_histogram.
+    "stratified_sample",
+    "video_frame_sample",
 )
 
 

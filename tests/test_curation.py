@@ -1,0 +1,97 @@
+"""Property tests for the round-3 curation operators.
+
+Oracle exactness is covered by tools/verify_local.py / the driver; these
+pin the semantic properties a consumer relies on (permutation-ness,
+budget monotonicity, quantization error bounds, k-means invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.operators.curation import (
+    _BUDGET_TOKENS,
+    _KM_K,
+    _QUANT_BITS_MAX,
+    _SHUF_SHARDS,
+    embedding_quantize_int8,
+    global_shuffle_shard,
+    interdoc_span_dedup,
+    kmeans_lloyd_clusters,
+    token_budget_select,
+)
+from kafka_flink_slack_pipeline_spark.tables import table
+
+
+def test_global_shuffle_is_a_balanced_permutation(spark, sf_dir):
+    rows = global_shuffle_shard(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    # global_pos is exactly 0..n-1 (a permutation, no gaps or dups)
+    assert sorted(r.global_pos for r in rows) == list(range(n))
+    # round-robin dealing: shard sizes differ by at most 1
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.shard] = sizes.get(r.shard, 0) + 1
+        assert r.shard == r.global_pos % _SHUF_SHARDS
+        assert r.pos_in_shard == r.global_pos // _SHUF_SHARDS
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_token_budget_select_is_a_takewhile_prefix(spark, sf_dir):
+    rows = token_budget_select(spark, sf_dir).collect()
+    assert rows, "budget should admit at least one doc"
+    # running sum never exceeds the budget and matches cum_tokens
+    running = 0
+    prev_key = None
+    for r in rows:
+        running += r.n_tokens
+        assert r.cum_tokens == running <= _BUDGET_TOKENS
+        key = (-r.quality_score, r.doc_id)
+        assert prev_key is None or prev_key < key  # strictly ordered
+        prev_key = key
+
+
+def test_quantization_error_bounded_by_half_step(spark, sf_dir):
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # symmetric max-abs quantization: error <= (scale/127)/2 + rounding
+        assert 0 <= r.max_abs_err <= r.scale / _QUANT_BITS_MAX / 2 + 1e-9
+        assert 0 <= r.mean_abs_err <= r.max_abs_err + 1e-12
+
+
+def test_interdoc_span_fraction_in_range(spark, sf_dir):
+    rows = interdoc_span_dedup(spark, sf_dir).collect()
+    assert rows
+    saw_shared = False
+    for r in rows:
+        assert 0 <= r.n_shared_spans <= r.n_spans
+        # half-ulp tolerance at the 4th decimal: Spark rounds HALF_UP,
+        # Python rounds half-even, so a .xxxx5 boundary differs by 1e-4
+        assert abs(r.shared_span_frac - r.n_shared_spans / r.n_spans) <= 5.1e-5
+        saw_shared = saw_shared or r.n_shared_spans > 0
+    assert saw_shared, "corpus should contain organic cross-doc spans"
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    rows = kmeans_lloyd_clusters(spark, sf_dir).collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n  # every vector assigned once
+    assert {r.cid for r in rows} <= set(range(_KM_K))
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
+    """Lloyd's guarantee: total inertia is non-increasing per iteration."""
+    import kafka_flink_slack_pipeline_spark.operators.curation as c
+
+    orig = c._KM_ITERS
+    try:
+        c._KM_ITERS = 1
+        one = sum(r.inertia for r in kmeans_lloyd_clusters(spark, sf_dir).collect())
+        c._KM_ITERS = 3
+        three = sum(r.inertia for r in kmeans_lloyd_clusters(spark, sf_dir).collect())
+    finally:
+        c._KM_ITERS = orig
+    assert three <= one + 1e-6
