@@ -60,26 +60,34 @@ def interdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _word_shingles
 
     d = table(spark, sf_dir, "documents")
-    spans = (
-        d.select(
+    # One pipeline, three equi-key shuffles, and the span explosion is
+    # computed exactly once: dedup pairs via groupBy(span, doc_id), attach
+    # the span's doc-frequency with a window over span (NOT an agg +
+    # self-join — Spark 4.1 plans the self-join's two branches as two
+    # separate explosions with no ReusedExchange; measured 8.0 s -> ~2 s
+    # at sf0.1), then aggregate per doc.
+    # tokens projected ONCE (dedup_ngram_jaccard's lesson): with the raw
+    # split() inlined, every element_at inside the shingle lambda
+    # re-splits the text — O(tokens^2) per doc, measured 7.4 s of the
+    # 8 s at sf0.1.
+    toked = d.select("doc_id", tokens_col().alias("toks"))
+    pairs = (
+        toked.select(
             "doc_id",
-            F.explode(_word_shingles(tokens_col(), _SPAN_N)).alias("span"),
+            F.explode(_word_shingles(F.col("toks"), _SPAN_N)).alias("span"),
         )
         .filter(F.col("span") != "")
-        .distinct()
+        .groupBy("span", "doc_id")
+        .agg(F.lit(1).alias("_one"))
     )
-    df_counts = spans.groupBy("span").agg(
-        F.count(F.lit(1)).alias("span_docs")
+    with_df = pairs.withColumn(
+        "span_docs", F.count(F.lit(1)).over(Window.partitionBy("span"))
     )
-    per_doc = (
-        spans.join(df_counts, "span")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("span_docs") >= 2).cast("long")).alias(
-                "n_shared_spans"
-            ),
-        )
+    per_doc = with_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("span_docs") >= 2).cast("long")).alias(
+            "n_shared_spans"
+        ),
     )
     shared_frac = F.round(
         F.col("n_shared_spans") / F.col("n_spans"), 4
