@@ -150,7 +150,11 @@ _BUDGET_TOKENS = 20_000
 
 def _doc_quality(d: DataFrame) -> DataFrame:
     """Per-doc (doc_id, n_tokens, quality_score) — doc_quality_scores core."""
-    toks = tokens_col()
+    # tokens projected once: the score's CaseWhen branches are outside
+    # codegen subexpression elimination, so an inlined split() would
+    # re-tokenize per branch (the corpus_filter_report lesson)
+    d = d.select("doc_id", "text", tokens_col().alias("toks"))
+    toks = F.col("toks")
     n_tokens = F.size(toks)
     stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "is", "and")))
     mean_word_len = F.length(F.regexp_replace("text", "\\s+", "")) / n_tokens
