@@ -85,6 +85,71 @@ def thread_mention_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+# --------------------------------------------------------------------------
+# Spark 4.x-native stateful processing: the same running-count registry on
+# transformWithStateInPandas (the successor to applyInPandasWithState —
+# typed state variables, store-managed TTL, composable timers). Kept
+# alongside the applyInPandasWithState variant so both stateful APIs have
+# executed coverage; semantics match test-for-test.
+#
+# Requires the RocksDB state store provider
+# (spark.sql.streaming.stateStore.providerClass =
+#  ...state.RocksDBStateStoreProvider) — the HDFS-backed default does not
+# support transformWithState. On a cluster RocksDB is what you would run
+# anyway (incremental checkpoints, state larger than heap).
+TWS_TTL_MS = 7 * 24 * 3600 * 1000  # state TTL, store-managed
+
+
+def _make_mention_processor():
+    """Processor factory (lazy import keeps module import light)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MentionCountProcessor(StatefulProcessor):
+        """Running mention count per (channel, thread_root) key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # store-managed TTL replaces the hand-rolled timeout logic the
+            # applyInPandasWithState variant needs
+            self._n = handle.getValueState(
+                "n", "n bigint", ttlDurationMs=TWS_TTL_MS
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()[0] if self._n.exists() else 0
+            total = prev + batch_n
+            self._n.update((total,))
+            channel, thread_root = key
+            yield pd.DataFrame(
+                {
+                    "channel": [channel],
+                    "thread_root": [thread_root],
+                    "n_mentions": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return MentionCountProcessor()
+
+
+def thread_mention_counts_tws(events: DataFrame) -> DataFrame:
+    """thread_mention_counts on the transformWithStateInPandas API."""
+    keyed = events.withColumn(
+        "thread_root", F.coalesce(F.col("thread_ts"), F.col("ts"))
+    )
+    return keyed.groupBy("channel", "thread_root").transformWithStateInPandas(
+        statefulProcessor=_make_mention_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionized_event_counts(
     events: DataFrame,
     ts_col: str = "ts",
