@@ -370,6 +370,131 @@ ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
+# Fuzzy eval-set decontamination by n-gram CONTAINMENT: the paraphrase-
+# robust complement to textops.benchmark_decontaminate. That pass flags
+# exact word-5-gram overlap; an eval item that lightly rewords corpus
+# text (here: an excerpt with every 5th token replaced — simulated
+# paraphrase) breaks almost all 5-grams and slips through. This pass
+# matches on 3-gram containment |bench ∩ doc| / |bench| — asymmetric on
+# purpose (the excerpt is a tiny subset of the doc, so symmetric Jaccard
+# would sit near 0 for a true contamination hit). Measured at sf0.01:
+# the exact-5-gram pass catches 0 of the 30 perturbed bench items; this
+# pass recovers every source document (32 pairs).
+#
+# Scale notes (100 TB): eval benchmarks are bounded — the bench shingle
+# postings and per-bench sizes are BROADCAST; the corpus side explodes
+# once, joins map-side, and aggregates on the (doc, bench) pair key.
+# Identical shuffle shape to benchmark_decontaminate, deliberately: the
+# fuzzy upgrade costs nothing extra at scale.
+_FUZZY_EVERY = 17        # every k-th doc seeds the bench set
+_FUZZY_SLICE = (5, 21)   # excerpt: tokens 5..25
+_FUZZY_PERTURB = 5       # every k-th excerpt token is rewritten
+_FUZZY_N = 3             # matching n-gram size
+_FUZZY_MIN_CONTAIN = 0.25
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col().alias("toks"))
+    excerpt = F.slice(F.col("toks"), *_FUZZY_SLICE)
+    # guarded: sequence(1, 0) would run DESCENDING on an empty excerpt
+    # (Spark auto-negates the step) where DuckDB's generate_series is empty
+    perturbed = F.when(
+        F.size(excerpt) > 0,
+        F.zip_with(
+            excerpt,
+            F.sequence(F.lit(1), F.size(excerpt)),
+            lambda t, i: F.when(
+                i % _FUZZY_PERTURB == 0,
+                F.concat(F.lit("zz"), F.col("doc_id").cast("string")),
+            ).otherwise(t),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench = toked.filter(F.col("doc_id") % _FUZZY_EVERY == 0).select(
+        F.col("doc_id").alias("bench_id"), perturbed.alias("toks")
+    )
+    bench_sh = (
+        bench.select(
+            "bench_id",
+            F.explode(_word_shingles(F.col("toks"), _FUZZY_N)).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    bench_sizes = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench")
+    )
+    corpus_sh = (
+        toked.select(
+            "doc_id",
+            F.explode(_word_shingles(F.col("toks"), _FUZZY_N)).alias("shingle"),
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "containment", F.round(F.col("n_shared") / F.col("n_bench"), 4)
+        )
+        .filter(F.col("n_shared") / F.col("n_bench") >= _FUZZY_MIN_CONTAIN)
+        .select("doc_id", "bench_id", "n_shared", "containment")
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+_FUZZY_SHINGLE_SQL = f"""
+  SELECT DISTINCT {{id_col}}, shingle FROM (
+    SELECT {{id_col}},
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_FUZZY_N - 1}, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM {{src}})
+  WHERE shingle <> ''
+"""
+
+DECON_FUZZY_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+bench AS (
+  SELECT doc_id AS bench_id,
+         list_transform(
+           list_zip(list_slice(toks, {_FUZZY_SLICE[0]},
+                               {_FUZZY_SLICE[0] + _FUZZY_SLICE[1] - 1}),
+                    generate_series(1, len(list_slice(toks, {_FUZZY_SLICE[0]},
+                               {_FUZZY_SLICE[0] + _FUZZY_SLICE[1] - 1})))),
+           p -> CASE WHEN p[2] % {_FUZZY_PERTURB} = 0
+                     THEN 'zz' || doc_id::VARCHAR ELSE p[1] END
+         ) AS toks
+  FROM toked WHERE doc_id % {_FUZZY_EVERY} = 0
+),
+bench_sh AS ({_FUZZY_SHINGLE_SQL.format(id_col="bench_id", src="bench")}),
+bench_sizes AS (
+  SELECT bench_id, count(*)::BIGINT AS n_bench FROM bench_sh GROUP BY bench_id
+),
+corpus_sh AS ({_FUZZY_SHINGLE_SQL.format(id_col="doc_id", src="toked")}),
+shared AS (
+  SELECT doc_id, bench_id, count(*)::BIGINT AS n_shared
+  FROM corpus_sh JOIN bench_sh USING (shingle)
+  GROUP BY doc_id, bench_id
+)
+SELECT doc_id, bench_id, n_shared,
+       round(n_shared::DOUBLE / n_bench, 4) AS containment
+FROM shared JOIN bench_sizes USING (bench_id)
+WHERE n_shared::DOUBLE / n_bench >= {_FUZZY_MIN_CONTAIN}
+ORDER BY doc_id, bench_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Unigram-LM surprisal scoring: the language-model-based quality signal
 # (CCNet's perplexity filter, shrunk to a unigram LM that two engines can
 # agree on bit-for-bit). Each token scores total_tokens/freq(token) — a
@@ -530,6 +655,9 @@ QUERIES = [
     QuerySpec("embedding_quantize_int8", embedding_quantize_int8,
               EMBED_QUANT_ORACLE,
               "per-vector int8 max-abs quantization + reconstruction error"),
+    QuerySpec("decontaminate_fuzzy", decontaminate_fuzzy,
+              DECON_FUZZY_ORACLE,
+              "paraphrase-robust eval decontamination by 3-gram containment"),
     QuerySpec("doc_unigram_surprisal", doc_unigram_surprisal,
               DOC_SURPRISAL_ORACLE,
               "unigram-LM surprisal quality score (rational, ln-free)"),

@@ -91,6 +91,9 @@ _DEMOTED = (
     # + image_byte_histogram.
     "stratified_sample",
     "video_frame_sample",
+    # One more for decontaminate_fuzzy: doc_fingerprints' md5 content hash
+    # is the same signal dedup_exact groups by (r2-green, unchanged).
+    "doc_fingerprints",
 )
 
 
