@@ -642,6 +642,116 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) assignment: split each 64-dim embedding into
+# M=8 subvectors of 8 dims; encode each subvector as the id of its
+# nearest codebook centroid (K=16 per subspace) — the IVF-PQ storage
+# format ANN services ship (64 floats -> 8 bytes, 32x). The codebook here
+# is deterministic (the subvectors of the first K vectors — a trained
+# codebook would come from kmeans_lloyd_clusters per subspace); ties
+# break to the lowest centroid id; the reported quantization error
+# accumulates per-subspace minima in DECIMAL so engines agree bitwise.
+#
+# Scale notes (100 TB): the codebook is MODEL state (M*K*8 = 1024
+# doubles) embedded as array literals — the same codegen-friendly trick
+# as cosine_topk_lsh's hyperplanes — so assignment is a pure narrow map:
+# no shuffle, no join, no Python. The presentation sort is the only
+# exchange.
+_PQ_M = 8        # subspaces
+_PQ_SUBDIM = 8   # dims per subspace
+_PQ_K = 16       # centroids per subspace
+
+
+def embedding_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebook = [
+        r.v for r in e.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    ]  # model state: K vectors -> M*K subvector centroids
+
+    def sub(col, j):  # 1-based slice of subspace j
+        return F.slice(col, j * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+
+    def d2(col, lits):  # squared distance to a literal centroid subvector
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(x)) for x in lits]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dist_cols = [
+        F.array(
+            *[
+                d2(sub(F.col("v"), j),
+                   codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM])
+                for c in range(_PQ_K)
+            ]
+        ).alias(f"d{j}")
+        for j in range(_PQ_M)
+    ]
+    with_d = e.select("vec_id", *dist_cols)
+    # argmin = first position of the min (ties -> lowest centroid id)
+    code = F.concat_ws(
+        "-",
+        *[
+            (F.array_position(F.col(f"d{j}"), F.array_min(f"d{j}")) - 1)
+            .cast("string")
+            for j in range(_PQ_M)
+        ],
+    )
+    err = sum(
+        F.round(F.array_min(f"d{j}"), 9).cast("decimal(25,12)")
+        for j in range(_PQ_M)
+    )
+    return with_d.select(
+        "vec_id",
+        code.alias("pq_code"),
+        F.round(err.cast("double"), 6).alias("q_err"),
+    ).orderBy("vec_id")
+
+
+EMBED_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(v, j * {_PQ_SUBDIM} + 1, (j + 1) * {_PQ_SUBDIM}) AS sv
+  FROM e, generate_series(0, {_PQ_M - 1}) g(j)
+),
+cb AS (
+  SELECT vec_id AS cid, j, sv AS cv FROM subs WHERE vec_id < {_PQ_K}
+),
+dists AS (
+  SELECT s.vec_id, s.j, c.cid,
+         list_reduce(
+           list_transform(list_zip(s.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (acc, x) -> acc + x
+         ) AS d
+  FROM subs s JOIN cb c USING (j)
+),
+best AS (
+  SELECT vec_id, j, cid, d,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       string_agg(cid::VARCHAR, '-' ORDER BY j) AS pq_code,
+       round(sum(round(d, 9)::DECIMAL(25,12))::DOUBLE, 6) AS q_err
+FROM best
+WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
               INTERDOC_SPAN_ORACLE,
@@ -663,4 +773,6 @@ QUERIES = [
               "unigram-LM surprisal quality score (rational, ln-free)"),
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, None,
               "iterative Lloyd k-means, driver-held O(k*d) model state"),
+    QuerySpec("embedding_pq_assign", embedding_pq_assign, EMBED_PQ_ORACLE,
+              "product-quantization codes + decimal-exact error (8x16)"),
 ]

@@ -94,6 +94,11 @@ _DEMOTED = (
     # One more for decontaminate_fuzzy: doc_fingerprints' md5 content hash
     # is the same signal dedup_exact groups by (r2-green, unchanged).
     "doc_fingerprints",
+    # Self-demoted on arrival: with the window full of parity + family
+    # representatives, the PQ op keeps its local-oracle verification
+    # (tools/verify_local.py, hash-exact) rather than displacing the W1
+    # history-window parity row.
+    "embedding_pq_assign",
 )
 
 
