@@ -74,6 +74,23 @@ def test_interdoc_span_fraction_in_range(spark, sf_dir):
     assert saw_shared, "corpus should contain organic cross-doc spans"
 
 
+def test_fuzzy_decontamination_recovers_every_source(spark, sf_dir):
+    """Each perturbed bench excerpt must flag its own source document —
+    the contamination case the exact-5-gram pass misses entirely."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _FUZZY_EVERY,
+        decontaminate_fuzzy,
+    )
+
+    hits = {(r.doc_id, r.bench_id)
+            for r in decontaminate_fuzzy(spark, sf_dir).collect()}
+    n_docs = table(spark, sf_dir, "documents").count()
+    sources = {i for i in range(n_docs) if i % _FUZZY_EVERY == 0}
+    assert sources, "fixture must seed at least one bench item"
+    missing = {b for b in sources if (b, b) not in hits}
+    assert not missing, f"bench items whose source went unflagged: {missing}"
+
+
 def test_kmeans_partitions_all_vectors(spark, sf_dir):
     rows = kmeans_lloyd_clusters(spark, sf_dir).collect()
     n = table(spark, sf_dir, "embeddings").count()
