@@ -643,6 +643,133 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BM25-style keyword search: the missing retrieval member next to the
+# embedding ANN stack — top-k documents per keyword query, scored with
+# the BM25 term-frequency saturation (k1=1.2, b=0.75) and a RATIONAL idf
+# surrogate (N - df + 0.5)/(df + 0.5), i.e. classic BM25 idf without the
+# log(): per-term monotone, and IEEE-division exact on both engines (the
+# repo numeric policy — same reason tfidf/surprisal are ln-free).
+# Queries are derived in-query (tokens 10..12 of every 100th doc), so
+# every query has guaranteed matches; note the seed doc need not win its
+# own query — length normalization can prefer shorter full-match docs.
+# Per-(query, doc) scores sum term contributions in DECIMAL after a
+# 9-decimal round, so partial-agg order cannot perturb the ranking.
+#
+# Scale notes (100 TB): the query set is bounded (a search workload, not
+# a corpus) — query terms BROADCAST into a semi-filter over the postings
+# explosion, so only postings matching some query term ever shuffle; one
+# (query, doc) aggregation, then a top-k window per query over the tiny
+# scored set. avgdl is a 1-row broadcast like the surprisal total.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_EVERY = 100     # every k-th doc seeds a query
+_BM25_QSLICE = (10, 3)  # query = tokens 10..12 of the seed doc
+_BM25_TOPK = 10
+
+
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # empty tokens dropped BEFORE dl/avgdl so length stats match the
+    # postings the oracle computes over the filtered array
+    toked = d.select(
+        "doc_id",
+        F.filter(tokens_col(), lambda t: t != "").alias("toks"),
+    )
+    queries = toked.filter(F.col("doc_id") % _BM25_EVERY == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice("toks", *_BM25_QSLICE))).alias(
+            "term"
+        ),
+    )
+    postings = (
+        toked.select(
+            "doc_id",
+            F.size("toks").cast("double").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    df_counts = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    avgdl = toked.agg(
+        F.avg(F.size("toks").cast("double")).alias("avgdl")
+    )
+    idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
+    scored = (
+        postings.join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(df_counts), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum(term_score).cast("double"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "rank", "doc_id", "score", "n_matched_terms")
+        .orderBy("query_id", "rank")
+    )
+
+
+BM25_SEARCH_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t <> '') AS toks
+  FROM documents
+),
+queries AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(
+           list_slice(toks, {_BM25_QSLICE[0]},
+                      {_BM25_QSLICE[0] + _BM25_QSLICE[1] - 1}))) AS term
+  FROM toked WHERE doc_id % {_BM25_EVERY} = 0
+),
+postings AS (
+  SELECT doc_id, len(toks)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM toked)
+  GROUP BY doc_id, len(toks), term
+),
+stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+         (SELECT avg(len(toks)::DOUBLE) FROM toked) AS avgdl
+),
+df_counts AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(round(
+           ((s.n - f.df + 0.5) / (f.df + 0.5))
+           * ((p.tf * ({_BM25_K1} + 1))
+              / (p.tf + {_BM25_K1}
+                 * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl)))
+         , 9)::DECIMAL(25,12))::DOUBLE, 6) AS score,
+         count(*)::BIGINT AS n_matched_terms
+  FROM postings p
+  JOIN queries q USING (term)
+  JOIN df_counts f USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score, n_matched_terms
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) assignment: split each 64-dim embedding into
 # M=8 subvectors of 8 dims; encode each subvector as the id of its
 # nearest codebook centroid (K=16 per subspace) — the IVF-PQ storage
@@ -775,4 +902,6 @@ QUERIES = [
               "iterative Lloyd k-means, driver-held O(k*d) model state"),
     QuerySpec("embedding_pq_assign", embedding_pq_assign, EMBED_PQ_ORACLE,
               "product-quantization codes + decimal-exact error (8x16)"),
+    QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
+              "BM25 top-k keyword retrieval (rational log-free idf)"),
 ]

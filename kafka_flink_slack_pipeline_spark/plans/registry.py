@@ -95,10 +95,11 @@ _DEMOTED = (
     # is the same signal dedup_exact groups by (r2-green, unchanged).
     "doc_fingerprints",
     # Self-demoted on arrival: with the window full of parity + family
-    # representatives, the PQ op keeps its local-oracle verification
+    # representatives, these keep their local-oracle verification
     # (tools/verify_local.py, hash-exact) rather than displacing the W1
     # history-window parity row.
     "embedding_pq_assign",
+    "bm25_keyword_search",
 )
 
 

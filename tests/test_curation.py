@@ -91,6 +91,34 @@ def test_fuzzy_decontamination_recovers_every_source(spark, sf_dir):
     assert not missing, f"bench items whose source went unflagged: {missing}"
 
 
+def test_bm25_results_are_wellformed_rankings(spark, sf_dir):
+    """Every seed query returns a clean 1..k rank prefix with descending
+    positive scores, and every hit matched at least one query term.
+    (The seed doc itself is NOT asserted into the top-k: BM25's length
+    normalization legitimately ranks shorter full-match docs above a
+    long seed in this small-vocabulary corpus — correctness of the
+    scores is the oracle's job.)"""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _BM25_EVERY,
+        bm25_keyword_search,
+    )
+
+    rows = bm25_keyword_search(spark, sf_dir).collect()
+    assert rows
+    n_docs = table(spark, sf_dir, "documents").count()
+    expected_queries = {i for i in range(n_docs) if i % _BM25_EVERY == 0}
+    by_query: dict[int, list] = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == expected_queries
+    for qid, hits in by_query.items():
+        assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        assert all(h.n_matched_terms >= 1 for h in hits)
+
+
 def test_kmeans_partitions_all_vectors(spark, sf_dir):
     rows = kmeans_lloyd_clusters(spark, sf_dir).collect()
     n = table(spark, sf_dir, "embeddings").count()
