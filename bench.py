@@ -68,6 +68,9 @@ HEADLINE = [
     "interdoc_span_dedup",
     "token_budget_select",
     "doc_unigram_surprisal",
+    # r3 addition: lexical retrieval (broadcast query-term semi-filter on
+    # the postings explosion + per-query top-k window).
+    "bm25_keyword_search",
 ]
 
 

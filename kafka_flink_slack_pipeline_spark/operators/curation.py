@@ -675,27 +675,47 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(tokens_col(), lambda t: t != "").alias("toks"),
     )
-    queries = toked.filter(F.col("doc_id") % _BM25_EVERY == 0).select(
-        F.col("doc_id").alias("query_id"),
-        F.explode(F.array_distinct(F.slice("toks", *_BM25_QSLICE))).alias(
-            "term"
-        ),
+    # The query workload is BOUNDED (a search request set, not a corpus):
+    # materialize it once driver-side and re-enter it as literals — the
+    # same model-state treatment as kmeans centroids / LSH planes. This
+    # kills two whole corpus-scan branches (queries + distinct terms)
+    # that Spark would otherwise recompute per broadcast (no subplan
+    # reuse under AQE; measured: 2.2 s -> ~1 s at sf0.1 with the window
+    # df below).
+    qrows = (
+        toked.filter(F.col("doc_id") % _BM25_EVERY == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice("toks", *_BM25_QSLICE))).alias(
+                "term"
+            ),
+        )
+        .collect()
     )
-    postings = (
+    queries = spark.createDataFrame(
+        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
+    )
+    # one corpus branch: explode, broadcast-filter to query terms, tf agg;
+    # df comes from a window over this SAME small frame (one row per
+    # (doc, term)), not a second corpus pass
+    matched = (
         toked.select(
             "doc_id",
             F.size("toks").cast("double").alias("dl"),
             F.explode("toks").alias("term"),
         )
+        .join(F.broadcast(queries.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double"),
+        )
     )
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    df_counts = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
-    )
-    avgdl = toked.agg(
-        F.avg(F.size("toks").cast("double")).alias("avgdl")
+    # corpus-level constants in ONE narrow agg scan (no explode)
+    stats = d.select(F.size(F.filter(tokens_col(), lambda t: t != "")).alias("l")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("l").cast("double")).alias("avgdl"),
     )
     idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
@@ -704,10 +724,8 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
     scored = (
-        postings.join(F.broadcast(queries), "term")
-        .crossJoin(F.broadcast(avgdl))
-        .crossJoin(F.broadcast(n_docs))
-        .join(F.broadcast(df_counts), "term")
+        matched.join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum(term_score).cast("double"), 6).alias("score"),

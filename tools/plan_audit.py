@@ -56,6 +56,8 @@ _ALLOWED_BNLJ = {
     "semantic_dedup": "bounded centroid codebook broadcast",
     # broadcast of the 1-row corpus-total aggregate (constant attach)
     "doc_unigram_surprisal": "1-row corpus total broadcast",
+    # broadcast of the 1-row (n, avgdl) stats aggregate (constant attach)
+    "bm25_keyword_search": "1-row corpus stats broadcast",
 }
 
 
