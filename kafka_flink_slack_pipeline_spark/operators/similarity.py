@@ -510,9 +510,12 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 cosine neighbors via IVF: nearest-centroid
-    inverted lists, nprobe=3 probe, exact re-rank inside probed lists."""
+def _ivf_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, probes) shared by the IVF and IVF-PQ searchers:
+    inverted lists keyed by nearest centroid, and each query's NPROBE
+    nearest lists."""
     emb = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir)
     # assignment: every vector → nearest centroid (rank 1 of cosine)
@@ -541,6 +544,13 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assigned.select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"), "cid"
     )
+    return cand, probes
+
+
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via IVF: nearest-centroid
+    inverted lists, nprobe=3 probe, exact re-rank inside probed lists."""
+    cand, probes = _ivf_index(spark, sf_dir)
     rescored = (
         cand.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -553,6 +563,204 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: the production ANN composition (FAISS's IndexIVFPQ shape) —
+# IVF inverted lists prune candidates, a PQ-reconstructed ASYMMETRIC
+# first stage ranks them cheaply (query stays exact, candidate is its
+# 8-byte code's reconstruction), and only the top 2k survivors get the
+# exact cosine re-rank. Reuses _ivf_index and curation's PQ codebook
+# (first-K-vectors, deterministic). At billion-vector scale stage one
+# reads 8-byte codes instead of 256-byte vectors — the memory-bandwidth
+# win that makes IVF-PQ the default production index.
+IVFPQ_STAGE1_K = 10  # survivors of the PQ stage per query (2 * final k)
+
+
+def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .curation import _PQ_K, _PQ_M, _PQ_SUBDIM
+
+    cand, probes = _ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    codebook = [
+        r.emb
+        for r in emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    ]
+
+    def d2(col, lits):
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array(*[F.lit(float(x)) for x in lits]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # candidate → PQ code (argmin per subspace) → reconstructed vector
+    sub_cents = [
+        F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(float(x))
+                        for x in codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM]
+                    ]
+                )
+                for c in range(_PQ_K)
+            ]
+        )
+        for j in range(_PQ_M)
+    ]
+    recon = F.concat(
+        *[
+            F.element_at(
+                sub_cents[j],
+                F.array_position(
+                    F.array(
+                        *[
+                            d2(
+                                F.slice("ne", j * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                                codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM],
+                            )
+                            for c in range(_PQ_K)
+                        ]
+                    ),
+                    F.array_min(
+                        F.array(
+                            *[
+                                d2(
+                                    F.slice("ne", j * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                                    codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM],
+                                )
+                                for c in range(_PQ_K)
+                            ]
+                        )
+                    ),
+                ).cast("int"),
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+    staged = (
+        cand.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("recon", recon)
+        .withColumn(
+            "approx_sim", F.round(cosine(F.col("qe"), F.col("recon")), 6)
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    survivors = (
+        staged.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= IVFPQ_STAGE1_K)
+        .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("sim", 6).alias("sim"),
+            "approx_sim",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_oracle() -> str:
+    from .curation import _PQ_K, _PQ_M, _PQ_SUBDIM
+
+    return f"""
+WITH exploded AS (
+  SELECT vec_id, label, u.x, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
+),
+centroid AS (
+  SELECT label AS cid, pos,
+         sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM exploded GROUP BY label, pos
+),
+csims AS (
+  SELECT e.vec_id, c.cid,
+         sum(e.x * c.cx) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))) AS csim
+  FROM exploded e JOIN centroid c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+  FROM csims
+),
+assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, cid FROM ranked
+           WHERE rk <= {IVF_NPROBE} AND vec_id < 10),
+emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        FROM embeddings),
+subs AS (
+  SELECT vec_id, j,
+         list_slice(e, j * {_PQ_SUBDIM} + 1, (j + 1) * {_PQ_SUBDIM}) AS sv
+  FROM emb, generate_series(0, {_PQ_M - 1}) g(j)
+),
+cb AS (SELECT vec_id AS ccid, j, sv AS cv FROM subs WHERE vec_id < {_PQ_K}),
+pq_dists AS (
+  SELECT s.vec_id, s.j, c.ccid, c.cv,
+         list_reduce(
+           list_transform(list_zip(s.sv, c.cv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+           (acc, x) -> acc + x
+         ) AS d
+  FROM subs s JOIN cb c USING (j)
+),
+pq_best AS (
+  SELECT vec_id, j, cv,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ccid) AS rn
+  FROM pq_dists
+),
+recon AS (
+  SELECT vec_id, flatten(list(cv ORDER BY j)) AS r
+  FROM pq_best WHERE rn = 1 GROUP BY vec_id
+),
+staged AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qe.e, r.r), 6) AS approx_sim,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_cosine_similarity(qe.e, r.r), 6) DESC,
+                    a.vec_id ASC
+         ) AS rk1
+  FROM probes p
+  JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN emb qe ON qe.vec_id = p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim, approx_sim
+FROM (
+  SELECT s.query_id, s.neighbor_id, s.approx_sim,
+         list_cosine_similarity(qe.e, ne.e) AS sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY list_cosine_similarity(qe.e, ne.e) DESC,
+                    s.neighbor_id ASC
+         ) AS rank
+  FROM staged s
+  JOIN emb qe ON qe.vec_id = s.query_id
+  JOIN emb ne ON ne.vec_id = s.neighbor_id
+  WHERE s.rk1 <= {IVFPQ_STAGE1_K}
+)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 COSINE_TOPK_IVF_ORACLE = f"""
@@ -819,4 +1027,6 @@ QUERIES = [
               "per-query LSH/IVF recall vs exact top-k (composed oracle)"),
     QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE,
               "SemDeDup: centroid-clustered embedding near-dup pruning"),
+    QuerySpec("cosine_topk_ivfpq", cosine_topk_ivfpq, _ivfpq_oracle(),
+              "IVF-PQ ANN: list pruning + PQ asymmetric stage + exact re-rank"),
 ]

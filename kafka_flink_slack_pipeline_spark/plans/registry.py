@@ -100,6 +100,7 @@ _DEMOTED = (
     # history-window parity row.
     "embedding_pq_assign",
     "bm25_keyword_search",
+    "cosine_topk_ivfpq",
 )
 
 

@@ -119,6 +119,32 @@ def test_bm25_results_are_wellformed_rankings(spark, sf_dir):
         assert all(h.n_matched_terms >= 1 for h in hits)
 
 
+def test_ivfpq_rankings_wellformed_and_bounded_by_exact(spark, sf_dir):
+    """IVF-PQ output must be clean 1..5 rankings whose best hit can never
+    beat the exact brute-force best (approximation can only lose)."""
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivfpq,
+    )
+
+    approx = cosine_topk_ivfpq(spark, sf_dir).collect()
+    assert approx
+    exact_best = {
+        r.query_id: r.sim
+        for r in cosine_topk_bruteforce(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    by_query: dict[int, list] = {}
+    for r in approx:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, hits in by_query.items():
+        assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+        sims = [h.sim for h in hits]
+        assert sims == sorted(sims, reverse=True)
+        assert sims[0] <= exact_best[qid] + 1e-9
+        assert all(-1.0 <= h.approx_sim <= 1.0 for h in hits)
+
+
 def test_kmeans_partitions_all_vectors(spark, sf_dir):
     rows = kmeans_lloyd_clusters(spark, sf_dir).collect()
     n = table(spark, sf_dir, "embeddings").count()
