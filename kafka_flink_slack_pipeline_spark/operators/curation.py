@@ -1,30 +1,32 @@
 """Corpus-curation operators (round-3 north-star surface).
 
-Four training-data-pipeline operators that complete the curation story the
+Training-data-pipeline operators that complete the curation story the
 brief mandates beyond the reference's own surface (the reference —
-Producer/kafkaProducer.js, Consumer/kafkaConsumer.js — has no corpus ops at
-all; these extend SURVEY.md §2.11):
+Producer/kafkaProducer.js, Consumer/kafkaConsumer.js — has no corpus ops
+at all; these extend SURVEY.md §2.11):
 
-  - interdoc_span_dedup: C4/RefinedWeb-style inter-document duplicated-span
-    measurement (which docs are mostly made of text that also appears in
-    other docs) — the span-level complement to the doc-level pair dedup in
-    operators/dedup.py.
-  - token_budget_select: fill a fixed token budget with the best-quality
-    documents (the "take the top N tokens" selection step before training).
-  - global_shuffle_shard: deterministic pseudo-random global training
-    order + round-robin shard assignment (the data-loader shuffle, made
-    reproducible and cluster-size-independent).
-  - embedding_quantize_int8: per-vector max-abs int8 quantization of the
-    embedding column with exact reconstruction-error reporting (the
-    storage/serving compression step of an embedding pipeline).
+  - interdoc_span_dedup: C4/RefinedWeb-style inter-document
+    duplicated-span measurement — the span-level complement to the
+    doc-level pair dedup in operators/dedup.py.
+  - token_budget_select / global_shuffle_shard: budget-prefix selection
+    and the deterministic data-loader shuffle, both via two-phase
+    bucketed global positions.
+  - decontaminate_fuzzy: paraphrase-robust eval decontamination by
+    3-gram containment (the exact-5-gram pass misses every perturbed
+    bench item; this recovers all sources).
+  - doc_unigram_surprisal: the LM-quality signal, ln-free.
+  - embedding_quantize_int8 / bm25_keyword_search: int8 embedding
+    compression and lexical top-k retrieval.
+  - kmeans_lloyd_clusters: iterative Lloyd's — driver-held O(k*d) model,
+    the one rows-only (non-SQL-expressible) member here.
 
-Every operator is a pure DataFrame plan (no Python in the hot path) with a
-DuckDB oracle. The two rank-style operators (budget select, global shuffle)
-deliberately avoid the naive single-partition global window: they compute
-global positions with the two-phase bucket pattern (tiny bucket-offset
-aggregate broadcast back, then a per-bucket window), which is the shape
-that survives 100 TB — an unpartitioned `Window.orderBy` would funnel the
-whole corpus through one task.
+All but k-means are pure DataFrame plans (no Python in the hot path)
+with DuckDB oracles. The rank-style operators (budget select, global
+shuffle) deliberately avoid the naive single-partition global window:
+they compute global positions with the two-phase bucket pattern (tiny
+bucket-offset aggregate broadcast back, then a per-bucket window), the
+shape that survives 100 TB — an unpartitioned `Window.orderBy` would
+funnel the whole corpus through one task.
 """
 
 from __future__ import annotations
