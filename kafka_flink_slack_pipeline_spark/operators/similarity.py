@@ -574,7 +574,12 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (first-K-vectors, deterministic). At billion-vector scale stage one
 # reads 8-byte codes instead of 256-byte vectors — the memory-bandwidth
 # win that makes IVF-PQ the default production index.
-IVFPQ_STAGE1_K = 10  # survivors of the PQ stage per query (2 * final k)
+# Survivors of the PQ stage per query. 5x the final k: with the crude
+# first-K-vectors codebook the PQ ranking is noisy (measured at sf0.01:
+# stage1=10 -> mean recall 0.24 vs IVF's 0.50 ceiling; stage1=25
+# recovers it — the standard IVF-PQ knob, trade exact re-ranks for
+# recall inside the probed lists).
+IVFPQ_STAGE1_K = 25
 
 
 def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,20 +838,27 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lsh = hits(cosine_topk_lsh(spark, sf_dir), "lsh_hits")
     ivf = hits(cosine_topk_ivf(spark, sf_dir), "ivf_hits")
+    ivfpq = hits(cosine_topk_ivfpq(spark, sf_dir), "ivfpq_hits")
     return (
         k.join(lsh, "query_id", "left")
         .join(ivf, "query_id", "left")
+        .join(ivfpq, "query_id", "left")
         .select(
             "query_id",
             "k",
             F.coalesce("lsh_hits", F.lit(0)).alias("lsh_hits"),
             F.coalesce("ivf_hits", F.lit(0)).alias("ivf_hits"),
+            F.coalesce("ivfpq_hits", F.lit(0)).alias("ivfpq_hits"),
             F.round(
                 F.coalesce("lsh_hits", F.lit(0)).cast("double") / F.col("k"), 4
             ).alias("lsh_recall"),
             F.round(
                 F.coalesce("ivf_hits", F.lit(0)).cast("double") / F.col("k"), 4
             ).alias("ivf_recall"),
+            F.round(
+                F.coalesce("ivfpq_hits", F.lit(0)).cast("double")
+                / F.col("k"), 4
+            ).alias("ivfpq_recall"),
         )
         .orderBy("query_id")
     )
@@ -856,6 +868,7 @@ ANN_RECALL_ORACLE = f"""
 WITH exact_r AS ({COSINE_TOPK_ORACLE}),
 lsh_r AS ({COSINE_TOPK_LSH_ORACLE}),
 ivf_r AS ({COSINE_TOPK_IVF_ORACLE}),
+ivfpq_r AS ({_ivfpq_oracle()}),
 k AS (SELECT query_id, count(*)::BIGINT AS k FROM exact_r GROUP BY query_id),
 lsh_h AS (
   SELECT e.query_id, count(*)::BIGINT AS lsh_hits FROM exact_r e
@@ -870,15 +883,25 @@ ivf_h AS (
                 WHERE i.query_id = e.query_id
                   AND i.neighbor_id = e.neighbor_id)
   GROUP BY e.query_id
+),
+ivfpq_h AS (
+  SELECT e.query_id, count(*)::BIGINT AS ivfpq_hits FROM exact_r e
+  WHERE EXISTS (SELECT 1 FROM ivfpq_r p
+                WHERE p.query_id = e.query_id
+                  AND p.neighbor_id = e.neighbor_id)
+  GROUP BY e.query_id
 )
 SELECT k.query_id, k.k,
        coalesce(lsh_hits, 0) AS lsh_hits,
        coalesce(ivf_hits, 0) AS ivf_hits,
+       coalesce(ivfpq_hits, 0) AS ivfpq_hits,
        round(coalesce(lsh_hits, 0)::DOUBLE / k.k, 4) AS lsh_recall,
-       round(coalesce(ivf_hits, 0)::DOUBLE / k.k, 4) AS ivf_recall
+       round(coalesce(ivf_hits, 0)::DOUBLE / k.k, 4) AS ivf_recall,
+       round(coalesce(ivfpq_hits, 0)::DOUBLE / k.k, 4) AS ivfpq_recall
 FROM k
 LEFT JOIN lsh_h ON k.query_id = lsh_h.query_id
 LEFT JOIN ivf_h ON k.query_id = ivf_h.query_id
+LEFT JOIN ivfpq_h ON k.query_id = ivfpq_h.query_id
 ORDER BY k.query_id
 """
 
