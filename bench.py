@@ -71,6 +71,14 @@ HEADLINE = [
     # r3 addition: lexical retrieval (broadcast query-term semi-filter on
     # the postings explosion + per-query top-k window).
     "bm25_keyword_search",
+    # r4 addition: the production ANN composition — promoted to the
+    # headline set once the r3 codegen blowup was fixed (per-vector PQ
+    # codes + literal-centroid narrow-map assignment; was 35.5 s at
+    # sf0.01 in r3, two orders of magnitude off). Its O(k*d) model-state
+    # collects (PQ codebook, coarse centroids) run at frame-build time,
+    # so the timed passes measure SEARCH — the index-build/query split a
+    # production ANN service has.
+    "cosine_topk_ivfpq",
 ]
 
 

@@ -564,9 +564,13 @@ ORDER BY doc_id
 # K-means (Lloyd's algorithm) over the embedding column — the iterative-
 # algorithm representative the brief's "custom operators" clause calls
 # for. Deterministic throughout: init centroids are the first K vectors
-# by vec_id, assignment ties break to the lowest centroid id, and inertia
-# accumulates in DECIMAL. Not SQL-expressible as one query (the driver
-# records the weaker rows-only check, like the streaming pipelines).
+# by vec_id, assignment ties break to the lowest centroid id, and both
+# the centroid means and the inertia accumulate in DECIMAL (r4: the
+# per-dimension sums too — a plain double sum's merge order follows
+# shuffle fetch order, which could move the mean by an ulp across runs).
+# That full determinism is what makes the r4 ORACLE possible: the fixed
+# iteration count unrolls into CTE stages (see _kmeans_oracle), turning
+# the last non-streaming rows-only row into a hash-verified one.
 #
 # Scale notes (100 TB): the classic Spark k-means shape (what MLlib
 # does) — centroids live on the DRIVER between iterations because they
@@ -619,7 +623,17 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             _km_assign(emb, cents)
             .select("cid", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cid", "dim")
-            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            # DECIMAL accumulation (repo numeric policy, same as the
+            # inertia sum below): a plain double sum's reduce-side merge
+            # order follows shuffle fetch order, so centroids could
+            # differ in last ulps across runs and flip near-tie
+            # assignments — breaking this operator's determinism claim.
+            .agg(
+                F.sum(F.col("x").cast("decimal(25,15)"))
+                .cast("double")
+                .alias("sx"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()  # O(k*d) model rows, not O(n) data rows
         )
         by_cid: dict[int, dict[int, tuple[float, int]]] = {}
@@ -642,6 +656,68 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+def _kmeans_oracle() -> str:
+    """Declarative fixpoint of the 3 Lloyd iterations as unrolled CTEs.
+
+    Expressible ONLY because every piece is deterministic cross-engine:
+    init = first K vectors, squared distances are index-ordered
+    list_reduce folds (identical to Spark's F.aggregate sequential fold),
+    ties break to the lowest cid, and centroid means / inertia accumulate
+    in DECIMAL(25,15) before the double conversion — so each unrolled
+    iteration reproduces the Spark driver loop bit-for-bit."""
+    d2 = (
+        "list_reduce(list_transform(list_zip(e.v, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS v FROM embeddings),",
+        "ex AS (SELECT vec_id, u.x, u.pos FROM e, LATERAL (SELECT unnest(v)"
+        " AS x, generate_subscripts(v, 1) AS pos) u),",
+        f"cl0 AS (SELECT vec_id AS cid, v AS cv FROM e"
+        f" WHERE vec_id < {_KM_K}),",
+    ]
+    prev = "cl0"
+    for i in range(1, _KM_ITERS + 1):
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),""",
+            f"""m{i} AS (
+  SELECT a.cid, ex.pos, sum(ex.x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM a{i} a JOIN ex USING (vec_id) GROUP BY a.cid, ex.pos
+),""",
+            f"""cl{i} AS (
+  SELECT o.cid, coalesce(n.cv, o.cv) AS cv
+  FROM {prev} o LEFT JOIN (SELECT cid, list(cx ORDER BY pos) AS cv
+                           FROM m{i} GROUP BY cid) n USING (cid)
+),""",
+        ]
+        prev = f"cl{i}"
+    parts.append(
+        f"""final AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)
+SELECT cid, count(*)::BIGINT AS n_vecs,
+       round(sum(d::DECIMAL(25,15))::DOUBLE, 6) AS inertia
+FROM final GROUP BY cid ORDER BY cid"""
+    )
+    return "\n".join(parts)
+
+
+KMEANS_ORACLE = _kmeans_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -667,6 +743,12 @@ _BM25_B = 0.75
 _BM25_EVERY = 100     # every k-th doc seeds a query
 _BM25_QSLICE = (10, 3)  # query = tokens 10..12 of the seed doc
 _BM25_TOPK = 10
+# Hard bound on the seeded workload: only docs below this id can seed a
+# query, so the query set is <= _BM25_MAX_QUERIES at ANY corpus size —
+# boundedness by construction, not by synthetic-data luck. (The r3 form
+# .collect()ed the workload to the driver; that materialization grew
+# O(corpus/100) — a driver bottleneck at the 100-TB design point.)
+_BM25_MAX_QUERIES = 64
 
 
 def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,25 +759,22 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(tokens_col(), lambda t: t != "").alias("toks"),
     )
-    # The query workload is BOUNDED (a search request set, not a corpus):
-    # materialize it once driver-side and re-enter it as literals — the
-    # same model-state treatment as kmeans centroids / LSH planes. This
-    # kills two whole corpus-scan branches (queries + distinct terms)
-    # that Spark would otherwise recompute per broadcast (no subplan
-    # reuse under AQE; measured: 2.2 s -> ~1 s at sf0.1 with the window
-    # df below).
-    qrows = (
-        toked.filter(F.col("doc_id") % _BM25_EVERY == 0)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.array_distinct(F.slice("toks", *_BM25_QSLICE))).alias(
-                "term"
-            ),
-        )
-        .collect()
-    )
-    queries = spark.createDataFrame(
-        [(r.query_id, r.term) for r in qrows], "query_id long, term string"
+    # The query workload is a BOUNDED distributed frame (a search request
+    # set, not a corpus): the doc_id range predicate below pushes through
+    # the tokenization to the parquet scan (row-group pruning on the
+    # doc_id min/max stats), so each of the two broadcast consumers of
+    # `queries` (the distinct-term semi-filter and the scoring join)
+    # re-derives it from a <= 64-doc slice — bounded work even though
+    # Spark 4.1 AQE plans the two consumers independently. No driver
+    # round-trip, no .collect().
+    queries = toked.filter(
+        (F.col("doc_id") % _BM25_EVERY == 0)
+        & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice("toks", *_BM25_QSLICE))).alias(
+            "term"
+        ),
     )
     # one corpus branch: explode, broadcast-filter to query terms, tf agg;
     # df comes from a window over this SAME small frame (one row per
@@ -754,6 +833,7 @@ queries AS (
            list_slice(toks, {_BM25_QSLICE[0]},
                       {_BM25_QSLICE[0] + _BM25_QSLICE[1] - 1}))) AS term
   FROM toked WHERE doc_id % {_BM25_EVERY} = 0
+    AND doc_id < {_BM25_EVERY * _BM25_MAX_QUERIES}
 ),
 postings AS (
   SELECT doc_id, len(toks)::DOUBLE AS dl, term, count(*)::DOUBLE AS tf
@@ -918,8 +998,9 @@ QUERIES = [
     QuerySpec("doc_unigram_surprisal", doc_unigram_surprisal,
               DOC_SURPRISAL_ORACLE,
               "unigram-LM surprisal quality score (rational, ln-free)"),
-    QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, None,
-              "iterative Lloyd k-means, driver-held O(k*d) model state"),
+    QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_ORACLE,
+              "iterative Lloyd k-means, driver-held O(k*d) model state "
+              "(oracle: the 3 iterations unrolled as CTE stages)"),
     QuerySpec("embedding_pq_assign", embedding_pq_assign, EMBED_PQ_ORACLE,
               "product-quantization codes + decimal-exact error (8x16)"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,

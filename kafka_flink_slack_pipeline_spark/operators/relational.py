@@ -274,12 +274,50 @@ ORDER BY o_custkey, rank_in_customer
 
 
 # --------------------------------------------------------------------------
-# customer_deciles — ntile window + re-aggregation.
+# customer_deciles — ntile + re-aggregation, WITHOUT a global window.
 def customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile stats over customer account balances.
+
+    r4 rewrite: the r1 form ran ntile(10) OVER (ORDER BY ...) — a
+    single-partition window funnelling every customer through one task.
+    This is the same two-phase bucketed global-position pattern as
+    token_budget_select / global_shuffle_shard: c_acctbal's domain is
+    bounded by the TPC-H spec ([-999.99, 9999.99]), so floor(acctbal/500)
+    is a <=22-value bucket key that is a monotone prefix of the sort
+    order; per-bucket counts -> broadcast running offsets -> within-
+    bucket row_number = global rank, and the decile falls out of ntile's
+    arithmetic rule (first n%10 tiles get one extra row) applied to
+    (rank, total). The oracle keeps the declarative ntile form."""
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    keyed = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.floor(F.col("c_acctbal") / 500).cast("int").alias("bucket"),
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("offset"),
+        F.sum("bn").over(w_all).alias("total"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    pos = keyed.join(F.broadcast(offsets), "bucket").withColumn(
+        "rk", F.col("offset") + F.row_number().over(w_in)
+    )
+    # ntile(10): q = total div 10, r = total mod 10; the first r tiles
+    # hold q+1 rows, the rest q.
+    q = (F.col("total") / 10).cast("long")
+    r = F.col("total") % 10
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    decile = (
+        F.when(F.col("rk") <= big, F.ceil(F.col("rk") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rk") - big) / q))
+        .cast("int")
+    )
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
+        pos.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

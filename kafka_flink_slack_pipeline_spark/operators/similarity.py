@@ -166,16 +166,20 @@ def embedding_neardup_pairs(
     bands = corpus.select(
         "vec_id", F.posexplode(band_vals).alias("band_idx", "band_val")
     )
+    # r4: bucket-grouped pair generation (same shape as dedup_minhash_lsh)
+    # — the 120-bit signature pipeline runs ONCE instead of per self-join
+    # side (Spark 4.1 AQE: no cross-branch exchange reuse). Buckets carry
+    # only vec_ids; the exact-cosine re-rank below joins the vectors back.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.collect_list("vec_id").alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
     pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            ["band_idx", "band_val"],
-        )
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
         .distinct()
     )
     ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
@@ -510,39 +514,90 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_model(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The coarse-quantizer codebook as DRIVER-held model state:
+    (cid, centroid) sorted by cid — O(k*d) doubles, the same treatment as
+    kmeans centroids / LSH hyperplanes / the PQ codebook. Collected once
+    per query build; embedded as array literals so assignment is a pure
+    narrow map (whole-stage codegen, no broadcast join, no shuffle)."""
+    return sorted(
+        ((r.cid, list(r.centroid)) for r in _centroids(spark, sf_dir).collect()),
+        key=lambda t: t[0],
+    )
+
+
+def _centroid_sims(model: list[tuple[int, list[float]]], emb_col):
+    """Array of cosine(emb, centroid_c) in cid order, as one column expr.
+    The literal-side norm is precomputed in Python with the same
+    left-to-right IEEE summation as the Spark fold."""
+    import math
+
+    out = []
+    for _, c in model:
+        cnorm = 0.0
+        for x in c:
+            cnorm = cnorm + x * x
+        out.append(
+            dot(emb_col, F.array(*[F.lit(float(x)) for x in c]))
+            / (norm(emb_col) * F.lit(math.sqrt(cnorm)))
+        )
+    return F.array(*out)
+
+
+def _assign_cid(model: list[tuple[int, list[float]]], sims_col):
+    """Nearest-centroid id from the projected sims array: first position
+    of the max (ties -> lowest cid, since the array is cid-ordered)."""
+    cids = F.array(*[F.lit(int(cid)) for cid, _ in model])
+    return F.element_at(
+        cids, F.array_position(sims_col, F.array_max(sims_col)).cast("int")
+    )
+
+
 def _ivf_index(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, probes) shared by the IVF and IVF-PQ searchers:
     inverted lists keyed by nearest centroid, and each query's NPROBE
-    nearest lists."""
+    nearest lists.
+
+    r4 rewrite: the codebook is collected once as model state and enters
+    the plan as literals. Assignment becomes argmax over a PROJECTED
+    per-centroid cosine array — no BroadcastNestedLoopJoin, no k-times
+    row amplification, and no vec_id window shuffle (the r3 form
+    shuffled every (vector, centroid) pair through a row_number window);
+    the probe branch ranks the same array with array_sort on
+    (-csim, cid) structs, so tie-breaks match the old window exactly."""
     emb = _emb(spark, sf_dir)
-    cents = _centroids(spark, sf_dir)
-    # assignment: every vector → nearest centroid (rank 1 of cosine)
-    scored = emb.join(F.broadcast(cents)).withColumn(
-        "csim", cosine(F.col("emb"), F.col("centroid"))
+    model = _centroid_model(spark, sf_dir)
+    sims = _centroid_sims(model, F.col("emb"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"),
+        sims.alias("csims"),
+    ).select(
+        "neighbor_id", "ne", _assign_cid(model, F.col("csims")).alias("cid")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cid")
+    ranked = F.slice(
+        F.array_sort(
+            F.zip_with(
+                F.col("csims"),
+                F.array(*[F.lit(int(cid)) for cid, _ in model]),
+                lambda s, c: F.struct((-s).alias("negsim"), c.alias("cid")),
+            )
+        ),
+        1,
+        IVF_NPROBE,
     )
-    assigned = (
-        scored.withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "emb", "cid")
-    )
-    # queries probe their NPROBE nearest lists
     probes = (
-        scored.filter(F.col("vec_id") < 10)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") <= IVF_NPROBE)
+        emb.filter(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("qe"),
-            "cid",
+            sims.alias("csims"),
         )
-    )
-    cand = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"), "cid"
+        .select(
+            "query_id", "qe", F.explode(ranked).alias("probe")
+        )
+        .select("query_id", "qe", F.col("probe.cid").alias("cid"))
     )
     return cand, probes
 
@@ -583,6 +638,20 @@ IVFPQ_STAGE1_K = 25
 
 
 def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (r4 rewrite of the stage-1 expression shape).
+
+    PQ codes are computed ONCE PER VECTOR on the embeddings frame — the
+    per-subspace distance array is projected to a column `d{j}` and the
+    argmin reads the projected column (the repo's tokens-projection/CSE
+    rule: the r3 form inlined the 16-centroid fold TWICE per subspace,
+    under array_position AND array_min, on the (query, candidate) PAIR
+    frame — ~256 aggregate folds in one projection, 1.3 MiB task
+    binaries, 35.5 s at sf0.01). The candidate join then carries 8 int
+    codes (32 bytes) instead of a 64-double reconstruction, and the
+    reconstructed vector is assembled AFTER the join by indexing literal
+    per-subspace codebook arrays — exactly how a production IVF-PQ
+    index stores 8-byte codes and reconstructs at query time.
+    """
     from .curation import _PQ_K, _PQ_M, _PQ_SUBDIM
 
     cand, probes = _ivf_index(spark, sf_dir)
@@ -603,7 +672,27 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    # candidate → PQ code (argmin per subspace) → reconstructed vector
+    dist_cols = [
+        F.array(
+            *[
+                d2(
+                    F.slice("emb", j * _PQ_SUBDIM + 1, _PQ_SUBDIM),
+                    codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM],
+                )
+                for c in range(_PQ_K)
+            ]
+        ).alias(f"d{j}")
+        for j in range(_PQ_M)
+    ]
+    codes = emb.select(F.col("vec_id").alias("neighbor_id"), *dist_cols).select(
+        "neighbor_id",
+        *[
+            F.array_position(F.col(f"d{j}"), F.array_min(f"d{j}"))
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(_PQ_M)
+        ],
+    )
     sub_cents = [
         F.array(
             *[
@@ -619,38 +708,12 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_PQ_M)
     ]
     recon = F.concat(
-        *[
-            F.element_at(
-                sub_cents[j],
-                F.array_position(
-                    F.array(
-                        *[
-                            d2(
-                                F.slice("ne", j * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-                                codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM],
-                            )
-                            for c in range(_PQ_K)
-                        ]
-                    ),
-                    F.array_min(
-                        F.array(
-                            *[
-                                d2(
-                                    F.slice("ne", j * _PQ_SUBDIM + 1, _PQ_SUBDIM),
-                                    codebook[c][j * _PQ_SUBDIM:(j + 1) * _PQ_SUBDIM],
-                                )
-                                for c in range(_PQ_K)
-                            ]
-                        )
-                    ),
-                ).cast("int"),
-            )
-            for j in range(_PQ_M)
-        ]
+        *[F.element_at(sub_cents[j], F.col(f"c{j}")) for j in range(_PQ_M)]
     )
     staged = (
         cand.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(codes, "neighbor_id")
         .withColumn("recon", recon)
         .withColumn(
             "approx_sim", F.round(cosine(F.col("qe"), F.col("recon")), 6)
@@ -662,7 +725,10 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         staged.withColumn("rk1", F.row_number().over(w1))
         .filter(F.col("rk1") <= IVFPQ_STAGE1_K)
-        .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+        # stage-2 rank on the ROUNDED cosine, matching stage 1 and the
+        # other ANN ops: a cross-engine ulp difference at a near-tie
+        # must not flip ranks (tie-break on neighbor_id follows).
+        .withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -674,7 +740,7 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "rank",
-            F.round("sim", 6).alias("sim"),
+            "sim",
             "approx_sim",
         )
         .orderBy("query_id", "rank")
@@ -749,13 +815,13 @@ staged AS (
   JOIN emb qe ON qe.vec_id = p.query_id
   JOIN recon r ON r.vec_id = a.vec_id
 )
-SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim, approx_sim
+SELECT query_id, neighbor_id, rank, sim, approx_sim
 FROM (
   SELECT s.query_id, s.neighbor_id, s.approx_sim,
-         list_cosine_similarity(qe.e, ne.e) AS sim,
+         round(list_cosine_similarity(qe.e, ne.e), 6) AS sim,
          row_number() OVER (
            PARTITION BY s.query_id
-           ORDER BY list_cosine_similarity(qe.e, ne.e) DESC,
+           ORDER BY round(list_cosine_similarity(qe.e, ne.e), 6) DESC,
                     s.neighbor_id ASC
          ) AS rank
   FROM staged s
@@ -824,25 +890,35 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     k = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
-
-    def hits(approx: DataFrame, name: str) -> DataFrame:
-        return (
-            exact.join(
-                approx.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-                "left_semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias(name))
+    # r4: the three approximate result sets union with a method tag and
+    # hit-test against exact in ONE join + pivot — the old per-method
+    # left_semi made `exact` a 4-consumer subplan, i.e. 4 recomputes of
+    # the whole brute-force pipeline under Spark 4.1 AQE (no cross-
+    # branch reuse). Now exact has 2 consumers (k + the hit join).
+    approx = None
+    for name, q in (
+        ("lsh", cosine_topk_lsh(spark, sf_dir)),
+        ("ivf", cosine_topk_ivf(spark, sf_dir)),
+        ("ivfpq", cosine_topk_ivfpq(spark, sf_dir)),
+    ):
+        tagged = q.select(
+            "query_id", "neighbor_id", F.lit(name).alias("method")
         )
-
-    lsh = hits(cosine_topk_lsh(spark, sf_dir), "lsh_hits")
-    ivf = hits(cosine_topk_ivf(spark, sf_dir), "ivf_hits")
-    ivfpq = hits(cosine_topk_ivfpq(spark, sf_dir), "ivfpq_hits")
+        approx = tagged if approx is None else approx.unionByName(tagged)
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .pivot("method", ["lsh", "ivf", "ivfpq"])
+        .count()
+        .select(
+            "query_id",
+            F.col("lsh").alias("lsh_hits"),
+            F.col("ivf").alias("ivf_hits"),
+            F.col("ivfpq").alias("ivfpq_hits"),
+        )
+    )
     return (
-        k.join(lsh, "query_id", "left")
-        .join(ivf, "query_id", "left")
-        .join(ivfpq, "query_id", "left")
+        k.join(hits, "query_id", "left")
         .select(
             "query_id",
             "k",
@@ -939,21 +1015,15 @@ def semantic_dedup(
     """Per-vector keep/drop verdict: drop iff a lower-id vector in the same
     centroid cluster has cosine >= threshold (SemDeDup keep-first rule)."""
     corpus = _neardup_corpus(spark, sf_dir)
-    cents = _centroids(spark, sf_dir)
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("csim", cosine(F.col("emb"), F.col("centroid")))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("csim").alias("s"), (-F.col("cid")).alias("n")
-                )
-            ).alias("best"),
-            F.first("emb").alias("emb"),
-        )
-        .select("vec_id", (-F.col("best.n")).alias("cid"), "emb")
-    )
+    # r4: centroids enter as literal model state (see _centroid_model) —
+    # assignment is a narrow argmax map over a projected per-centroid
+    # cosine array instead of a BroadcastNestedLoopJoin + k-times row
+    # amplification + groupBy(vec_id) shuffle. Tie rule unchanged
+    # (highest csim, ties to lowest cid).
+    model = _centroid_model(spark, sf_dir)
+    assigned = corpus.select(
+        "vec_id", "emb", _centroid_sims(model, F.col("emb")).alias("csims")
+    ).select("vec_id", _assign_cid(model, F.col("csims")).alias("cid"), "emb")
     pairs = (
         assigned.alias("a")
         .join(assigned.alias("b"), "cid")

@@ -252,29 +252,51 @@ ORDER BY user_id
 # logical partitioning reused across every stage; no window-sort over
 # full event history per user.
 def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click-after-view -> purchase-after-click funnel per user.
+
+    r4 rewrite: ONE events pass. The three stage timestamps are chained
+    min-over-user window projections (each stage's predicate reads the
+    previous stage's projected column), all over the SAME user_id
+    partitioning — one exchange, three WindowExec layers, then a
+    partition-local groupBy collapses each user to one row. The r1 form
+    built views/clicks/purchases as separate agg+join branches; under
+    Spark 4.1 AQE (no cross-branch reuse) that planned SIX events scans."""
     e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("view_ts"))
-    )
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts") > F.col("view_ts"))
-        .groupBy("user_id", "view_ts")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(clicks.select("user_id", "click_ts"), "user_id")
-        .filter(F.col("ts") > F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "view_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("view_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
     return (
-        views.join(clicks.select("user_id", "click_ts"), "user_id", "left")
-        .join(purchases, "user_id", "left")
+        staged.filter(F.col("view_ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("view_ts").alias("view_ts"),
+            F.min("click_ts").alias("click_ts"),
+            F.min("purchase_ts").alias("purchase_ts"),
+        )
         .select(
             "user_id",
             F.unix_timestamp("view_ts").alias("view_epoch"),

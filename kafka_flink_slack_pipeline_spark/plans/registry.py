@@ -94,13 +94,29 @@ _DEMOTED = (
     # One more for decontaminate_fuzzy: doc_fingerprints' md5 content hash
     # is the same signal dedup_exact groups by (r2-green, unchanged).
     "doc_fingerprints",
-    # Self-demoted on arrival: with the window full of parity + family
-    # representatives, these keep their local-oracle verification
-    # (tools/verify_local.py, hash-exact) rather than displacing the W1
-    # history-window parity row.
-    "embedding_pq_assign",
-    "bm25_keyword_search",
-    "cosine_topk_ivfpq",
+    # r4: the three r3 arrivals (embedding_pq_assign, bm25_keyword_search,
+    # cosine_topk_ivfpq) are PROMOTED into the window — they were reworked
+    # this round (PQ argmin projection, bounded distributed BM25 workload,
+    # IVF-PQ per-vector codes + rounded stage-2 rank) and new/changed code
+    # must get the driver's hash check, per the r3 verdict. Three r3-green
+    # rows whose code is untouched since r3 rotate out to make room; all
+    # three stay covered by tools/verify_local.py:
+    "doc_langid_confusion",
+    "doc_scrub_pii",
+    "dedup_recall_report",
+    # r4 bookkeeping (no reordering — these were ALREADY outside the
+    # 50-entry window, displaced when the curation module registered ahead
+    # of temporal/windows/relational in r3; listing them here makes the
+    # window composition auditable from this tuple alone, per ADVICE r3).
+    # All seven were driver-green in earlier rounds and are unchanged;
+    # verify_local still covers them.
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q4_priority_exists",
+    "customers_without_orders",
+    "top_orders_per_customer",
+    "rollup_revenue_region_nation",
 )
 
 

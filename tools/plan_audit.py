@@ -1,9 +1,11 @@
-"""Physical-plan audit: fail if a headline query plans a scale antipattern.
+"""Physical-plan audit: fail if a query plans a scale antipattern.
 
-Run: python tools/plan_audit.py [sf_dir]   (default /root/testdata/sf0.1)
+Run: python tools/plan_audit.py [sf_dir] [--headline]
+     (default sf_dir /root/testdata/sf0.1; default scope ALL registered
+      queries — --headline restricts to the bench headline set)
 
-For every bench headline query this builds the DataFrame, grabs the
-executed plan, and checks:
+For every query this builds the DataFrame, grabs the executed plan, and
+checks:
 
   1. No CartesianProduct / BroadcastNestedLoopJoin — a nested-loop join is
      O(n*m) row work at any cluster size (the antipattern the brief bans).
@@ -11,15 +13,25 @@ executed plan, and checks:
      only through Arrow (ArrowEvalPython / FlatMapGroupsInPandas /
      MapInPandas).
   3. Exchange SinglePartition only above a bounded-cardinality frame —
-     detected structurally: the exchange's subtree must contain a
-     HashAggregate or Window over a key we whitelist as bounded (score
-     buckets, hash-prefix buckets, lang/source domains) or sit above a
-     global single-row aggregate. Anything else funnels the corpus
-     through one task.
+     detected structurally: the first HashAggregate/Window/Sort line below
+     the exchange must group/partition by a key we whitelist as bounded
+     (score buckets, hash-prefix buckets, lang/source domains), be a
+     global single-row aggregate, or be a plain result Sort (presentation
+     order over an already-reduced frame). The hint must appear INSIDE the
+     HashAggregate(keys=[...]) / Window [partitionBy] spec itself, not
+     merely anywhere nearby (r3 ADVICE: a frame that merely referenced a
+     column named 'total' would have passed the old blob heuristic).
+  4. Duplicate scan subtrees: the same parquet relation scanned more times
+     than the query's documented budget (default 2 — a self-join of one
+     derived frame). Spark 4.1 AQE plans NO cross-branch exchange reuse,
+     so every extra scan is a full recompute of that branch; queries that
+     legitimately read a table from >2 branches carry an explicit
+     justification in _SCAN_BUDGET.
 
 Exit code 1 on any violation, with the offending plan excerpt printed —
-wired for CI alongside verify_local. Also prints a one-line per-query
-summary (exchange count, python eval nodes) so plan drift is visible in
+wired for CI alongside verify_local (see .claude/skills/verify/SKILL.md).
+Also prints a one-line per-query summary (exchange count, python eval
+nodes, max scans of one table) so plan drift is visible in
 round-over-round diffs.
 """
 
@@ -33,14 +45,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Bounded-key whitelist for SinglePartition exchanges: these windows run
 # over post-aggregation frames whose cardinality is fixed by construction
-# (score buckets <= 11, hash-prefix buckets <= 256, lang x source <= ~15,
-# vocabulary totals = 1 row).
+# (score buckets <= 11, hash-prefix buckets <= 256, floor(acctbal/500)
+# buckets <= 22 by the TPC-H domain, lang x source <= ~15, vocabulary
+# totals = 1 row, grouping-set shells <= |sets| x small).
 _BOUNDED_HINTS = (
     "quality_score",
     "bucket",
     "lang",
     "source",
     "total",
+    "o_orderstatus",
+    "o_orderpriority",
+    "spark_grouping_id",
+    "cid",        # kmeans/semantic centroid ids: k <= 10 by construction
+    "band",       # LSH band counts: bands x bucket-key cardinality
+    "y#", "m#", "dow#",  # calendar domains (orders_by_dow)
 )
 
 # Deliberate BroadcastNestedLoopJoin sites — each broadcasts a frame whose
@@ -53,38 +72,132 @@ _ALLOWED_BNLJ = {
     # are the scale path
     "cosine_topk_bruteforce": "10-row query side broadcast (exact baseline)",
     # broadcast of the fixed 10-cell centroid codebook onto the corpus
-    "semantic_dedup": "bounded centroid codebook broadcast",
+    "label_centroid_similarity": "bounded centroid codebook broadcast",
     # broadcast of the 1-row corpus-total aggregate (constant attach)
     "doc_unigram_surprisal": "1-row corpus total broadcast",
     # broadcast of the 1-row (n, avgdl) stats aggregate (constant attach)
     "bm25_keyword_search": "1-row corpus stats broadcast",
+    # broadcast of 1-row count aggregates composed into the report row
+    "dedup_recall_report": "1-row count aggregates crossJoin",
+    "ann_recall_report": "1-row count aggregates crossJoin",
+    "corpus_filter_report": "1-row aggregate attach",
+    "corpus_export_manifest": "1-row aggregate attach",
+    "mixture_weights": "1-row denominator attach",
+    "benchmark_decontaminate": "bounded bench-suite broadcast",
+    "decontaminate_fuzzy": "bounded bench-suite broadcast",
+    "table_profile": "1-row wide aggregate unpivot",
+    "dedup_exact_normalized": "1-row count attach",
+    "q22_dormant_customers": "1-row avg-balance attach (TPC-H Q22 shape)",
+    "correlated_above_avg_orders": "1-row global avg attach",
+    "rich_customers_without_orders": "1-row threshold attach",
+    "median_order_by_status": "1-row percentile frame attach",
+    "q17_small_quantity_revenue": "per-part avg attach via broadcast",
+    "q11_important_stock": "1-row value-fraction threshold attach (Q11 HAVING)",
 }
+
+# Per-query budget for how many times ONE parquet relation may be scanned
+# in the executed plan. Default is 2 (a self-join over a derived frame —
+# under Spark 4.1 AQE each side recomputes its branch; acceptable when the
+# branch is one narrow pass). Entries here either justify a higher count
+# or pin a known-weak shape we've measured to still be the best available
+# plan (see docstrings at the query sites).
+_SCAN_BUDGET: dict[str, tuple[int, str]] = {
+    # documents read by: signal branch + capped-jaccard self-join (x2) +
+    # sizes re-joins (x2) — the self-join form re-pinned by measurement in
+    # r4 (bucket-grouped single-pass variant was ~9x slower; see
+    # capped_jaccard_pairs docstring)
+    "dedup_ngram_jaccard": (4, "uncapped inverted-index self-join + sizes"),
+    "dedup_ngram_jaccard_capped": (4, "capped self-join + sizes re-joins"),
+    "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
+    "corpus_export_manifest": (5, "filter + pack composition"),
+    # composed reports re-derive their member queries' branches
+    "dedup_recall_report": (8, "composes exact + minhash pipelines"),
+    "ann_recall_report": (13, "composes brute/LSH/IVF/IVF-PQ pipelines — an "
+                             "evaluation harness over the 10-query probe "
+                             "set, not a production path; each member is "
+                             "plan-audited on its own"),
+    "decontaminate_fuzzy": (3, "corpus + in-query bench-suite derivation"),
+    # the planted-dup union reads embeddings twice per branch; 3 branches
+    # (one banded/assignment pass + two vector join-backs or pair sides)
+    "semantic_dedup": (6, "union x (narrow assign + pair self-join sides)"),
+    "embedding_neardup_pairs": (6, "union x (banded pass + 2 join-backs)"),
+    "cosine_topk_lsh": (4, "query + candidate banded sides"),
+    "cosine_topk_ivfpq": (3, "cand + probes + per-vector PQ codes"),
+    "tfidf_top_terms": (3, "term agg + per-lang doc-count branch"),
+    "bm25_keyword_search": (4, "postings + bounded query seeds + stats"),
+    "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
+    "dedup_incremental": (2, "disjoint shard/corpus slices of one scan"),
+    "events_sliding_counts": (3, "per-window-offset union branches"),
+}
+_DEFAULT_SCAN_BUDGET = 2
 
 
 def _single_partition_ok(plan: str, idx: int) -> bool:
-    """A SinglePartition exchange is fine if its input is a tiny agg.
+    """A SinglePartition exchange is fine if its input is provably tiny.
 
-    Heuristic on the plan text: look at the ~6 lines below the exchange —
-    they must contain a HashAggregate/Window whose grouping references a
-    whitelisted bounded key, or an empty grouping (global single-row agg).
+    Structural check on the plan text below the exchange: find the first
+    HashAggregate / Window / Sort node line and test THAT line's key spec:
+      - HashAggregate(keys=[], ...)            global single-row aggregate
+      - HashAggregate(keys=[...bounded key...]) bounded-group aggregate
+      - Window [... partitionBy bounded key]    bounded-partition window
+      - Sort [...] with no Window/agg below it within the excerpt: result
+        presentation sort (the exchange feeds a final orderBy; Spark plans
+        rangepartitioning for big sorts, SinglePartition only for small
+        result sets — still flagged if a scan feeds it directly).
     """
-    tail = plan[idx:].splitlines()[1:8]
-    blob = "\n".join(tail)
-    if "HashAggregate(keys=[], " in blob:
-        return True
-    return any(h in blob for h in _BOUNDED_HINTS)
+    tail = plan[idx:].splitlines()[1:10]
+    for line in tail:
+        s = line.strip().lstrip("+-*: ")
+        if s.startswith("HashAggregate") or s.startswith(
+            "ObjectHashAggregate"
+        ) or s.startswith("SortAggregate"):
+            m = re.search(r"keys=\[(.*?)\]", s)
+            keys = m.group(1) if m else ""
+            if keys.strip() == "":
+                return True
+            return any(h in keys for h in _BOUNDED_HINTS)
+        if s.startswith("Window"):
+            # windowspecdefinition(part..., order...) — test the spec args
+            m = re.search(r"windowspecdefinition\((.*?)\)", s)
+            spec = m.group(1) if m else s
+            return any(h in spec for h in _BOUNDED_HINTS)
+        if s.startswith("Sort "):
+            continue  # look through the sort to what feeds it
+        if s.startswith("Scan ") or s.startswith("FileScan"):
+            return False  # corpus funnelled into one task
+    return False
 
 
-def audit(sf_dir: str) -> int:
+def _max_scans(plan: str) -> tuple[int, str]:
+    """(max occurrences of one parquet relation, its table name)."""
+    names = re.findall(r"Scan parquet\s*\S*\[?[^\n]*?([a-z_]+)\.parquet", plan)
+    if not names:
+        names = re.findall(r"\.parquet/?([a-z_]+)?", plan)
+    counts: dict[str, int] = {}
+    for n in re.findall(r"/([a-z_]+)\.parquet", plan):
+        counts[n] = counts.get(n, 0) + 1
+    if not counts:
+        return 0, ""
+    top = max(counts, key=lambda k: counts[k])
+    return counts[top], top
+
+
+def audit(sf_dir: str, headline_only: bool = False) -> int:
     from bench import HEADLINE
     from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
     from kafka_flink_slack_pipeline_spark.session import get_spark
 
     spark = get_spark("plan_audit")
     specs = all_queries()
+    names = HEADLINE if headline_only else list(specs)
     failures = 0
-    for name in HEADLINE:
-        df = specs[name].fn(spark, sf_dir)
+    for name in names:
+        try:
+            df = specs[name].fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — report, don't abort audit
+            print(f"FAIL {name}: frame construction raised {exc!r}")
+            failures += 1
+            continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         problems: list[str] = []
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
@@ -101,6 +214,15 @@ def audit(sf_dir: str) -> int:
                     "unbounded SinglePartition exchange:\n      "
                     + "\n      ".join(excerpt)
                 )
+        n_scans, scan_table = _max_scans(plan)
+        budget, why = _SCAN_BUDGET.get(name, (_DEFAULT_SCAN_BUDGET, ""))
+        if n_scans > budget:
+            problems.append(
+                f"duplicate scan subtrees: {scan_table} scanned "
+                f"{n_scans}x (budget {budget}"
+                + (f": {why}" if why else "")
+                + ") — Spark 4.1 AQE recomputes every branch"
+            )
         n_exchanges = plan.count("Exchange ") - plan.count("BroadcastExchange")
         n_arrow = sum(
             plan.count(k)
@@ -108,7 +230,8 @@ def audit(sf_dir: str) -> int:
         )
         status = "FAIL" if problems else "ok"
         print(
-            f"{status:4} {name}: exchanges={n_exchanges} arrow_python={n_arrow}"
+            f"{status:4} {name}: exchanges={n_exchanges} "
+            f"arrow_python={n_arrow} max_scans={n_scans}({scan_table})"
         )
         for p in problems:
             print(f"    - {p}")
@@ -118,4 +241,10 @@ def audit(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(audit(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(
+        audit(
+            args[0] if args else "/root/testdata/sf0.1",
+            headline_only="--headline" in sys.argv,
+        )
+    )
