@@ -176,3 +176,30 @@ def test_dedup_recall_report_bounds(spark, sf_dir):
     assert row.n_exact > 0 and row.n_approx > 0
     assert row.n_hits <= min(row.n_exact, row.n_approx)
     assert 0.0 < row.precision <= 1.0 and 0.0 < row.recall <= 1.0
+
+
+def test_minhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
+    """The r4 safety valve: buckets larger than MINHASH_BUCKET_CAP emit no
+    pairs. Pinned by squeezing the cap to 1 — every >=2 bucket is then
+    over cap, so the identical-doc pair from the test above must vanish;
+    with the default cap it is found. (The oracle applies the same cap,
+    so driver parity cannot drift — see DEDUP_MINHASH_LSH_ORACLE.)"""
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    assert D.dedup_minhash_lsh(spark, str(tmp_path)).count() == 1
+    monkeypatch.setattr(D, "MINHASH_BUCKET_CAP", 1)
+    assert D.dedup_minhash_lsh(spark, str(tmp_path)).count() == 0
+
+
+def test_minhash_sig_bands_single_scan_plan(spark, sf_dir):
+    """The signature pipeline must appear exactly once in the LSH plan —
+    the r4 one-pass contract (scan count == recompute count under
+    Spark 4.1 AQE)."""
+    plan = (
+        D.dedup_minhash_lsh(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("documents.parquet") == 1

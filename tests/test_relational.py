@@ -140,3 +140,35 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     langs = {r.lang for r in full.select("lang").distinct().collect()}
     assert "en" in langs and df.count() > 0
     assert df.count() == full.filter(F.col("lang") == "en").count()
+
+
+def test_customer_deciles_matches_ntile_window(spark, sf_dir):
+    """The r4 two-phase bucketed decile arithmetic must reproduce
+    F.ntile(10) OVER (ORDER BY ...) exactly — same bucket sizes, same
+    boundary assignment (first n%10 tiles take the extra row)."""
+    from pyspark.sql import Window as W
+
+    from kafka_flink_slack_pipeline_spark.operators.relational import (
+        customer_deciles,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    w = W.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ref = (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        )
+        .orderBy("decile")
+        .collect()
+    )
+    got = {
+        r.decile: (r.n_customers, r.min_acctbal, r.max_acctbal)
+        for r in customer_deciles(spark, sf_dir).collect()
+    }
+    for r in ref:
+        assert got[r.decile] == (r.n_customers, r.min_acctbal, r.max_acctbal)
