@@ -59,7 +59,6 @@ _BOUNDED_HINTS = (
     "spark_grouping_id",
     "cid",        # kmeans/semantic centroid ids: k <= 10 by construction
     "band",       # LSH band counts: bands x bucket-key cardinality
-    "y#", "m#", "dow#",  # calendar domains (orders_by_dow)
 )
 
 # Deliberate BroadcastNestedLoopJoin sites — each broadcasts a frame whose
