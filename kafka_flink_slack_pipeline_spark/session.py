@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOT set: adaptive.coalescePartitions.parallelismFirst and
+        # adaptive.enabled=false were both A/B'd in r4 against the
+        # r2->r3 slowdown hypothesis ("AQE planning latency is the
+        # environmental floor"). A drift-cancelling ABAB run (fresh
+        # session per leg, two rounds, min per leg) measured both as a
+        # wash (+/-5% per query, 1.03x total) — the naive sequential
+        # probe that suggested 1.2-2x wins was confounded by JIT
+        # warm-up ordering. The 4.1 floor is runtime overhead, not a
+        # session conf.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
