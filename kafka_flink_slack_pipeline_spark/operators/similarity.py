@@ -526,10 +526,15 @@ def _centroid_model(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[fl
     )
 
 
-def _centroid_sims(model: list[tuple[int, list[float]]], emb_col):
+def _centroid_sims(model: list[tuple[int, list[float]]], emb_col, norm_col):
     """Array of cosine(emb, centroid_c) in cid order, as one column expr.
-    The literal-side norm is precomputed in Python with the same
-    left-to-right IEEE summation as the Spark fold."""
+
+    `norm_col` must be a PROJECTED column holding norm(emb) — passing
+    the raw norm(emb) fold here would inline it once per centroid (k
+    redundant 64-element aggregate folds per row; the repo's
+    tokens-projection/CSE rule). The literal-side norm is precomputed
+    in Python with the same left-to-right IEEE summation as the Spark
+    fold, so the quotient is bit-identical to the old joined form."""
     import math
 
     out = []
@@ -539,7 +544,7 @@ def _centroid_sims(model: list[tuple[int, list[float]]], emb_col):
             cnorm = cnorm + x * x
         out.append(
             dot(emb_col, F.array(*[F.lit(float(x)) for x in c]))
-            / (norm(emb_col) * F.lit(math.sqrt(cnorm)))
+            / (norm_col * F.lit(math.sqrt(cnorm)))
         )
     return F.array(*out)
 
@@ -569,8 +574,10 @@ def _ivf_index(
     (-csim, cid) structs, so tie-breaks match the old window exactly."""
     emb = _emb(spark, sf_dir)
     model = _centroid_model(spark, sf_dir)
-    sims = _centroid_sims(model, F.col("emb"))
+    sims = _centroid_sims(model, F.col("emb"), F.col("nrm"))
     cand = emb.select(
+        "vec_id", "emb", norm(F.col("emb")).alias("nrm")
+    ).select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"),
         sims.alias("csims"),
     ).select(
@@ -589,6 +596,7 @@ def _ivf_index(
     )
     probes = (
         emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("emb").alias("qe"),
@@ -1022,7 +1030,11 @@ def semantic_dedup(
     # (highest csim, ties to lowest cid).
     model = _centroid_model(spark, sf_dir)
     assigned = corpus.select(
-        "vec_id", "emb", _centroid_sims(model, F.col("emb")).alias("csims")
+        "vec_id", "emb", norm(F.col("emb")).alias("nrm")
+    ).select(
+        "vec_id",
+        "emb",
+        _centroid_sims(model, F.col("emb"), F.col("nrm")).alias("csims"),
     ).select("vec_id", _assign_cid(model, F.col("csims")).alias("cid"), "emb")
     pairs = (
         assigned.alias("a")

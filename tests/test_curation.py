@@ -100,13 +100,18 @@ def test_bm25_results_are_wellformed_rankings(spark, sf_dir):
     scores is the oracle's job.)"""
     from kafka_flink_slack_pipeline_spark.operators.curation import (
         _BM25_EVERY,
+        _BM25_MAX_QUERIES,
         bm25_keyword_search,
     )
 
     rows = bm25_keyword_search(spark, sf_dir).collect()
     assert rows
     n_docs = table(spark, sf_dir, "documents").count()
-    expected_queries = {i for i in range(n_docs) if i % _BM25_EVERY == 0}
+    expected_queries = {
+        i
+        for i in range(min(n_docs, _BM25_EVERY * _BM25_MAX_QUERIES))
+        if i % _BM25_EVERY == 0
+    }
     by_query: dict[int, list] = {}
     for r in rows:
         by_query.setdefault(r.query_id, []).append(r)
@@ -117,6 +122,31 @@ def test_bm25_results_are_wellformed_rankings(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         assert all(s > 0 for s in scores)
         assert all(h.n_matched_terms >= 1 for h in hits)
+
+
+def test_bm25_query_workload_bounded_by_doc_id_cap(spark, tmp_path):
+    """The r4 boundedness contract: docs at or above EVERY*MAX_QUERIES
+    never seed queries, at ANY corpus size — pinned with doc_ids that
+    straddle the cap (inert at the shipped SFs, where all ids are below
+    it)."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _BM25_EVERY,
+        _BM25_MAX_QUERIES,
+        bm25_keyword_search,
+    )
+
+    cap = _BM25_EVERY * _BM25_MAX_QUERIES
+    text = " ".join(f"tok{j}" for j in range(20))
+    ids = [0, _BM25_EVERY, cap - _BM25_EVERY, cap, cap + _BM25_EVERY]
+    docs = spark.createDataFrame(
+        [(i, text) for i in ids], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    qids = {
+        r.query_id
+        for r in bm25_keyword_search(spark, str(tmp_path)).collect()
+    }
+    assert qids == {0, _BM25_EVERY, cap - _BM25_EVERY}
 
 
 def test_ivfpq_rankings_wellformed_and_bounded_by_exact(spark, sf_dir):

@@ -43,7 +43,10 @@ def main(argv: list[str]) -> int:
             )
         print(line)
     for p, q in olds.items():
-        common = [k for k in new if k in q]
+        # zero-time entries (rounded sub-ms samples or hand-edited rows)
+        # would blow up the ratio math — exclude them like the per-line
+        # formatter does
+        common = [k for k in new if q.get(k)]
         if not common:
             continue
         ratio = sum(new[k] for k in common) / sum(q[k] for k in common)

@@ -63,35 +63,28 @@ _BOUNDED_HINTS = (
 
 # Deliberate BroadcastNestedLoopJoin sites — each broadcasts a frame whose
 # cardinality is bounded BY CONSTRUCTION, so the "nested loop" is really a
-# map-side constant/codebook attach, not O(n*m) pair work. Verified by
-# reading the executed plans (build side shown):
-_ALLOWED_BNLJ = {
+# map-side constant/codebook attach, not O(n*m) pair work. The allowance
+# is a per-query OCCURRENCE budget (r4 self-review: a whole-query pass
+# would also suppress a future accidental corpus-scale BNLJ in the same
+# plan); counts verified by reading the executed plans at sf0.01/0.1.
+# Queries whose attach compiles to an equi/broadcast-hash join (most of
+# the r3 list after the r4 rewrites) are deliberately NOT listed — any
+# BNLJ appearing there should fail the audit.
+_ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # the labeled exact baseline: broadcast of the 10-row query side;
     # O(|Q|*|C|) is the definition of brute force — the LSH/IVF variants
     # are the scale path
-    "cosine_topk_bruteforce": "10-row query side broadcast (exact baseline)",
-    # broadcast of the fixed 10-cell centroid codebook onto the corpus
-    "label_centroid_similarity": "bounded centroid codebook broadcast",
+    "cosine_topk_bruteforce": (1, "10-row query side broadcast"),
     # broadcast of the 1-row corpus-total aggregate (constant attach)
-    "doc_unigram_surprisal": "1-row corpus total broadcast",
+    "doc_unigram_surprisal": (1, "1-row corpus total broadcast"),
     # broadcast of the 1-row (n, avgdl) stats aggregate (constant attach)
-    "bm25_keyword_search": "1-row corpus stats broadcast",
+    "bm25_keyword_search": (1, "1-row corpus stats broadcast"),
     # broadcast of 1-row count aggregates composed into the report row
-    "dedup_recall_report": "1-row count aggregates crossJoin",
-    "ann_recall_report": "1-row count aggregates crossJoin",
-    "corpus_filter_report": "1-row aggregate attach",
-    "corpus_export_manifest": "1-row aggregate attach",
-    "mixture_weights": "1-row denominator attach",
-    "benchmark_decontaminate": "bounded bench-suite broadcast",
-    "decontaminate_fuzzy": "bounded bench-suite broadcast",
-    "table_profile": "1-row wide aggregate unpivot",
-    "dedup_exact_normalized": "1-row count attach",
-    "q22_dormant_customers": "1-row avg-balance attach (TPC-H Q22 shape)",
-    "correlated_above_avg_orders": "1-row global avg attach",
-    "rich_customers_without_orders": "1-row threshold attach",
-    "median_order_by_status": "1-row percentile frame attach",
-    "q17_small_quantity_revenue": "per-part avg attach via broadcast",
-    "q11_important_stock": "1-row value-fraction threshold attach (Q11 HAVING)",
+    "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
+    "ann_recall_report": (2, "brute-force member + 1-row aggregates"),
+    "q22_dormant_customers": (1, "1-row avg-balance attach (Q22 shape)"),
+    "rich_customers_without_orders": (1, "1-row threshold attach"),
+    "q11_important_stock": (1, "1-row value-fraction threshold (HAVING)"),
 }
 
 # Per-query budget for how many times ONE parquet relation may be scanned
@@ -134,17 +127,23 @@ _DEFAULT_SCAN_BUDGET = 2
 def _single_partition_ok(plan: str, idx: int) -> bool:
     """A SinglePartition exchange is fine if its input is provably tiny.
 
-    Structural check on the plan text below the exchange: find the first
-    HashAggregate / Window / Sort node line and test THAT line's key spec:
-      - HashAggregate(keys=[], ...)            global single-row aggregate
-      - HashAggregate(keys=[...bounded key...]) bounded-group aggregate
-      - Window [... partitionBy bounded key]    bounded-partition window
-      - Sort [...] with no Window/agg below it within the excerpt: result
-        presentation sort (the exchange feeds a final orderBy; Spark plans
-        rangepartitioning for big sorts, SinglePartition only for small
-        result sets — still flagged if a scan feeds it directly).
-    """
-    tail = plan[idx:].splitlines()[1:10]
+    Structural check on the plan text below the exchange: walk down
+    through narrow pass-through nodes (Sort / Project / Filter / Window
+    / Generate / Union) to the node that DETERMINES the frame's
+    cardinality and decide there:
+      - HashAggregate(keys=[], ...)             global single-row aggregate
+      - HashAggregate(keys=[...bounded key...])  bounded-group aggregate
+      - Scan / FileScan                          corpus into one task: fail
+
+    A Window above a SinglePartition exchange necessarily has an EMPTY
+    partition spec, so its windowspecdefinition args are ORDER BY
+    columns — matching bounded hints there would be a false pass (the
+    r4 self-review caught exactly that); the window is only fine if the
+    frame UNDER it is a bounded aggregate, which is what this walk
+    tests."""
+    tail = plan[idx:].splitlines()[1:14]
+    passthrough = ("Sort ", "Project ", "Filter ", "Window ", "Window[",
+                   "Generate ", "Union", "Expand ", "Coalesce")
     for line in tail:
         s = line.strip().lstrip("+-*: ")
         if s.startswith("HashAggregate") or s.startswith(
@@ -155,23 +154,15 @@ def _single_partition_ok(plan: str, idx: int) -> bool:
             if keys.strip() == "":
                 return True
             return any(h in keys for h in _BOUNDED_HINTS)
-        if s.startswith("Window"):
-            # windowspecdefinition(part..., order...) — test the spec args
-            m = re.search(r"windowspecdefinition\((.*?)\)", s)
-            spec = m.group(1) if m else s
-            return any(h in spec for h in _BOUNDED_HINTS)
-        if s.startswith("Sort "):
-            continue  # look through the sort to what feeds it
         if s.startswith("Scan ") or s.startswith("FileScan"):
             return False  # corpus funnelled into one task
+        if any(s.startswith(p) for p in passthrough):
+            continue
     return False
 
 
 def _max_scans(plan: str) -> tuple[int, str]:
     """(max occurrences of one parquet relation, its table name)."""
-    names = re.findall(r"Scan parquet\s*\S*\[?[^\n]*?([a-z_]+)\.parquet", plan)
-    if not names:
-        names = re.findall(r"\.parquet/?([a-z_]+)?", plan)
     counts: dict[str, int] = {}
     for n in re.findall(r"/([a-z_]+)\.parquet", plan):
         counts[n] = counts.get(n, 0) + 1
@@ -199,11 +190,15 @@ def audit(sf_dir: str, headline_only: bool = False) -> int:
             continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         problems: list[str] = []
-        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-            if bad in plan and not (
-                bad == "BroadcastNestedLoopJoin" and name in _ALLOWED_BNLJ
-            ):
-                problems.append(f"nested-loop join: {bad}")
+        if "CartesianProduct" in plan:
+            problems.append("nested-loop join: CartesianProduct")
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        bnlj_budget, _why = _ALLOWED_BNLJ.get(name, (0, ""))
+        if n_bnlj > bnlj_budget:
+            problems.append(
+                f"nested-loop join: BroadcastNestedLoopJoin x{n_bnlj} "
+                f"(allowed {bnlj_budget})"
+            )
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python (BatchEvalPython)")
         for m in re.finditer(r"Exchange SinglePartition", plan):
