@@ -79,6 +79,18 @@ HEADLINE = [
     # so the timed passes measure SEARCH — the index-build/query split a
     # production ANN service has.
     "cosine_topk_ivfpq",
+    # r4 additions: the training-data selection family. DSIR and the
+    # bigram-LM filter both fit a model at frame-build time (256-bucket
+    # log-ratios / checkpointed bigram counts — O(model) like the ANN
+    # index builds above), so the timed passes measure the SCORING pass,
+    # which is the recurring cost at 100 TB. The JL projection is a pure
+    # narrow map (zero shuffles). bpe_learn_merges is deliberately NOT
+    # benched for dedup_clusters' reason: every merge iteration runs
+    # eagerly at frame-build, so timing the final count() of a 6-row
+    # literal frame would measure nothing.
+    "dsir_importance_weights",
+    "doc_bigram_lm_score",
+    "embedding_random_projection",
 ]
 
 

@@ -1,0 +1,511 @@
+"""Training-data selection & tokenizer operators (round-4 north-star surface).
+
+The reference pipeline (Producer/kafkaProducer.js, Consumer/kafkaConsumer.js)
+moves documents; a production training-data pipeline must also *select* and
+*tokenize* them. These four operators complete that story beyond the round-3
+curation surface (SURVEY.md §2.11), each with a DuckDB oracle:
+
+  - dsir_importance_weights: DSIR (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — hashed-ngram bag-of-words
+    importance weights log p_target(x)/p_raw(x) against a target domain.
+  - bpe_learn_merges: distributed BPE vocabulary learning (Sennrich et al.
+    2016) — iterative most-frequent-pair merges over the corpus word-count
+    table, the shape every production tokenizer trainer uses at scale.
+  - doc_bigram_lm_score: CCNet-style LM quality filter — train an add-one
+    bigram model on an in-domain slice, score every document by mean
+    inverse conditional probability (rational, ln-free per repo policy).
+  - embedding_random_projection: Johnson–Lindenstrauss sign-matrix
+    projection 64→16 dims — the cheap dimensionality-reduction front-end
+    for ANN sharding (the ±1 AMS/Achlioptas construction).
+
+Scale design notes are per-operator below; the shared principles:
+  - model state (bucket log-ratios, merge table, bigram counts, sign
+    matrix) is O(model), never O(corpus) — collected/checkpointed once and
+    re-entered as literals or broadcast joins (the kmeans/PQ-codebook
+    precedent in operators/curation.py);
+  - no Python in the hot path: every per-row computation is a JVM column
+    expression; the only driver materializations are model-sized;
+  - every corpus relation is scanned a bounded number of times per plan
+    (Spark 4.1 AQE plans no ReusedExchange across branches — the round-4
+    lesson baked into tools/plan_audit.py's _SCAN_BUDGET).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import QuerySpec
+from ..tables import table
+from .textops import tokens_col
+
+# --------------------------------------------------------------------------
+# DSIR importance weights.
+#
+# Public recipe (Xie et al. 2023): featurize each document as a bag of
+# hashed word uni+bigrams in B buckets, fit multinomial bucket
+# distributions p_target (in-domain slice; here lang='en') and p_raw (the
+# full candidate pool), and weight each document by
+#   log w(x) = sum_f count_f(x) * [log p_t(f) - log p_r(f)]
+# with +0.5 Laplace smoothing. Docs with log w > 0 look more in-domain
+# than raw and survive `keep`.
+#
+# Scale notes (100 TB): the model is O(B)=256 bucket counts — ONE
+# conditional aggregation over the hashed-feature explosion, collected to
+# the driver (bounded by B, not the corpus; the kmeans-centroid
+# precedent), where the two ln() terms are computed once per bucket and
+# rounded to 6 (cross-engine: driver libm vs DuckDB libm agree; rounding
+# makes the literal exact). Scoring is a broadcast join of the 256-row
+# log-ratio table against the same explosion — corpus scanned twice total
+# (fit pass, score pass), exactly the two passes the DSIR paper's
+# fit-then-apply structure requires. The md5-prefix bucket hash is the
+# repo's standard cross-engine hash (operators/dedup.py:223).
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+def _hash_bucket(col: F.Column, buckets: int) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long") % buckets
+
+
+def _uni_bigrams(t: F.Column) -> F.Column:
+    """Word unigrams ++ space-joined bigrams of a token-array column."""
+    bigrams = F.transform(
+        F.slice(F.sequence(F.lit(1), F.size(t)), 1, F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
+        ),
+    )
+    return F.concat(t, bigrams)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # tokens projected ONCE before the higher-order lambdas (the
+    # interdoc_span_dedup lesson: CSE does not reach inside lambda
+    # functions, so an inlined split() re-splits the text per element_at —
+    # measured 8.6 s -> ~1 s at sf0.1 for this query)
+    toked = d.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+        tokens_col().alias("t"),
+    )
+    feats = (
+        toked.select(
+            "doc_id",
+            "is_t",
+            F.explode(_uni_bigrams(F.col("t"))).alias("f"),
+        )
+        .filter(F.col("f") != "")
+        .select(
+            "doc_id", "is_t", _hash_bucket(F.col("f"), _DSIR_BUCKETS).alias("bucket")
+        )
+    )
+    # Fit: one corpus pass -> O(B) rows on the driver (model state).
+    model = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .collect()
+    )
+    tt = float(sum(r.ct for r in model))
+    tr = float(sum(r.cr for r in model))
+    smooth = 0.5 * _DSIR_BUCKETS
+    lr_rows = [
+        (
+            int(r.bucket),
+            round(
+                math.log((r.ct + 0.5) / (tt + smooth))
+                - math.log((r.cr + 0.5) / (tr + smooth)),
+                6,
+            ),
+        )
+        for r in model
+    ]
+    lr = spark.createDataFrame(lr_rows, "bucket long, lr double")
+    # Apply: second corpus pass, broadcast 256-row model join.
+    return (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(
+                F.sum(F.col("lr").cast("decimal(25,10)")).cast("double"), 6
+            ).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "log_weight",
+            (F.col("log_weight") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, lang, f FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+             t, list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           )) AS f
+    FROM toks)
+  WHERE f <> ''
+),
+fb AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 7))::BIGINT % {_DSIR_BUCKETS} AS bucket
+  FROM feats
+),
+model AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM fb GROUP BY bucket
+),
+tot AS (SELECT sum(ct)::DOUBLE AS tt, sum(cr)::DOUBLE AS tr FROM model),
+lr AS (
+  SELECT bucket,
+         round(ln((ct + 0.5) / (tt + 0.5 * {_DSIR_BUCKETS}))
+             - ln((cr + 0.5) / (tr + 0.5 * {_DSIR_BUCKETS})), 6) AS lr
+  FROM model, tot
+),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats,
+         round(sum(lr::DECIMAL(25,10))::DOUBLE, 6) AS log_weight
+  FROM fb JOIN lr USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feats, log_weight, (log_weight > 0) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning.
+#
+# Sennrich et al. 2016: repeatedly merge the most frequent adjacent symbol
+# pair. The distributed shape (what SentencePiece/HF trainers do at scale):
+# pair counting runs over the WORD-COUNT table (vocab-scale, weighted by
+# word frequency), never the raw corpus — one corpus pass builds the word
+# counts, then every merge iteration is a vocab-scale job whose result is
+# O(1) driver model state (the single best pair). The word table is
+# localCheckpoint-ed once (model-scale; the connected-components precedent
+# in operators/dedup.py) so iterations do not re-scan the corpus under
+# Spark 4.1's no-reuse AQE.
+#
+# Symbol sequences ride as pipe-wrapped strings ('abc' -> '|a||b||c|'):
+# applying merge (L,R) is then the literal replace '|L||R|' -> '|LR|',
+# whose left-to-right non-overlapping semantics exactly matches the
+# greedy BPE scan on BOTH engines ('|' never occurs in the corpus —
+# asserted by the '(.)' wrap producing it only as separator), which is
+# what makes the oracle an exact unrolled-CTE mirror. Ties break
+# deterministically by (count DESC, left ASC, right ASC).
+_BPE_MERGES = 6
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """(w, c) word-count frame -> (l, r, cnt) adjacent-pair counts."""
+    syms = F.split(F.expr("substring(w, 2, length(w) - 2)"), "\\|\\|")
+    pair_idx = F.slice(F.sequence(F.lit(1), F.size(syms)), 1, F.size(syms) - 1)
+    return (
+        words.select(
+            F.col("c"),
+            F.col("w"),
+            syms.alias("syms"),
+        )
+        .select(
+            "c",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), i).alias("l"),
+                        F.element_at(F.col("syms"), i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("pr"),
+        )
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.regexp_replace("word", "(.)", "|$1|").alias("w"), "c")
+        .localCheckpoint()  # vocab-scale; iterations never re-scan the corpus
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    for rank in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pairs(cur)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rank, best.l, best.r, best.l + best.r, int(best.cnt)))
+        cur = cur.select(
+            F.replace(
+                F.col("w"),
+                F.lit(f"|{best.l}||{best.r}|"),
+                F.lit(f"|{best.l}{best.r}|"),
+            ).alias("w"),
+            "c",
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    ).orderBy("rank")
+
+
+def _bpe_oracle() -> str:
+    # The stage CTEs are AS MATERIALIZED: each w_k references w_{k-1} and
+    # b_k several times, and DuckDB's default CTE inlining re-expands the
+    # whole chain per reference (~3^k copies of the corpus word-split —
+    # measured 41 s at sf0.01; materialized: <1 s). The Spark side gets
+    # the same guarantee from the words localCheckpoint.
+    parts = [
+        """
+WITH wc AS (
+  SELECT word, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS w, c FROM wc)"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        p, b, wprev, wnext = f"p{k}", f"b{k}", f"w{k-1}", f"w{k}"
+        parts.append(
+            f""",
+{p} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(c)::BIGINT AS cnt FROM (
+    SELECT c, unnest(list_transform(range(1, len(syms)),
+                     i -> {{'l': syms[i], 'r': syms[i+1]}})) AS pr
+    FROM (SELECT string_split(substr(w, 2, length(w) - 2), '||') AS syms, c
+          FROM {wprev}))
+  GROUP BY 1, 2
+),
+{b} AS MATERIALIZED (SELECT l, r, cnt FROM {p} ORDER BY cnt DESC, l, r LIMIT 1),
+{wnext} AS MATERIALIZED (
+  SELECT replace(w,
+                 '|' || (SELECT l FROM {b}) || '||' || (SELECT r FROM {b}) || '|',
+                 '|' || (SELECT l || r FROM {b}) || '|') AS w, c
+  FROM {wprev}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k}::INT AS rank, l AS lhs, r AS rhs, l || r AS merged, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY rank")
+    return "".join(parts)
+
+
+BPE_ORACLE = _bpe_oracle()
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quality score (CCNet's KenLM filter, re-expressed relationally).
+#
+# CCNet scores every crawled doc by the perplexity of an in-domain LM and
+# keeps the low-perplexity head. Here the in-domain slice is lang='en';
+# the model is an add-one-smoothed bigram table; the per-doc score is the
+# MEAN INVERSE conditional probability (c1_prev + V) / (c2 + 1) — the
+# rational, ln-free surrogate for perplexity (the repo numeric policy:
+# doc_unigram_surprisal, bm25 idf), monotone in the same direction.
+# OOV contexts/continuations fall back to counts of 0 (pure-smoothing
+# mass). Docs shorter than 2 tokens have no bigrams and drop out.
+#
+# Scale notes (100 TB): the bigram model is vocab²-bounded — model-scale,
+# not corpus-scale. It is localCheckpoint-ed once (kmeans-model
+# precedent), because three consumers derive from it (score join, context
+# totals, vocab size) and Spark 4.1 AQE would otherwise re-run the
+# training scan per consumer. Scoring is ONE pass over the corpus with
+# two broadcast model joins; context totals come from a window over the
+# checkpointed model, never a second corpus scan. Corpus scanned twice
+# total: train slice (lang pushdown to parquet), score pass.
+_LM_TRAIN_LANG = "en"
+_LM_KEEP_BELOW = 32.0
+
+
+def _doc_bigrams(d: DataFrame) -> DataFrame:
+    # tokens projected once — an inlined split() would re-split per
+    # element_at inside the lambda (CSE does not reach into lambdas)
+    t = F.col("t")
+    pair_idx = F.slice(F.sequence(F.lit(1), F.size(t)), 1, F.size(t) - 1)
+    return d.select("doc_id", tokens_col().alias("t")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("prev"),
+                    F.element_at(t, i + F.lit(1)).alias("cur"),
+                ),
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.prev", "pr.cur")
+
+
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("lang") == _LM_TRAIN_LANG)
+    c2 = (
+        _doc_bigrams(train)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()  # model-scale; 3 consumers below
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    voc = c2.select(
+        F.explode(F.array("prev", "cur")).alias("s")
+    ).agg(F.countDistinct("s").cast("double").alias("v"))
+    inv_p = (
+        (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+        / (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+    ).cast("double")
+    return (
+        _doc_bigrams(d)
+        .join(F.broadcast(c2), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), ["prev"], "left")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", inv_p.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_inv_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_inv_prob",
+            (F.col("avg_inv_prob") < _LM_KEEP_BELOW).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LM_ORACLE = f"""
+WITH trb AS (
+  SELECT t[i] AS prev, t[i+1] AS cur FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents WHERE lang = '{_LM_TRAIN_LANG}'), unnest(range(1, len(t))) AS u(i)
+),
+c2 AS (SELECT prev, cur, count(*)::BIGINT AS c2 FROM trb GROUP BY 1, 2),
+c1 AS (SELECT prev, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+voc AS (SELECT count(DISTINCT s)::DOUBLE AS v
+        FROM (SELECT unnest([prev, cur]) AS s FROM c2)),
+db AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents), unnest(range(1, len(t))) AS u(i)
+),
+sc AS (
+  SELECT doc_id,
+         ((coalesce(c1.c1, 0) + v) / (coalesce(c2.c2, 0) + 1))::DOUBLE AS s
+  FROM db LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev), voc
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         round(sum(s::DECIMAL(25,10))::DOUBLE / count(*), 6) AS avg_inv_prob
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_inv_prob,
+       (avg_inv_prob < {_LM_KEEP_BELOW}) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection 64 -> 16 dims.
+#
+# The Achlioptas ±1 sign-matrix construction: out_j = (1/sqrt(k)) *
+# sum_i v_i * s_ij with s_ij in {±1} derived from md5("rp:i:j") parity —
+# deterministic, regenerable on any engine, and 1/sqrt(16) = 1/4 exactly
+# (no irrational scale factor to disagree on). The projection is the
+# standard front-end for ANN at scale: 4x less memory bandwidth per
+# distance computation, distances preserved to (1±eps).
+#
+# Scale notes (100 TB): the sign matrix is O(d*k) driver model state
+# entering the plan as 16 literal arrays (the kmeans-centroid /
+# LSH-hyperplane precedent); the operator itself is a NARROW map — zero
+# shuffles, zero joins, pipelined straight from the parquet scan. Each
+# output dim is a sequential double fold over zip_with(emb, signs);
+# the oracle mirrors the same fold order with list_reduce, so the
+# doubles match bit-for-bit before the final round(6).
+_RP_IN_DIM = 64
+_RP_OUT_DIM = 16
+
+
+def _rp_sign(i: int, j: int) -> float:
+    h = int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[:7], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(_RP_OUT_DIM):
+        signs = F.array(
+            *[F.lit(_rp_sign(i, j)) for i in range(_RP_IN_DIM)]
+        )
+        fold = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(fold / 4.0, 6).alias(f"p{j:02d}"))
+    return e.select(*cols).orderBy("vec_id")
+
+
+def _rp_oracle() -> str:
+    outs = []
+    for j in range(_RP_OUT_DIM):
+        outs.append(
+            f"round(list_reduce(list_transform(range(0, {_RP_IN_DIM}), "
+            f"i -> embedding[i+1]::DOUBLE * (CASE WHEN "
+            f"('0x' || substr(md5('rp:' || i || ':{j}'), 1, 7))::BIGINT % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b) / 4.0, 6) AS p{j:02d}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(outs) + " FROM embeddings ORDER BY vec_id"
+    )
+
+
+RP_ORACLE = _rp_oracle()
+
+
+QUERIES = [
+    QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
+              "DSIR hashed-ngram importance weights vs target domain"),
+    QuerySpec("bpe_learn_merges", bpe_learn_merges, BPE_ORACLE,
+              "distributed BPE merge learning (vocab-scale iterations)"),
+    QuerySpec("doc_bigram_lm_score", doc_bigram_lm_score, BIGRAM_LM_ORACLE,
+              "CCNet-style bigram-LM quality score (rational, ln-free)"),
+    QuerySpec("embedding_random_projection", embedding_random_projection,
+              RP_ORACLE,
+              "Johnson-Lindenstrauss ±1 projection 64->16 (narrow map)"),
+]

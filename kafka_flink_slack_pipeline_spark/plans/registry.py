@@ -104,6 +104,19 @@ _DEMOTED = (
     "doc_langid_confusion",
     "doc_scrub_pii",
     "dedup_recall_report",
+    # r4 (second half): four slots for the new training module
+    # (dsir_importance_weights, bpe_learn_merges, doc_bigram_lm_score,
+    # embedding_random_projection) — new code gets the driver's hash
+    # check. The four rotating out are r2/r3-green and their module
+    # (operators/textops.py) is untouched since r3; each family keeps an
+    # in-window representative: decontamination -> decontaminate_fuzzy,
+    # lexical retrieval -> bm25_keyword_search, text quality ->
+    # doc_quality_scores + doc_repetition-adjacent token stats, sampling
+    # -> dataset_split_assign. All four stay verify_local-covered.
+    "tfidf_top_terms",
+    "benchmark_decontaminate",
+    "doc_repetition_metrics",
+    "mixture_weights",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the
@@ -134,14 +147,15 @@ def all_queries() -> dict[str, QuerySpec]:
         skew,
         temporal,
         textops,
+        training,
         windows,
     )
 
     collected: list[QuerySpec] = []
     seen: set[str] = set()
     for mod in (emailpipe, skew, dedup, similarity, multimodal, textops,
-                curation, temporal, windows, relational, relational2,
-                relational3):
+                curation, training, temporal, windows, relational,
+                relational2, relational3):
         for spec in mod.QUERIES:
             if spec.name in seen:
                 raise ValueError(f"duplicate query name {spec.name!r}")

@@ -1,0 +1,116 @@
+"""Property tests for the round-4 training-data operators.
+
+Oracle exactness is covered by tools/verify_local.py / the driver; these
+pin the semantic properties a consumer relies on (importance weights
+separate the target domain, BPE merge counts are monotone, LM scores are
+proper inverse probabilities, the JL projection preserves norms in
+expectation).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.operators.training import (
+    _BPE_MERGES,
+    _DSIR_TARGET_LANG,
+    _LM_KEEP_BELOW,
+    _RP_OUT_DIM,
+    bpe_learn_merges,
+    doc_bigram_lm_score,
+    dsir_importance_weights,
+    embedding_random_projection,
+)
+from kafka_flink_slack_pipeline_spark.tables import table
+
+
+def test_dsir_separates_target_domain(spark, sf_dir):
+    w = dsir_importance_weights(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    by_lang = {
+        r.lang: r.mw
+        for r in w.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("log_weight").alias("mw"))
+        .collect()
+    }
+    # the target domain's mean importance weight beats every other lang's
+    target = by_lang.pop(_DSIR_TARGET_LANG)
+    assert target > 0
+    assert all(target > v for v in by_lang.values())
+    # keep is exactly the positive-log-weight predicate
+    assert w.filter(F.col("keep") != (F.col("log_weight") > 0)).count() == 0
+    # uni+bigram featurization: n_feats == 2*n_tokens - 1
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n")
+    )
+    bad = (
+        w.join(toks, "doc_id")
+        .filter(F.col("n_feats") != 2 * F.col("n") - 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bpe_merges_are_monotone_and_well_formed(spark, sf_dir):
+    rows = bpe_learn_merges(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, _BPE_MERGES + 1))
+    for r in rows:
+        assert r.merged == r.lhs + r.rhs
+        assert r.pair_count > 0
+    # the max pair count can never increase after a merge: each merge only
+    # removes occurrences of existing pairs, and pairs involving the new
+    # symbol are bounded by the merged pair's own count
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_bigram_lm_scores_are_inverse_probabilities(spark, sf_dir):
+    s = doc_bigram_lm_score(spark, sf_dir)
+    # every per-doc mean inverse probability is >= 1 (each bigram term is
+    # (c1+V)/(c2+1) with c1 >= c2, V >= 1)
+    assert s.filter(F.col("avg_inv_prob") < 1.0).count() == 0
+    assert (
+        s.filter(
+            F.col("keep") != (F.col("avg_inv_prob") < F.lit(_LM_KEEP_BELOW))
+        ).count()
+        == 0
+    )
+    # docs have n_tokens - 1 bigrams
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n")
+    )
+    assert (
+        s.join(toks, "doc_id")
+        .filter(F.col("n_bigrams") != F.col("n") - 1)
+        .count()
+        == 0
+    )
+
+
+def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
+    p = embedding_random_projection(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("norm2"),
+    )
+    proj_norm2 = sum(
+        F.col(f"p{j:02d}") * F.col(f"p{j:02d}") for j in range(_RP_OUT_DIM)
+    )
+    ratios = (
+        p.select("vec_id", proj_norm2.alias("pn2"))
+        .join(e, "vec_id")
+        .select((F.col("pn2") / F.col("norm2")).alias("ratio"))
+        .agg(F.avg("ratio").alias("mean_ratio"))
+        .collect()[0]
+    )
+    # E[||Pv||^2] = ||v||^2 for the ±1/sqrt(k) construction; with k=16 and
+    # 500 vectors the dataset mean concentrates well inside [0.6, 1.6]
+    assert 0.6 < ratios.mean_ratio < 1.6
+    assert not math.isnan(ratios.mean_ratio)

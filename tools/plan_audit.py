@@ -83,6 +83,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
     "ann_recall_report": (2, "brute-force member + 1-row aggregates"),
     "q22_dormant_customers": (1, "1-row avg-balance attach (Q22 shape)"),
+    # broadcast of the 1-row train-vocab-size aggregate (constant attach;
+    # derived from the localCheckpoint-ed bigram model, not a corpus scan)
+    "doc_bigram_lm_score": (1, "1-row vocab-size broadcast"),
     "rich_customers_without_orders": (1, "1-row threshold attach"),
     "q11_important_stock": (1, "1-row value-fraction threshold (HAVING)"),
 }
