@@ -91,6 +91,12 @@ HEADLINE = [
     "dsir_importance_weights",
     "doc_bigram_lm_score",
     "embedding_random_projection",
+    # r4 additions: BPE encode pass (merge learning runs at frame-build;
+    # the timed pass is the corpus scan + vocab-scale literal-replace
+    # chain) and the KMV distinct-count sketch (one distinct shuffle +
+    # one window pass).
+    "bpe_apply_compression",
+    "term_cardinality_kmv",
 ]
 
 

@@ -241,7 +241,10 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the merge iterations; returns the O(merges) driver model."""
     d = table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(tokens_col()).alias("word"))
@@ -269,17 +272,25 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
             "c",
         )
+    return merges
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
-        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+        _learn_merges(spark, sf_dir),
+        "rank int, lhs string, rhs string, merged string, pair_count bigint",
     ).orderBy("rank")
 
 
-def _bpe_oracle() -> str:
-    # The stage CTEs are AS MATERIALIZED: each w_k references w_{k-1} and
-    # b_k several times, and DuckDB's default CTE inlining re-expands the
-    # whole chain per reference (~3^k copies of the corpus word-split —
-    # measured 41 s at sf0.01; materialized: <1 s). The Spark side gets
-    # the same guarantee from the words localCheckpoint.
+def _bpe_stage_ctes() -> str:
+    """Shared WITH-prefix: word counts + the unrolled merge stages.
+
+    The stage CTEs are AS MATERIALIZED: each w_k references w_{k-1} and
+    b_k several times, and DuckDB's default CTE inlining re-expands the
+    whole chain per reference (~3^k copies of the corpus word-split —
+    measured 41 s at sf0.01; materialized: <1 s). The Spark side gets
+    the same guarantee from the words localCheckpoint.
+    """
     parts = [
         """
 WITH wc AS (
@@ -311,13 +322,16 @@ w0 AS MATERIALIZED (
   FROM {wprev}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k}::INT AS rank, l AS lhs, r AS rhs, l || r AS merged, "
         f"cnt AS pair_count FROM b{k}"
         for k in range(1, _BPE_MERGES + 1)
     )
-    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY rank")
-    return "".join(parts)
+    return _bpe_stage_ctes() + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
 
 
 BPE_ORACLE = _bpe_oracle()
@@ -498,6 +512,191 @@ def _rp_oracle() -> str:
 RP_ORACLE = _rp_oracle()
 
 
+# --------------------------------------------------------------------------
+# BPE tokenizer application: encode the corpus with the learned merges and
+# report per-language compression (chars per emitted token) — the number a
+# tokenizer team actually watches (fertility/compression), and the apply
+# half of the BPE story (bpe_learn_merges is the fit half).
+#
+# Scale notes (100 TB): the merge table is O(merges) driver model state
+# (learned eagerly at frame-build, the ANN index-build precedent);
+# applying it is a chain of LITERAL string replaces over the (lang, word)
+# count table — vocab-scale, not corpus-scale, exactly how production
+# tokenizers amortize encoding (encode each distinct word once, weight by
+# count). The executed plan scans the corpus ONCE (the lang-word agg);
+# everything after is narrow vocab-scale work inside whole-stage codegen.
+def bpe_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learn_merges(spark, sf_dir)
+    d = table(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = F.regexp_replace("word", "(.)", "|$1|")
+    for _, lhs, rhs, merged, _cnt in merges:
+        w = F.replace(w, F.lit(f"|{lhs}||{rhs}|"), F.lit(f"|{merged}|"))
+    n_syms = F.size(
+        F.split(F.expr("substring(enc, 2, length(enc) - 2)"), "\\|\\|")
+    )
+    return (
+        wl.withColumn("enc", w)
+        .select(
+            "lang",
+            "c",
+            F.length("word").alias("n_chars"),
+            n_syms.alias("n_syms"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_chars")).alias("total_chars"),
+            F.sum(F.col("c") * F.col("n_syms")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("n_chars")).cast("double")
+                / F.sum(F.col("c") * F.col("n_syms")),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    apply_ctes = [
+        """,
+wl AS (
+  SELECT lang, word, count(*)::BIGINT AS c FROM (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY lang, word
+),
+a0 AS MATERIALIZED (
+  SELECT lang, word, c, regexp_replace(word, '(.)', '|\\1|', 'g') AS enc
+  FROM wl)"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        b, aprev, anext = f"b{k}", f"a{k-1}", f"a{k}"
+        apply_ctes.append(
+            f""",
+{anext} AS MATERIALIZED (
+  SELECT lang, word, c,
+         replace(enc,
+                 '|' || (SELECT l FROM {b}) || '||' || (SELECT r FROM {b}) || '|',
+                 '|' || (SELECT l || r FROM {b}) || '|') AS enc
+  FROM {aprev}
+)"""
+        )
+    final = f"""
+SELECT lang, sum(c)::BIGINT AS n_words,
+       sum(c * length(word))::BIGINT AS total_chars,
+       sum(c * len(string_split(substr(enc, 2, length(enc) - 2), '||')))::BIGINT
+         AS total_tokens,
+       round(sum(c * length(word))::DOUBLE
+             / sum(c * len(string_split(substr(enc, 2, length(enc) - 2), '||'))),
+             6) AS chars_per_token
+FROM a{_BPE_MERGES}
+GROUP BY lang ORDER BY lang"""
+    return _bpe_stage_ctes() + "".join(apply_ctes) + final
+
+
+BPE_APPLY_ORACLE = _bpe_apply_oracle()
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — the deterministic sketch
+# representative (Bar-Yossef et al. 2002; the estimator behind
+# Datasketches' ThetaSketch). Each distinct term maps to a uniform (0,1]
+# via the repo's 28-bit md5 hash; the estimate from the K smallest hash
+# values is (K-1) / h_(K). The report computes the sketch estimate AND
+# the exact distinct count per language, with the relative error — the
+# accuracy evidence a consumer needs before trusting the sketch at scale.
+#
+# Scale notes (100 TB): hash values are dyadic rationals (28-bit int /
+# 2^28) so both engines compare and divide exactly. The plan is one
+# distinct shuffle on (lang, term) followed by ONE window pass computing
+# the rank and the per-lang exact count together (no second corpus
+# branch). In production the exact column would be dropped and the
+# min-K kept per partition by the partial TakeOrderedAndProject combine —
+# the sketch exists precisely so the full distinct shuffle isn't needed;
+# here the exact side IS the point (it grades the estimator).
+_KMV_K = 16
+
+
+def term_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select("lang", F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term") != "")
+        .select("lang", "term")
+        .distinct()
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("term"), 1, 7), 16, 10)
+            .cast("double")
+            / F.lit(float(1 << 28)),
+        )
+    )
+    win = Window.partitionBy("lang")
+    ranked = dt.select(
+        "lang",
+        "h",
+        F.row_number().over(win.orderBy("h", "term")).alias("rn"),
+        F.count(F.lit(1)).over(win).alias("nd"),
+    )
+    est = F.when(
+        F.col("nd") <= _KMV_K, F.col("nd").cast("double")
+    ).otherwise((_KMV_K - 1) / F.col("h"))
+    return (
+        ranked.filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("nd")))
+        .select(
+            "lang",
+            F.col("nd").alias("n_distinct_exact"),
+            F.lit(_KMV_K).alias("kmv_k"),
+            F.round(est, 6).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("nd")) / F.col("nd"), 6
+            ).alias("rel_error"),
+        )
+        .orderBy("lang")
+    )
+
+
+KMV_ORACLE = f"""
+WITH dt AS (
+  SELECT DISTINCT lang, term FROM (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+h AS (
+  SELECT lang, term,
+         ('0x' || substr(md5(term), 1, 7))::BIGINT / {float(1 << 28)} AS h
+  FROM dt
+),
+ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h, term) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nd
+  FROM h
+),
+est AS (
+  SELECT lang, nd,
+         CASE WHEN nd <= {_KMV_K} THEN nd::DOUBLE
+              ELSE ({_KMV_K} - 1) / h END AS e
+  FROM ranked
+  WHERE rn = least({_KMV_K}, nd)
+)
+SELECT lang, nd::BIGINT AS n_distinct_exact, {_KMV_K} AS kmv_k,
+       round(e, 6) AS kmv_estimate,
+       round(abs(e - nd) / nd, 6) AS rel_error
+FROM est ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -508,4 +707,9 @@ QUERIES = [
     QuerySpec("embedding_random_projection", embedding_random_projection,
               RP_ORACLE,
               "Johnson-Lindenstrauss ±1 projection 64->16 (narrow map)"),
+    QuerySpec("bpe_apply_compression", bpe_apply_compression,
+              BPE_APPLY_ORACLE,
+              "encode corpus with learned BPE merges; per-lang compression"),
+    QuerySpec("term_cardinality_kmv", term_cardinality_kmv, KMV_ORACLE,
+              "KMV distinct-count sketch vs exact, per language"),
 ]

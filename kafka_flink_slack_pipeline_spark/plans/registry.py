@@ -117,6 +117,14 @@ _DEMOTED = (
     "benchmark_decontaminate",
     "doc_repetition_metrics",
     "mixture_weights",
+    # Two more r4 slots for bpe_apply_compression + term_cardinality_kmv
+    # (same new-code-gets-the-driver rule). corpus_filter_report's
+    # composition is exercised in-window by corpus_export_manifest (which
+    # embeds the same filter signals); the median UDAF stays pinned by
+    # tests/test_textclean + verify_local. Both r2-green, textops
+    # untouched since r3.
+    "corpus_filter_report",
+    "doc_median_tokens_udaf",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

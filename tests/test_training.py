@@ -16,12 +16,15 @@ from pyspark.sql import functions as F
 from kafka_flink_slack_pipeline_spark.operators.training import (
     _BPE_MERGES,
     _DSIR_TARGET_LANG,
+    _KMV_K,
     _LM_KEEP_BELOW,
     _RP_OUT_DIM,
+    bpe_apply_compression,
     bpe_learn_merges,
     doc_bigram_lm_score,
     dsir_importance_weights,
     embedding_random_projection,
+    term_cardinality_kmv,
 )
 from kafka_flink_slack_pipeline_spark.tables import table
 
@@ -88,6 +91,33 @@ def test_bigram_lm_scores_are_inverse_probabilities(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_bpe_apply_compresses_every_language(spark, sf_dir):
+    rows = bpe_apply_compression(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # merges only ever shrink the symbol sequence, so the encoded
+        # corpus has at most one token per char and strictly fewer after
+        # 6 merges on this corpus
+        assert r.total_tokens < r.total_chars
+        assert r.chars_per_token > 1.0
+        assert r.n_words > 0
+
+
+def test_kmv_sketch_is_consistent(spark, sf_dir):
+    rows = term_cardinality_kmv(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_k == _KMV_K
+        assert r.kmv_estimate > 0
+        # the published estimator error bound is ~1/sqrt(K-2); allow a
+        # generous multiple for the tiny per-lang vocabularies here
+        assert r.rel_error == round(
+            abs(r.kmv_estimate - r.n_distinct_exact) / r.n_distinct_exact, 6
+        )
+        if r.n_distinct_exact <= _KMV_K:
+            assert r.rel_error == 0.0
 
 
 def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
