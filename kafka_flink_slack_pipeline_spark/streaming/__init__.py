@@ -16,6 +16,9 @@ from .event_server import (  # noqa: F401
     thread_registry_stream,
 )
 from .event_time import windowed_event_counts  # noqa: F401
-from .ingest_dedup import dedup_documents_stream  # noqa: F401
+from .ingest_dedup import (  # noqa: F401
+    dedup_documents_stream,
+    neardup_documents_stream,
+)
 from .llm import MAX_TOKENS, DeterministicStubModel, make_llm_udf  # noqa: F401
 from .producer_pipeline import producer_transform, run_producer_stream  # noqa: F401

@@ -29,3 +29,161 @@ def dedup_documents_stream(
         .withWatermark(ts_col, ttl)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming NEAR-dup flagging — the streaming face of dedup_minhash_lsh
+# (operators/dedup.py), via applyInPandasWithState keyed by LSH band.
+#
+# Same signature family as the batch operator (16 minhashes over word
+# 3-shingles, 4 bands x 4 rows, universal-hash coefficients from
+# _minhash_coeffs), so a doc flagged here would also pair in the batch
+# sweep. The signature is computed IN-ROW (array_min over a transform of
+# the shingle-hash array) — no pre-aggregation shuffle, which matters
+# twice: streaming stateful ops can't sit above an aggregate in append
+# mode, and the narrow form pipelines straight from the source. The
+# shingle-hash array is projected ONCE before the 16 per-component
+# transforms (lambda bodies don't participate in subexpression
+# elimination — the repo's tokens-projection rule).
+#
+# State: per (band, band_key), the FIRST-seen doc's id + signature.
+# Each later arrival in the same bucket is emitted as a match with
+# est_jaccard = fraction of agreeing signature components (the unbiased
+# minhash Jaccard estimator); callers filter on it and anti-join the
+# flagged doc_ids out of the ingest. State expires TTL after the
+# bucket's last activity (event-time timeout anchored on the data, not
+# the watermark — see thread_mention_counts for why).
+#
+# 100 TB/day: state is one (long, 16-long) record per occupied band
+# bucket inside the TTL horizon, shuffled by (band, bkey) — md5-uniform,
+# no skew; the Python function sees one bucket's rows per call,
+# Arrow-batched. Cross-horizon near-dups remain the batch operator's job.
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_P,
+    MINHASH_ROWS,
+    _minhash_coeffs,
+    _word_shingles,
+)
+
+NEARDUP_OUTPUT = (
+    "doc_id bigint, dup_of bigint, band int, est_jaccard double, "
+    "ingest_ts timestamp"
+)
+NEARDUP_STATE = "first_doc bigint, sig string, last_ms bigint"
+NEARDUP_TTL_MS = 24 * 3600 * 1000
+
+
+def _flag_neardups(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    rows = [pdf for pdf in pdfs if len(pdf)]
+    if not rows:
+        return
+    batch = pd.concat(rows).sort_values(["ingest_ts", "doc_id"])
+    if state.exists:
+        first_doc, sig_csv, last_ms = state.get
+        ref = [int(x) for x in sig_csv.split(",")]
+    else:
+        first_doc, ref, last_ms = None, None, 0
+    out = []
+    for r in batch.itertuples():
+        sig = [int(x) for x in r.sig_csv.split(",")]
+        if ref is None:
+            first_doc, ref = int(r.doc_id), sig
+        else:
+            agree = sum(a == b for a, b in zip(ref, sig)) / len(ref)
+            out.append((int(r.doc_id), first_doc, key[0], agree, r.ingest_ts))
+        last_ms = max(last_ms, int(r.ingest_ts.value // 1_000_000))
+    state.update((first_doc, ",".join(str(x) for x in ref), last_ms))
+    state.setTimeoutTimestamp(last_ms + NEARDUP_TTL_MS)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["doc_id", "dup_of", "band", "est_jaccard", "ingest_ts"]
+        )
+
+
+def neardup_documents_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "24 hours",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Streaming minhash-LSH near-dup matches (update mode).
+
+    Input needs `doc_id`, `text`, and an event-time column. Output: one
+    row per (flagged doc, band) with the first-seen bucket owner and the
+    estimated Jaccard; `df.select("doc_id").distinct()` is the drop list.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _h(s):
+        return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+
+    def _mh_component(a: int, b: int):
+        # closure per coefficient pair: Spark decides a lambda's arity by
+        # inspecting its parameters, so default-arg capture is off-limits
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)
+
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    sigged = (
+        docs.withColumn("shingle_hs", F.transform(_word_shingles(toks), _h))
+        .filter(F.size("shingle_hs") > 0)
+        .withColumn(
+            "sig",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(F.col("shingle_hs"), _mh_component(a, b))
+                    )
+                    for a, b in _minhash_coeffs()
+                ]
+            ),
+        )
+        .withColumn(
+            "sig_csv",
+            F.concat_ws(
+                ",", F.transform("sig", lambda x: x.cast("string"))
+            ),
+        )
+    )
+    banded = sigged.select(
+        "doc_id",
+        "sig_csv",
+        F.col(ts_col).alias("ingest_ts"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(bnd * MINHASH_ROWS + r)
+                                for r in range(MINHASH_ROWS)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for bnd in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig_csv", "ingest_ts", "bk.band", "bk.bkey")
+    matches = (
+        banded.withWatermark("ingest_ts", watermark)
+        .groupBy("band", "bkey")
+        .applyInPandasWithState(
+            _flag_neardups,
+            outputStructType=NEARDUP_OUTPUT,
+            stateStructType=NEARDUP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    return matches.filter(F.col("est_jaccard") >= min_est_jaccard)

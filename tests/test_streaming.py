@@ -873,3 +873,55 @@ def test_history_context_by_thread(spark):
            for r in history_context(history, by_thread=True).collect()}
     assert ctx[("C1", "100.1")] == "a: root\nb: reply"
     assert ctx[("C1", "999.9")] == "c: other"
+
+
+def test_streaming_neardup_flags_minhash_collisions(spark, tmp_path):
+    """Streaming near-dup: a lightly edited copy is flagged against the
+    first-seen doc with high estimated Jaccard (state persists across
+    micro-batches via the checkpoint); an unrelated doc is not flagged."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        neardup_documents_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    edited = base + "tail"  # one appended word: 15/16 signature
+    # components agree (verified deterministically), 3 of 4 bands collide
+    other = "completely different content about spark window aggregation " * 4
+    schema = "doc_id bigint, text string, ingest_ts timestamp"
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def run_batch():
+        def save(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            neardup_documents_stream(stream, watermark="1 hour")
+            .writeStream.foreachBatch(save)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return spark.read.parquet(out_dir).collect()
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text=base, ingest_ts=t0),
+         Row(doc_id=2, text=other, ingest_ts=t0)],
+        schema,
+    ).write.parquet(src)
+    assert run_batch() == []  # two unrelated docs: no bucket collision
+
+    # second batch: the edited copy collides with doc 1's bands
+    spark.createDataFrame(
+        [Row(doc_id=3, text=edited, ingest_ts=dt.datetime(2024, 1, 1, 0, 30))],
+        schema,
+    ).write.mode("append").parquet(src)
+    rows = run_batch()
+    assert rows, "edited copy should be flagged"
+    assert {(r.doc_id, r.dup_of) for r in rows} == {(3, 1)}
+    assert all(r.est_jaccard >= 0.5 for r in rows)
