@@ -58,11 +58,13 @@ from .textops import tokens_col
 # the driver (bounded by B, not the corpus; the kmeans-centroid
 # precedent), where the two ln() terms are computed once per bucket and
 # rounded to 6 (cross-engine: driver libm vs DuckDB libm agree; rounding
-# makes the literal exact). Scoring is a broadcast join of the 256-row
-# log-ratio table against the same explosion — corpus scanned twice total
-# (fit pass, score pass), exactly the two passes the DSIR paper's
-# fit-then-apply structure requires. The md5-prefix bucket hash is the
-# repo's standard cross-engine hash (operators/dedup.py:223).
+# makes the literal exact). Scoring re-enters the model as a 256-double
+# LITERAL array and folds each doc's features against it in-row — a
+# ZERO-shuffle narrow map (no feature explode, no join, no groupBy).
+# Corpus scanned twice total (fit pass, score pass), exactly the two
+# passes the DSIR paper's fit-then-apply structure requires. The
+# md5-prefix bucket hash is the repo's standard cross-engine hash
+# (operators/dedup.py:223).
 _DSIR_BUCKETS = 256
 _DSIR_TARGET_LANG = "en"
 
@@ -116,27 +118,39 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt = float(sum(r.ct for r in model))
     tr = float(sum(r.cr for r in model))
     smooth = 0.5 * _DSIR_BUCKETS
-    lr_rows = [
-        (
-            int(r.bucket),
-            round(
-                math.log((r.ct + 0.5) / (tt + smooth))
-                - math.log((r.cr + 0.5) / (tr + smooth)),
-                6,
-            ),
+    lr_by_bucket = [0.0] * _DSIR_BUCKETS  # unhit buckets can stay 0: every
+    # scoring feature comes from the same corpus the model was fit on
+    for r in model:
+        lr_by_bucket[int(r.bucket)] = round(
+            math.log((r.ct + 0.5) / (tt + smooth))
+            - math.log((r.cr + 0.5) / (tr + smooth)),
+            6,
         )
-        for r in model
-    ]
-    lr = spark.createDataFrame(lr_rows, "bucket long, lr double")
-    # Apply: second corpus pass, broadcast 256-row model join.
+    # Apply: ZERO-shuffle narrow map — the 256 log-ratios enter as one
+    # literal array and each doc folds its own features against it
+    # (decimal accumulation = order-free, matching the oracle's GROUP BY
+    # sum). At 100 TB this is the difference between a full (doc,feature)
+    # explode shuffle and a map pipelined straight off the parquet scan.
+    lr_arr = F.array(*[F.lit(v) for v in lr_by_bucket])
+    fs = F.filter(_uni_bigrams(F.col("t")), lambda f: f != "")
+    score = F.aggregate(
+        F.transform(
+            F.col("fs"),
+            lambda f: F.element_at(
+                lr_arr, (_hash_bucket(f, _DSIR_BUCKETS) + 1).cast("int")
+            ),
+        ),
+        F.lit(0).cast("decimal(25,10)"),
+        # decimal + widens precision by 1; cast back (same scale — exact,
+        # the values are |lr| <= ~13 so precision 25 never overflows)
+        lambda acc, x: (acc + x.cast("decimal(25,10)")).cast("decimal(25,10)"),
+    )
     return (
-        feats.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(
-                F.sum(F.col("lr").cast("decimal(25,10)")).cast("double"), 6
-            ).alias("log_weight"),
+        toked.withColumn("fs", fs)
+        .select(
+            "doc_id",
+            F.size("fs").cast("long").alias("n_feats"),
+            F.round(score.cast("double"), 6).alias("log_weight"),
         )
         .select(
             "doc_id",
