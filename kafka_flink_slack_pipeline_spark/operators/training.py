@@ -711,6 +711,70 @@ FROM est ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Sliding-window token chunking — context-window preparation for
+# retrieval/embedding pipelines (the RAG complement to sequence_pack's
+# training-sequence packing): fixed-size token windows with overlap so no
+# span longer than the stride is ever split across chunk boundaries
+# without also appearing whole in some chunk.
+#
+# Chunk starts are 0, STRIDE, 2*STRIDE, ... while start < n_tokens; the
+# final chunk is allowed to be short (simple deterministic rule, stated
+# here so the oracle mirrors it exactly). Scale notes (100 TB): a narrow
+# explode with bounded ~n/STRIDE amplification, pipelined from the scan —
+# no shuffle but the result sort. Tokens are projected once before the
+# lambdas (the module rule).
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48
+
+
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("t")
+    # stepped sequence stops at the last multiple of STRIDE <= n-1, i.e.
+    # exactly the chunk starts < n
+    starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(_CHUNK_STRIDE))
+    return (
+        d.select("doc_id", tokens_col().alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.slice(t, s + 1, _CHUNK_TOKENS),
+                )
+            ).alias("chunk_id", "chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk_toks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+CHUNK_SLIDING_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         t[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}]
+           AS chunk_toks
+  FROM toked,
+       unnest(range(0, 1 + (len(t) - 1) // {_CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       len(chunk_toks)::BIGINT AS n_tokens,
+       array_to_string(chunk_toks, ' ') AS chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -726,4 +790,6 @@ QUERIES = [
               "encode corpus with learned BPE merges; per-lang compression"),
     QuerySpec("term_cardinality_kmv", term_cardinality_kmv, KMV_ORACLE,
               "KMV distinct-count sketch vs exact, per language"),
+    QuerySpec("doc_chunk_sliding", doc_chunk_sliding, CHUNK_SLIDING_ORACLE,
+              "sliding token-window chunking with overlap (RAG prep)"),
 ]

@@ -125,6 +125,10 @@ _DEMOTED = (
     # untouched since r3.
     "corpus_filter_report",
     "doc_median_tokens_udaf",
+    # One slot for doc_chunk_sliding (new-code rule). doc_quality_scores'
+    # signals are exercised in-window inside corpus_export_manifest's
+    # filter stage; the op itself is r2-green and textops is untouched.
+    "doc_quality_scores",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -120,6 +120,36 @@ def test_kmv_sketch_is_consistent(spark, sf_dir):
             assert r.rel_error == 0.0
 
 
+def test_sliding_chunks_cover_and_overlap(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        doc_chunk_sliding,
+    )
+
+    chunks = doc_chunk_sliding(spark, sf_dir)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), "\\s+")).alias("n")
+    )
+    rows = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tok_rows"),
+            F.max("n_tokens").alias("max_len"),
+        )
+        .join(toks, "doc_id")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        # chunk count is exactly ceil over stride; no chunk exceeds the size
+        assert r.n_chunks == (r.n - 1) // _CHUNK_STRIDE + 1
+        assert r.max_len <= _CHUNK_TOKENS
+        # every token appears in >= 1 chunk; overlapped tokens appear twice
+        assert r.tok_rows >= r.n
+
+
 def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     p = embedding_random_projection(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select(
