@@ -97,6 +97,11 @@ HEADLINE = [
     # one window pass).
     "bpe_apply_compression",
     "term_cardinality_kmv",
+    # r4 addition: RAG chunking (narrow bounded explode).
+    # term_heavy_hitters_cms is NOT benched for dedup_clusters' reason:
+    # its corpus pass runs eagerly at frame-build (localCheckpoint), so
+    # timing the final count() would measure only vocab-scale work.
+    "doc_chunk_sliding",
 ]
 
 

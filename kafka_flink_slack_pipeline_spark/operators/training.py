@@ -775,6 +775,114 @@ ORDER BY doc_id, chunk_id
 """
 
 
+# --------------------------------------------------------------------------
+# CountMin-sketch heavy hitters — the frequency-estimation sketch
+# (Cormode & Muthukrishnan 2005) beside KMV's cardinality sketch. D=4
+# hash rows x W=64 counters; a term's estimate is the MIN over its D
+# cells, which can only OVERestimate (every cell adds nonnegative
+# collision mass) — the report shows exact vs estimate for the top-10
+# terms so the overestimate is visible and the property is testable.
+#
+# All arithmetic is integer — cross-engine exact, no rounding needed.
+#
+# Scale notes (100 TB): the sketch cells aggregate from the VOCAB-scale
+# term-count table, not the raw token stream (sum of term counts per
+# (row, bucket) ≡ streaming increments, but one shuffle smaller); the
+# term-count table is localCheckpoint-ed because two consumers derive
+# from it (cells + top-k) and Spark 4.1 AQE would otherwise rerun the
+# corpus scan per consumer. The sketch itself is O(D*W)=256 counters —
+# the point of a sketch: at any corpus size the memory is constant.
+_CMS_D = 4
+_CMS_W = 64
+_CMS_TOPK = 10
+
+
+def term_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select(F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # vocab-scale; 2 consumers below
+    )
+
+    def _bucket(r: int) -> F.Column:
+        return _hash_bucket(F.concat(F.lit(f"cms:{r}:"), F.col("term")), _CMS_W)
+
+    cells = (
+        tc.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"), _bucket(r).alias("b")
+                        )
+                        for r in range(_CMS_D)
+                    ]
+                )
+            ).alias("rb"),
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = tc.orderBy(F.desc("c"), F.asc("term")).limit(_CMS_TOPK)
+    probes = top.select(
+        "term",
+        F.col("c").alias("exact_count"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), _bucket(r).alias("b"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "exact_count", "rb.r", "rb.b")
+    return (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+    )
+
+
+CMS_ORACLE = f"""
+WITH tc AS (
+  SELECT term, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents)
+  WHERE term <> '' GROUP BY term
+),
+cells AS (
+  SELECT r, ('0x' || substr(md5('cms:' || r || ':' || term), 1, 7))::BIGINT
+             % {_CMS_W} AS b,
+         sum(c)::BIGINT AS cell
+  FROM tc, unnest(range(0, {_CMS_D})) AS u(r)
+  GROUP BY 1, 2
+),
+top AS (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT {_CMS_TOPK}),
+probes AS (
+  SELECT term, c AS exact_count, r,
+         ('0x' || substr(md5('cms:' || r || ':' || term), 1, 7))::BIGINT
+           % {_CMS_W} AS b
+  FROM top, unnest(range(0, {_CMS_D})) AS u(r)
+)
+SELECT term, exact_count, min(cell)::BIGINT AS cms_estimate,
+       (min(cell) - exact_count)::BIGINT AS overestimate
+FROM probes JOIN cells USING (r, b)
+GROUP BY term, exact_count
+ORDER BY exact_count DESC, term
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -792,4 +900,6 @@ QUERIES = [
               "KMV distinct-count sketch vs exact, per language"),
     QuerySpec("doc_chunk_sliding", doc_chunk_sliding, CHUNK_SLIDING_ORACLE,
               "sliding token-window chunking with overlap (RAG prep)"),
+    QuerySpec("term_heavy_hitters_cms", term_heavy_hitters_cms, CMS_ORACLE,
+              "CountMin-sketch top-k frequency estimates vs exact"),
 ]

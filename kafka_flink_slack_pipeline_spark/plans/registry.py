@@ -129,6 +129,11 @@ _DEMOTED = (
     # signals are exercised in-window inside corpus_export_manifest's
     # filter stage; the op itself is r2-green and textops is untouched.
     "doc_quality_scores",
+    # One slot for term_heavy_hitters_cms. token_frequencies_salted is
+    # r1-green, operators/skew.py is untouched since then, and its core
+    # contract (salted two-phase agg ≡ direct agg) is pinned by a
+    # dedicated property test independent of the oracle.
+    "token_frequencies_salted",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -150,6 +150,23 @@ def test_sliding_chunks_cover_and_overlap(spark, sf_dir):
         assert r.tok_rows >= r.n
 
 
+def test_cms_never_underestimates(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _CMS_TOPK,
+        term_heavy_hitters_cms,
+    )
+
+    rows = term_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) == _CMS_TOPK
+    for r in rows:
+        # CountMin's defining guarantee: estimate >= true count
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+    # top-k comes out in exact-count order
+    counts = [r.exact_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
 def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     p = embedding_random_projection(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings").select(
