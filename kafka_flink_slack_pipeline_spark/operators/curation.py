@@ -133,6 +133,134 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Maximal duplicated-run detection — the substring-dedup unit of Lee et
+# al. 2022 ("Deduplicating Training Data Makes Language Models Better"),
+# which removes MAXIMAL repeated substrings rather than counting fixed
+# spans (interdoc_span_dedup's measurement). A position is "duplicated"
+# when its word-5-gram also occurs in ANOTHER document; overlapping or
+# adjacent duplicated 5-grams merge into one run (gaps-and-islands over
+# the position sequence), and the report gives each doc's run count,
+# duplicated-token total, longest run, and duplicated fraction — the
+# inputs a scrubber needs to cut the runs out.
+#
+# Scale notes (100 TB): the span explosion happens ONCE; the cross-doc
+# test is min(doc_id)!=max(doc_id) via a window over span — a window,
+# not an agg + self-join (the module's r3 lesson), and crucially not a
+# COUNT(DISTINCT) window, which neither engine supports over a
+# partition. Everything after the span shuffle is windows and aggregates
+# partitioned by doc_id — equi-key shuffles only, no fan-out joins.
+_RUN_N = 5
+
+
+def interdoc_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col().alias("toks"))
+    spanpos = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(_word_shingles_keep_pos(F.col("toks"), _RUN_N)).alias(
+            "p", "span"
+        ),
+    )
+    w_span = Window.partitionBy("span")
+    dup = (
+        spanpos.withColumn("mn", F.min("doc_id").over(w_span))
+        .withColumn("mx", F.max("doc_id").over(w_span))
+        .filter(F.col("mn") != F.col("mx"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    w_run = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = dup.withColumn(
+        "brk",
+        (
+            F.col("p") - F.lag("p", 1, -(_RUN_N + 1)).over(w_doc) > _RUN_N
+        ).cast("long"),
+    ).withColumn("run_id", F.sum("brk").over(w_run))
+    runs = islands.groupBy("doc_id", "n_toks", "run_id").agg(
+        (F.max("p") - F.min("p") + _RUN_N).alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id", "n_toks")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("dup_tokens"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .select(
+            "doc_id",
+            "n_runs",
+            "dup_tokens",
+            "longest_run",
+            F.round(F.col("dup_tokens") / F.col("n_toks"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _word_shingles_keep_pos(toks, n: int):
+    """Positional word n-grams (no dedup, unlike dedup._word_shingles —
+    runs need every position). Empty array for docs shorter than n."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_RUN_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_RUN_N))
+INTERDOC_RUNS_ORACLE = f"""
+WITH sp AS (
+  SELECT doc_id, len(toks) AS n_toks, i - 1 AS p, {_RUN_GRAM} AS span
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+       unnest(generate_series(1, greatest(len(toks) - {_RUN_N - 1}, 0)))
+         AS u(i)
+),
+dup AS (
+  SELECT doc_id, n_toks, p FROM (
+    SELECT doc_id, n_toks, p,
+           min(doc_id) OVER (PARTITION BY span) AS mn,
+           max(doc_id) OVER (PARTITION BY span) AS mx
+    FROM sp)
+  WHERE mn <> mx
+),
+lagged AS (
+  SELECT doc_id, n_toks, p,
+         CASE WHEN p - coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                                -{_RUN_N + 1})
+                   > {_RUN_N} THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, n_toks, p,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM lagged
+),
+runs AS (
+  SELECT doc_id, n_toks, run_id,
+         max(p) - min(p) + {_RUN_N} AS run_len
+  FROM islands GROUP BY 1, 2, 3
+)
+SELECT doc_id, count(*)::BIGINT AS n_runs,
+       sum(run_len)::BIGINT AS dup_tokens,
+       max(run_len)::BIGINT AS longest_run,
+       round(sum(run_len)::DOUBLE / n_toks, 4) AS dup_frac
+FROM runs
+GROUP BY doc_id, n_toks
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Token-budget selection: order the corpus best-quality-first and keep
 # documents while the running token total stays within a fixed budget —
 # the "select the top-B tokens" step a pretraining pipeline runs after
@@ -983,6 +1111,8 @@ QUERIES = [
     QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
               INTERDOC_SPAN_ORACLE,
               "C4-style inter-document duplicated-span fraction + scrub"),
+    QuerySpec("interdoc_dup_runs", interdoc_dup_runs, INTERDOC_RUNS_ORACLE,
+              "maximal cross-doc duplicated runs (gaps-and-islands)"),
     QuerySpec("token_budget_select", token_budget_select,
               TOKEN_BUDGET_ORACLE,
               "fill a token budget best-quality-first (two-phase cumsum)"),

@@ -134,6 +134,10 @@ _DEMOTED = (
     # contract (salted two-phase agg ≡ direct agg) is pinned by a
     # dedicated property test independent of the oracle.
     "token_frequencies_salted",
+    # One slot for interdoc_dup_runs. label_centroid_similarity is
+    # r2-green and untouched by the r4 similarity rework (verified by
+    # diff); the similarity family keeps seven in-window representatives.
+    "label_centroid_similarity",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

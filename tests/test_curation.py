@@ -196,3 +196,20 @@ def test_kmeans_iterations_do_not_increase_inertia(spark, sf_dir):
     finally:
         c._KM_ITERS = orig
     assert three <= one + 1e-6
+
+
+def test_dup_runs_are_maximal_and_bounded(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _RUN_N,
+        interdoc_dup_runs,
+    )
+
+    rows = interdoc_dup_runs(spark, sf_dir).collect()
+    assert rows, "the planted near-dup docs share >= one 5-gram run"
+    for r in rows:
+        # every run covers at least one full span; runs are disjoint by
+        # construction (islands merge overlapping/adjacent spans), so the
+        # duplicated-token total is bounded by the doc itself
+        assert r.longest_run >= _RUN_N
+        assert r.dup_tokens >= r.n_runs * _RUN_N
+        assert 0 < r.dup_frac <= 1.0
