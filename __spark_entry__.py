@@ -22,15 +22,17 @@ from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Flagship = q5 local-supplier volume: 6-way join with broadcast
-    dimensions + aggregation — exercises scan, filter pushdown, broadcast
-    and shuffle joins, and partial aggregation in one plan.
+    Flagship = the end-to-end curation funnel: quality/repetition filter
+    -> exact dedup -> MinHash-LSH near-dedup -> fuzzy decontamination,
+    reported as per-stage doc/token survivor counts — the whole
+    training-data cleaning story in one Catalyst plan (stable 5-row,
+    4-column schema; oracle-verified at sf0.001 and sf0.01).
     """
-    from kafka_flink_slack_pipeline_spark.operators.relational import (
-        q5_local_supplier_volume,
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        corpus_curation_funnel,
     )
 
-    return q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    return corpus_curation_funnel(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

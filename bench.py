@@ -102,6 +102,10 @@ HEADLINE = [
     # its corpus pass runs eagerly at frame-build (localCheckpoint), so
     # timing the final count() would measure only vocab-scale work.
     "doc_chunk_sliding",
+    # r4 addition: the end-to-end curation funnel (quality -> exact dedup
+    # -> minhash near-dedup -> decontamination survivor report) — the
+    # flagship composition; one number for the whole cleaning story.
+    "corpus_curation_funnel",
 ]
 
 

@@ -1107,6 +1107,171 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# End-to-end curation funnel: the whole training-data cleaning story as
+# ONE verifiable report — raw -> quality/repetition filter -> exact
+# dedup -> MinHash-LSH near-dedup -> fuzzy decontamination, with the doc
+# and token counts surviving each stage. This is the first table a data
+# lead asks for from a curation run ("where did my tokens go?"), and it
+# composes four already-verified operator families so the funnel can
+# never drift from the stages it summarizes (the oracle composes their
+# oracle SQL the same way).
+#
+# Stage semantics (each evaluated on the docs that survived the previous
+# stage; `reached` = number of stages a doc passes):
+#   1 quality:        quality_score >= min AND dup_bigram_frac <= max
+#                     (textops thresholds, same rounding both engines)
+#   2 exact_dedup:    keep the min-doc_id canonical per md5(text) group
+#                     AMONG stage-1 survivors (a duplicate of a
+#                     quality-dropped doc is itself canonical again)
+#   3 near_dedup:     drop every doc_b of a MinHash-LSH candidate pair
+#                     (greedy keep-first, the corpus_filter precedent;
+#                     pair generation is corpus-global — membership of
+#                     the earlier doc is NOT required, matching the
+#                     "drop all later colliders" production rule)
+#   4 decontaminated: drop every doc the fuzzy 3-gram-containment pass
+#                     flags against the bench set
+#
+# Scale notes (100 TB): three deliberate scans of the documents source —
+# signals, shingle->signature (minhash), shingle->containment (decon) —
+# because the three token shapes differ and caching a 100 TB projection
+# to share one scan would spill forever; columnar re-scan is the cheap
+# choice. After that: one window shuffle on the content hash, the two
+# victim pipelines' own bounded shuffles, two doc_id equi-joins (victims
+# are NOT assumed broadcastable — web-scale near-dup rates run 30%+),
+# and a 10-number global partial aggregate. The 5-row output explodes
+# from that single aggregate row — no single-partition window anywhere.
+_FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "near_dedup",
+                  "decontaminated")
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_minhash_lsh
+    from .textops import (
+        _FILTER_MAX_DUP_BIGRAM,
+        _FILTER_MIN_QUALITY,
+        quality_signal_frame,
+    )
+
+    sig = quality_signal_frame(spark, sf_dir)
+    qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
+        F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
+    )
+    # canonical = min doc_id over the content-hash group COUNTING ONLY
+    # quality survivors: one window on h, no survivor re-join
+    flagged = sig.select(
+        "doc_id",
+        "n_tokens",
+        qk.alias("qk"),
+        F.min(F.when(qk, F.col("doc_id")))
+        .over(Window.partitionBy("h"))
+        .alias("canon"),
+    )
+    ndv = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("nd", F.lit(1))
+    )
+    dcv = (
+        decontaminate_fuzzy(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("dc", F.lit(1))
+    )
+    reached_col = (
+        F.when(~F.col("qk"), F.lit(0))
+        .when(F.col("doc_id") != F.col("canon"), F.lit(1))
+        .when(F.col("nd").isNotNull(), F.lit(2))
+        .when(F.col("dc").isNotNull(), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    reached = (
+        flagged.join(ndv, "doc_id", "left")
+        .join(dcv, "doc_id", "left")
+        .select("n_tokens", reached_col.alias("reached"))
+    )
+    agg = reached.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("reached") >= s, F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"d{s}")
+            for s in range(len(_FUNNEL_STAGES))
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("reached") >= s, F.col("n_tokens"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"t{s}")
+            for s in range(len(_FUNNEL_STAGES))
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("int").alias("stage_ord"),
+                    F.lit(name).alias("stage"),
+                    F.col(f"d{s}").alias("n_docs"),
+                    F.col(f"t{s}").alias("n_tokens"),
+                )
+                for s, name in enumerate(_FUNNEL_STAGES)
+            ]
+        )
+    )
+    return agg.select(rows.alias("r")).select("r.*").orderBy("stage_ord")
+
+
+def _curation_funnel_oracle() -> str:
+    from .dedup import _minhash_oracle
+    from .textops import (
+        _FILTER_MAX_DUP_BIGRAM,
+        _FILTER_MIN_QUALITY,
+        QUALITY_SIG_SQL,
+    )
+
+    stage_values = ", ".join(
+        f"({s}, '{name}')" for s, name in enumerate(_FUNNEL_STAGES)
+    )
+    return f"""
+WITH sig AS ({QUALITY_SIG_SQL}),
+flagged AS (
+  SELECT doc_id, n_tokens, qk,
+         min(CASE WHEN qk THEN doc_id END) OVER (PARTITION BY h) AS canon
+  FROM (
+    SELECT *,
+           (quality_score >= {_FILTER_MIN_QUALITY}
+            AND dup_bigram_frac <= {_FILTER_MAX_DUP_BIGRAM}) AS qk
+    FROM sig
+  )
+),
+ndv AS (SELECT DISTINCT doc_b AS doc_id FROM ({_minhash_oracle()})),
+dcv AS (SELECT DISTINCT doc_id FROM ({DECON_FUZZY_ORACLE})),
+reached AS (
+  SELECT f.n_tokens,
+         CASE WHEN NOT f.qk THEN 0
+              WHEN f.doc_id <> f.canon THEN 1
+              WHEN n.doc_id IS NOT NULL THEN 2
+              WHEN c.doc_id IS NOT NULL THEN 3
+              ELSE 4 END AS reached
+  FROM flagged f
+  LEFT JOIN ndv n USING (doc_id)
+  LEFT JOIN dcv c USING (doc_id)
+)
+SELECT s.stage_ord, s.stage,
+       count(r.n_tokens)::BIGINT AS n_docs,
+       coalesce(sum(r.n_tokens), 0)::BIGINT AS n_tokens
+FROM (VALUES {stage_values}) AS s(stage_ord, stage)
+LEFT JOIN reached r ON r.reached >= s.stage_ord
+GROUP BY s.stage_ord, s.stage
+ORDER BY s.stage_ord
+"""
+
+
 QUERIES = [
     QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
               INTERDOC_SPAN_ORACLE,
@@ -1135,4 +1300,8 @@ QUERIES = [
               "product-quantization codes + decimal-exact error (8x16)"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
               "BM25 top-k keyword retrieval (rational log-free idf)"),
+    QuerySpec("corpus_curation_funnel", corpus_curation_funnel,
+              _curation_funnel_oracle(),
+              "end-to-end curation funnel: quality -> exact dedup -> "
+              "minhash near-dedup -> decontamination survivor report"),
 ]

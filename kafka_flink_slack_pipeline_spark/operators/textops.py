@@ -824,15 +824,15 @@ _FILTER_MIN_QUALITY = 0.7
 _FILTER_MAX_DUP_BIGRAM = 0.1
 
 
-def _corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full per-doc signal frame shared by the report and the manifest.
+def quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local per-doc quality signals: ONE narrow pass over the scan.
 
-    Carries lang + n_tokens through so downstream consumers (the export
-    manifest) never re-scan or re-tokenize documents — the survivors'
-    packing inputs fall straight out of this frame.
+    Columns: doc_id, lang, h (md5 content hash, for exact-dedup stages),
+    n_tokens, quality_score, dup_bigram_frac. Shared by the filter
+    report / export manifest here and by curation.corpus_curation_funnel;
+    the matching SQL fragment is QUALITY_SIG_SQL. Unused columns (e.g. h
+    when the consumer never dedups) are pruned by Catalyst.
     """
-    from .dedup import capped_jaccard_pairs
-
     # Project tokens ONCE into a column (same lesson as dedup_ngram_jaccard):
     # downstream consumers filter on the keep/drop_reason CASE chain, and
     # Spark's codegen subexpression elimination does NOT reach inside
@@ -868,13 +868,26 @@ def _corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens >= 2,
         F.round(1 - F.size(F.array_distinct(bigrams)) / (n_tokens - 1), 4),
     ).otherwise(F.lit(0.0))
-    sig = d.select(
+    return d.select(
         "doc_id",
         "lang",
+        F.md5(F.col("text")).alias("h"),
         n_tokens.cast("long").alias("n_tokens"),
         F.round(quality, 1).alias("quality_score"),
         dup_bigram.alias("dup_bigram_frac"),
     )
+
+
+def _corpus_filter_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-doc signal frame shared by the report and the manifest.
+
+    Carries lang + n_tokens through so downstream consumers (the export
+    manifest) never re-scan or re-tokenize documents — the survivors'
+    packing inputs fall straight out of this frame.
+    """
+    from .dedup import capped_jaccard_pairs
+
+    sig = quality_signal_frame(spark, sf_dir).drop("h")
     victims = (
         capped_jaccard_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
@@ -905,14 +918,11 @@ def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_filter_oracle() -> str:
-    from .dedup import DEDUP_NGRAM_CAPPED_ORACLE
-
-    return f"""
-WITH pairs AS ({DEDUP_NGRAM_CAPPED_ORACLE}),
-victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
-sig AS (
-  SELECT doc_id,
+# SQL twin of quality_signal_frame (same columns, same rounding) —
+# composed into _corpus_filter_oracle here and into the curation-funnel
+# oracle, so the signal definition cannot drift between consumers.
+QUALITY_SIG_SQL = """
+  SELECT doc_id, lang, h, n::BIGINT AS n_tokens,
          round(
            (CASE WHEN n BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN stop / n BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END)
@@ -924,15 +934,24 @@ sig AS (
              i -> toks[i] || ' ' || toks[i+1]))) / (n - 1), 4)
          ELSE 0.0 END AS dup_bigram_frac
   FROM (
-    SELECT doc_id, toks, len(toks) AS n,
+    SELECT doc_id, lang, toks, md5(text) AS h, len(toks) AS n,
            len(list_filter(toks,
                t -> t IN ('the','a','of','is','and')))::DOUBLE AS stop,
            length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS sq
-    FROM (SELECT doc_id, text,
+    FROM (SELECT doc_id, lang, text,
                  regexp_split_to_array(trim(text), '\\s+') AS toks
           FROM documents)
   )
-)
+"""
+
+
+def _corpus_filter_oracle() -> str:
+    from .dedup import DEDUP_NGRAM_CAPPED_ORACLE
+
+    return f"""
+WITH pairs AS ({DEDUP_NGRAM_CAPPED_ORACLE}),
+victims AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+sig AS ({QUALITY_SIG_SQL})
 SELECT s.doc_id, s.quality_score, s.dup_bigram_frac,
        CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
        CASE WHEN v.doc_id IS NULL

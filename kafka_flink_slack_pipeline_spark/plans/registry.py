@@ -138,6 +138,13 @@ _DEMOTED = (
     # r2-green and untouched by the r4 similarity rework (verified by
     # diff); the similarity family keeps seven in-window representatives.
     "label_centroid_similarity",
+    # One slot for corpus_curation_funnel (new-code rule; it composes
+    # four verified stages into the end-to-end survivor report), keeping
+    # user_history_window (W1 parity) in-window. dedup_ngram_jaccard is
+    # the uncapped oracle-fidelity twin of the in-window capped scale
+    # path; r1-green and its function body is untouched by the r4
+    # dedup.py rework (verified by diff hunks).
+    "dedup_ngram_jaccard",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

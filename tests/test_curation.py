@@ -213,3 +213,41 @@ def test_dup_runs_are_maximal_and_bounded(spark, sf_dir):
         assert r.longest_run >= _RUN_N
         assert r.dup_tokens >= r.n_runs * _RUN_N
         assert 0 < r.dup_frac <= 1.0
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _FUNNEL_STAGES,
+        corpus_curation_funnel,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        _FILTER_MAX_DUP_BIGRAM,
+        _FILTER_MIN_QUALITY,
+        quality_signal_frame,
+    )
+
+    rows = corpus_curation_funnel(spark, sf_dir).collect()
+    assert [r.stage for r in rows] == list(_FUNNEL_STAGES)
+    # survivor counts and token totals shrink (weakly) stage over stage
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    # raw row matches the source table exactly
+    sig = quality_signal_frame(spark, sf_dir)
+    total = sig.agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert rows[0].n_docs == total.d and rows[0].n_tokens == total.t
+    # stage-1 counts match an independent recomputation of the gate
+    q = sig.filter(
+        (F.col("quality_score") >= _FILTER_MIN_QUALITY)
+        & (F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM)
+    ).count()
+    assert rows[1].n_docs == q
+    # non-vacuous: the funnel as a whole drops docs, and at least two
+    # distinct stages contribute (exact dups may not exist at tiny SFs)
+    assert rows[-1].n_docs < rows[0].n_docs
+    dropping = sum(
+        1 for prev, cur in zip(rows, rows[1:]) if cur.n_docs < prev.n_docs
+    )
+    assert dropping >= 2

@@ -112,6 +112,11 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
                              "set, not a production path; each member is "
                              "plan-audited on its own"),
     "decontaminate_fuzzy": (3, "corpus + in-query bench-suite derivation"),
+    # end-to-end composition: quality-signal branch + minhash signature
+    # pipeline + decontaminate_fuzzy's three (corpus + bench-derivation
+    # x2) — three token shapes that deliberately re-scan columnar source
+    # rather than materialize a 100 TB shared projection (docstring)
+    "corpus_curation_funnel": (5, "signals + minhash + fuzzy-decon stages"),
     # the planted-dup union reads embeddings twice per branch; 3 branches
     # (one banded/assignment pass + two vector join-backs or pair sides)
     "semantic_dedup": (6, "union x (narrow assign + pair self-join sides)"),
