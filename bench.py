@@ -106,6 +106,10 @@ HEADLINE = [
     # -> minhash near-dedup -> decontamination survivor report) — the
     # flagship composition; one number for the whole cleaning story.
     "corpus_curation_funnel",
+    # r4 addition: the quantile member of the sketch trio (fully lazy —
+    # one bounded groupBy + a one-row array-fold stage, so the timed pass
+    # measures the whole sketch unlike the eager-build CMS).
+    "token_quantile_histogram",
 ]
 
 

@@ -883,6 +883,197 @@ ORDER BY exact_count DESC, term
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable histogram quantile sketch — the third member of the sketch
+# family (KMV = cardinality, CountMin = frequency, this = quantiles; the
+# trio a corpus-profiling service actually ships). Equi-width histograms
+# are the simplest MERGEABLE quantile summary: per-partition bin counts
+# add, so the sketch state is _QH_BINS integers at any corpus size —
+# the same telescoping CountMin's counters rely on. Estimates use the
+# classic within-bin linear interpolation; the report shows estimate vs
+# exact rank-value so the approximation error is visible (like the KMV
+# and CMS reports).
+#
+# Determinism: bin width (mx-mn+1)/32 is a division by a power of two —
+# exact in binary — and every other quantity is an integer until the
+# final single-rounded interpolation, so both engines produce identical
+# doubles. Exact quantile = value at rank ceil(p*N) (the discrete
+# lower-value definition, stated here so the oracle mirrors it).
+#
+# Scale notes (100 TB): one narrow pass to per-length counts (groupBy on
+# n_tokens — bounded by the max document length, vocab-scale), then ONE
+# single-row collect_list aggregate over that bounded frame; all bin
+# math, cumulative scans, and per-p searches are in-row array folds on
+# the one-row frame (no windows, no joins, no second corpus pass). The
+# oracle uses plain relational windows — same math, different physical
+# strategy (the chunker/recursive-CTE precedent).
+_QH_BINS = 32
+_QH_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def token_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        F.size(tokens_col()).cast("long").alias("n")
+    )
+    vals = d.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    one = vals.agg(
+        F.sort_array(F.collect_list(F.struct("n", "c"))).alias("vc")
+    )
+    vc = F.col("vc")
+    zero_l = F.lit(0).cast("long")
+    base = one.select(
+        "vc",
+        vc[0]["n"].alias("mn"),
+        F.element_at(vc, -1)["n"].alias("mx"),
+        F.aggregate(vc, zero_l, lambda a, x: a + x["c"]).alias("nn"),
+    ).select(
+        "vc",
+        "mn",
+        "nn",
+        ((F.col("mx") - F.col("mn") + 1) / F.lit(float(_QH_BINS))).alias(
+            "width"
+        ),
+        # per-bucket counts: O(BINS * |vals|) in-row work on ONE row
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_QH_BINS - 1)),
+            lambda b: F.aggregate(
+                F.col("vc"),
+                zero_l,
+                lambda a, x: a
+                + F.when(
+                    F.least(
+                        F.lit(_QH_BINS - 1).cast("long"),
+                        F.floor(
+                            ((x["n"] - F.col("mn")) * _QH_BINS)
+                            / (F.col("mx") - F.col("mn") + 1)
+                        ),
+                    )
+                    == b.cast("long"),
+                    x["c"],
+                ).otherwise(zero_l),
+            ),
+        ).alias("bc"),
+    )
+
+    def _per_p(p: float):
+        r = F.ceil(F.lit(p) * F.col("nn")).cast("long")
+        # first bucket whose cumulative count reaches rank r
+        chosen = F.aggregate(
+            F.sequence(F.lit(0), F.lit(_QH_BINS - 1)),
+            F.struct(
+                zero_l.alias("cum"),
+                F.lit(-1).cast("long").alias("b"),
+                zero_l.alias("cumb"),
+                zero_l.alias("cb"),
+            ),
+            lambda acc, b: F.struct(
+                (acc["cum"] + F.element_at(F.col("bc"), b + 1)).alias("cum"),
+                F.when(
+                    (acc["b"] == -1)
+                    & (acc["cum"] + F.element_at(F.col("bc"), b + 1) >= r),
+                    b.cast("long"),
+                )
+                .otherwise(acc["b"])
+                .alias("b"),
+                F.when(
+                    (acc["b"] == -1)
+                    & (acc["cum"] + F.element_at(F.col("bc"), b + 1) >= r),
+                    acc["cum"],
+                )
+                .otherwise(acc["cumb"])
+                .alias("cumb"),
+                F.when(
+                    (acc["b"] == -1)
+                    & (acc["cum"] + F.element_at(F.col("bc"), b + 1) >= r),
+                    F.element_at(F.col("bc"), b + 1),
+                )
+                .otherwise(acc["cb"])
+                .alias("cb"),
+            ),
+        )
+        exact = F.aggregate(
+            F.col("vc"),
+            F.struct(zero_l.alias("cum"), F.lit(-1).cast("long").alias("q")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["c"]).alias("cum"),
+                F.when(
+                    (acc["q"] == -1) & (acc["cum"] + x["c"] >= r), x["n"]
+                )
+                .otherwise(acc["q"])
+                .alias("q"),
+            ),
+        )["q"]
+        est = F.round(
+            F.col("mn")
+            + chosen["b"] * F.col("width")
+            + F.col("width") * (r - chosen["cumb"]) / chosen["cb"],
+            6,
+        )
+        return F.struct(
+            F.lit(p).alias("p"),
+            est.alias("est_q"),
+            exact.alias("exact_q"),
+            F.round(F.abs(est - exact) / exact, 6).alias("rel_err"),
+        )
+
+    rows = F.explode(F.array(*[_per_p(p) for p in _QH_PS]))
+    return base.select(rows.alias("r")).select("r.*").orderBy("p")
+
+
+QH_ORACLE = f"""
+WITH vals AS (
+  SELECT n, count(*)::BIGINT AS c FROM (
+    SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+    FROM documents)
+  GROUP BY n
+),
+stats AS (
+  SELECT min(n) AS mn, max(n) AS mx, sum(c)::BIGINT AS nn,
+         (max(n) - min(n) + 1) / {float(_QH_BINS)} AS width
+  FROM vals
+),
+binned AS (
+  SELECT least({_QH_BINS - 1},
+               floor(((n - mn) * {_QH_BINS}) / (mx - mn + 1)))::BIGINT AS b,
+         c
+  FROM vals, stats
+),
+hist AS (
+  SELECT b, sum(c)::BIGINT AS cb,
+         sum(sum(c)) OVER (ORDER BY b)::BIGINT AS cum,
+         coalesce(sum(sum(c)) OVER (
+           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS cumb
+  FROM binned GROUP BY b
+),
+vcum AS (
+  SELECT n, sum(c) OVER (ORDER BY n)::BIGINT AS cum FROM vals
+),
+pr AS (
+  SELECT p, ceil(p * (SELECT nn FROM stats))::BIGINT AS r
+  FROM (SELECT unnest([{", ".join(f"{p}::DOUBLE" for p in _QH_PS)}]) AS p)
+),
+chosen AS (
+  SELECT pr.p, pr.r, min(hist.b) AS b
+  FROM pr JOIN hist ON hist.cum >= pr.r GROUP BY pr.p, pr.r
+),
+est AS (
+  SELECT c.p, c.r,
+         round(s.mn + c.b * s.width
+               + s.width * (c.r - h.cumb) / h.cb, 6) AS est_q
+  FROM chosen c JOIN hist h ON h.b = c.b, stats s
+),
+exact AS (
+  SELECT pr.p, min(vcum.n) AS exact_q
+  FROM pr JOIN vcum ON vcum.cum >= pr.r GROUP BY pr.p
+)
+SELECT e.p, e.est_q, x.exact_q,
+       round(abs(e.est_q - x.exact_q) / x.exact_q, 6) AS rel_err
+FROM est e JOIN exact x ON x.p = e.p
+ORDER BY e.p
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -902,4 +1093,7 @@ QUERIES = [
               "sliding token-window chunking with overlap (RAG prep)"),
     QuerySpec("term_heavy_hitters_cms", term_heavy_hitters_cms, CMS_ORACLE,
               "CountMin-sketch top-k frequency estimates vs exact"),
+    QuerySpec("token_quantile_histogram", token_quantile_histogram,
+              QH_ORACLE,
+              "mergeable equi-width-histogram quantile sketch vs exact"),
 ]

@@ -145,6 +145,11 @@ _DEMOTED = (
     # path; r1-green and its function body is untouched by the r4
     # dedup.py rework (verified by diff hunks).
     "dedup_ngram_jaccard",
+    # One slot for token_quantile_histogram (new-code rule; completes the
+    # sketch trio beside KMV and CountMin). events_range_join_errors is
+    # r2-green, operators/temporal.py is untouched since, and
+    # events_asof_last_error keeps the temporal family in-window.
+    "events_range_join_errors",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

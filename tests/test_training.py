@@ -191,3 +191,37 @@ def test_random_projection_preserves_norms_in_expectation(spark, sf_dir):
     # 500 vectors the dataset mean concentrates well inside [0.6, 1.6]
     assert 0.6 < ratios.mean_ratio < 1.6
     assert not math.isnan(ratios.mean_ratio)
+
+
+def test_quantile_histogram_bounds_and_monotonicity(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _QH_BINS,
+        _QH_PS,
+        token_quantile_histogram,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.textops import tokens_col
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    rows = token_quantile_histogram(spark, sf_dir).collect()
+    assert [r.p for r in rows] == sorted(_QH_PS)
+    lens = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens_col()).alias("n"))
+        .collect()
+    )
+    ns = sorted(r.n for r in lens)
+    width = (ns[-1] - ns[0] + 1) / _QH_BINS
+    prev_est = prev_exact = None
+    for r in rows:
+        # exact is the discrete lower-value quantile at rank ceil(p*N)
+        import math
+
+        rank = math.ceil(r.p * len(ns))
+        assert r.exact_q == ns[rank - 1]
+        # the interpolated estimate lands within one bin of the exact value
+        assert abs(r.est_q - r.exact_q) <= width + 1e-6
+        # quantile curves are monotone in p
+        if prev_est is not None:
+            assert r.est_q >= prev_est - 1e-9
+            assert r.exact_q >= prev_exact
+        prev_est, prev_exact = r.est_q, r.exact_q
