@@ -110,6 +110,13 @@ HEADLINE = [
     # one bounded groupBy + a one-row array-fold stage, so the timed pass
     # measures the whole sketch unlike the eager-build CMS).
     "token_quantile_histogram",
+    # r4 addition: PCA whitening — the Gram kernel + eigh model fit runs
+    # eagerly at frame-build (the ANN index-build precedent), so the
+    # timed pass measures the literal-matrix projection scan, the
+    # recurring cost at 100 TB. embedding_covariance is deliberately NOT
+    # benched: it is the d^2-amplified oracle-fidelity twin of the
+    # kernel (a one-off profile op, not a recurring pipeline pass).
+    "embedding_pca_whiten",
 ]
 
 

@@ -1,0 +1,238 @@
+"""Distributed linear algebra over the embedding store (round-4 surface).
+
+Two operators that complete the embedding-preprocessing story beyond
+quantization (curation.embedding_quantize_int8) and random projection
+(training.embedding_random_projection):
+
+  - embedding_covariance: the d x d covariance profile of the embedding
+    columns — the statistic behind PCA, whitening, and drift monitoring.
+    DECIMAL-exact formulation so the DuckDB oracle hash-matches.
+  - embedding_pca_whiten: PCA whitening (project onto the top-K
+    eigenvectors, scale to unit variance) — the standard preprocessing
+    in front of ANN/SemDeDup pipelines (normalized, decorrelated
+    embeddings make cosine thresholds comparable across dims). The Gram
+    matrix comes from an Arrow `mapInPandas` kernel (per-partition numpy
+    X^T X — the BLAS shape a 1000-executor job would run), the
+    eigendecomposition is O(d^3) DRIVER model state (the kmeans /
+    PQ-codebook precedent), and the projection re-enters the plan as a
+    literal matrix narrow map (the sign-matrix precedent).
+
+Exactness policy (the repo's ln-free/decimal rule applied to BLAS):
+float32 embeddings upcast to float64 multiply EXACTLY (<= 48 mantissa
+bits), so per-pair products are identical doubles in both engines;
+accumulating them in DECIMAL makes the sum order-free, so the covariance
+is bit-stable across partitionings AND engines. The mapInPandas kernel
+deliberately does NOT feed the verified covariance (float64 partial sums
+are merge-order-dependent); it feeds the whitening model, where last-ulp
+noise is irrelevant and the property tests bound the error.
+
+Scale notes (100 TB): the verified covariance explodes d(d+1)/2 pairs
+per vector — an O(n*d^2) pass with map-side partial aggregation onto
+d^2 keys; honest but heavy, the oracle-fidelity twin. The whitening
+kernel is the scale path: O(n*d^2) FLOPS but zero row amplification
+(each partition emits one d x d partial), merge cost O(partitions *
+d^2). Reference parity: none — the reference pipeline
+(Producer/kafkaProducer.js) has no embedding surface; this extends
+SURVEY.md §2.11 (north-star similarity family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import QuerySpec
+from ..tables import table
+
+_DIM = 64
+_PCA_K = 8
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance cov(i, j) of the embedding dimensions.
+
+    cov = E[xy] - E[x]E[y] with sums accumulated in DECIMAL (order-free)
+    and the final rational assembled in one fixed IEEE order, so both
+    engines round the same double. n rides out of each (i, j) group for
+    free (every vector contributes exactly one row per pair) — no 1-row
+    count attach.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    idx = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("vec_id", "i", "x")
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.i") <= F.col("b.i")),
+    )
+    sums = pairs.groupBy(
+        F.col("a.i").alias("i"), F.col("b.i").alias("j")
+    ).agg(
+        F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(25,15)")).alias(
+            "sxy"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # The d column sums are O(d) MODEL STATE (decimal-exact, so the
+    # collect loses nothing): re-entering them as a literal decimal
+    # array instead of two broadcast-join sides keeps the executed plan
+    # at the two pair-join scans — a `means` frame consumed twice would
+    # recompute its whole branch twice under Spark 4.1 AQE.
+    mean_rows = (
+        idx.groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(25,15)")).alias("sx"))
+        .collect()
+    )
+    # fixed-point formatting: scale is exactly 15, so :.15f is lossless
+    # (str(Decimal) may emit scientific notation for tiny sums)
+    sx_by_i = {r.i: f"{r.sx:.15f}" for r in mean_rows}
+    sx_arr = F.array(
+        *[
+            F.lit(sx_by_i[i]).cast("decimal(25,15)")
+            for i in range(_DIM)
+        ]
+    )
+    cov = (
+        F.col("sxy").cast("double") / F.col("n")
+        - (F.element_at(sx_arr, F.col("i") + 1).cast("double") / F.col("n"))
+        * (F.element_at(sx_arr, F.col("j") + 1).cast("double") / F.col("n"))
+    )
+    return (
+        # + 0.0 collapses IEEE negative zero (DuckDB's round keeps the
+        # sign of a -1e-9 input, Spark's does not)
+        sums.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+        .orderBy("i", "j")
+    )
+
+
+COVARIANCE_ORACLE = f"""
+WITH idx AS (
+  SELECT vec_id, t.i::INTEGER AS i, embedding[t.i + 1]::DOUBLE AS x
+  FROM embeddings, range({_DIM}) t(i)
+),
+sums AS (
+  SELECT a.i, b.i AS j,
+         sum(CAST(a.x * b.x AS DECIMAL(25,15))) AS sxy,
+         count(*)::BIGINT AS n
+  FROM idx a JOIN idx b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+means AS (
+  SELECT i, sum(CAST(x AS DECIMAL(25,15))) AS sx FROM idx GROUP BY i
+)
+SELECT s.i, s.j,
+       round(s.sxy::DOUBLE / s.n
+             - (mi.sx::DOUBLE / s.n) * (mj.sx::DOUBLE / s.n), 6) + 0.0 AS cov
+FROM sums s
+JOIN means mi ON mi.i = s.i
+JOIN means mj ON mj.i = s.j
+ORDER BY s.i, s.j
+"""
+
+
+def gram_and_means(spark: SparkSession, sf_dir: str):
+    """(G, s, n) from one Arrow mapInPandas pass: per-partition numpy
+    X^T X + column sums, merged on the driver (O(d^2) model state).
+
+    Returns (numpy (d,d) Gram, numpy (d,) sums, int n). Deterministic
+    for a fixed file layout: partial rows are sorted before the driver
+    merge, and each partition's accumulation order follows the scan.
+    """
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = np.zeros((_DIM, _DIM))
+        s = np.zeros(_DIM)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        i, j = np.meshgrid(range(_DIM), range(_DIM), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([i.ravel(), range(_DIM), [-1]]),
+                "j": np.concatenate([j.ravel(), [-1] * _DIM, [-1]]),
+                "v": np.concatenate([g.ravel(), s, [float(n)]]),
+            }
+        )
+
+    parts = e.mapInPandas(kernel, schema="i int, j int, v double").collect()
+    g = np.zeros((_DIM, _DIM))
+    s = np.zeros(_DIM)
+    n = 0
+    for r in sorted(parts, key=lambda r: (r.i, r.j, r.v)):
+        if r.i == -1:
+            n += int(r.v)
+        elif r.j == -1:
+            s[r.i] += r.v
+        else:
+            g[r.i, r.j] += r.v
+    return g, s, n
+
+
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened top-{_PCA_K} PCA projection of every embedding.
+
+    Model fit (Gram kernel + driver eigh) happens at frame-build like
+    the ANN index builds; the returned plan is a pure narrow map — each
+    vector folds against the literal (d x K) whitening matrix exactly as
+    embedding_random_projection folds its sign matrix. Eigenvector signs
+    are fixed by the largest-|component|-positive convention so the
+    output is deterministic. Not SQL-expressible (eigendecomposition) —
+    registered without an oracle; tests/test_linalg.py pins the
+    whitened-covariance ~= identity contract.
+    """
+    import numpy as np
+
+    g, s, n = gram_and_means(spark, sf_dir)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    top = slice(_DIM - 1, _DIM - 1 - _PCA_K, -1)
+    lam = evals[top]
+    v = evecs[:, top]
+    # sign convention: largest-|component| of each eigenvector positive
+    flip = np.sign(v[np.abs(v).argmax(axis=0), range(_PCA_K)])
+    flip[flip == 0] = 1.0
+    w = (v * flip) / np.sqrt(np.maximum(lam, 1e-12))  # (d, K) whitening
+    e = table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    proj = e.select("vec_id", centered.alias("c"))
+    for k in range(_PCA_K):
+        col_w = F.array(*[F.lit(float(w[i, k])) for i in range(_DIM)])
+        fold = F.aggregate(
+            F.zip_with(F.col("c"), col_w, lambda x, wi: x * wi),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(F.round(fold, 6).alias(f"w{k:02d}"))
+    return proj.select(*cols).orderBy("vec_id")
+
+
+QUERIES = [
+    QuerySpec("embedding_covariance", embedding_covariance,
+              COVARIANCE_ORACLE,
+              "d x d covariance profile, decimal-exact (oracle-fidelity "
+              "twin of the whitening kernel's Gram)"),
+    QuerySpec("embedding_pca_whiten", embedding_pca_whiten, None,
+              "PCA whitening via Arrow Gram kernel + driver eigh + "
+              "literal-matrix narrow map (tests pin cov ~= I)"),
+]

@@ -150,6 +150,19 @@ _DEMOTED = (
     # r2-green, operators/temporal.py is untouched since, and
     # events_asof_last_error keeps the temporal family in-window.
     "events_range_join_errors",
+    # Two slots for the linalg module (embedding_covariance +
+    # embedding_pca_whiten; new-code rule — the whitening op is
+    # rows-only but should still run in the driver environment).
+    # dedup_clusters: r3-green, connected_components/dedup_clusters
+    # bodies untouched by the r4 dedup.py rework (diff hunks end at
+    # capped_jaccard_pairs); the dedup family keeps five in-window
+    # reps plus the funnel's composed minhash stage, and the
+    # recursive-CTE oracle stays verify_local-covered.
+    # dataset_split_assign: r2-green, body untouched since; the
+    # deterministic hash-mod assignment primitive stays exercised
+    # in-window by global_shuffle_shard.
+    "dedup_clusters",
+    "dataset_split_assign",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the
@@ -172,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation,
         dedup,
         emailpipe,
+        linalg,
         multimodal,
         relational,
         relational2,
@@ -187,7 +201,7 @@ def all_queries() -> dict[str, QuerySpec]:
     collected: list[QuerySpec] = []
     seen: set[str] = set()
     for mod in (emailpipe, skew, dedup, similarity, multimodal, textops,
-                curation, training, temporal, windows, relational,
+                curation, training, linalg, temporal, windows, relational,
                 relational2, relational3):
         for spec in mod.QUERIES:
             if spec.name in seen:
