@@ -81,3 +81,67 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def trending_terms_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed term counts over a document stream — the counting half of
+    a trending-terms feed (the streaming face of the batch heavy-hitter
+    ops in operators/training.py).
+
+    Built-ins first, deliberately: explode + watermark + windowed count
+    is all whole-stage-codegen'd JVM work with bounded state (one counter
+    per (window, term) inside the horizon), where a stateful-Python top-k
+    would cap throughput at the Arrow boundary. On a stream the append
+    output emits FINALIZED windows only; rank those per micro-batch with
+    `top_k_per_window` inside foreachBatch (ranking can't run above a
+    streaming aggregate in append mode — window functions need the
+    finalized frame). On a batch frame: the identical expression, all
+    windows (the batch/stream parity rule of windowed_event_counts).
+
+    100 TB/day: state is term-cardinality-bounded per window (vocab-
+    scale, not corpus-scale); the shuffle key (window, term) is uniform.
+    A production feed caps the per-window vocabulary (e.g. hash-mod
+    sampling or the CMS sketch) before the shuffle; the synthetic corpus
+    vocabulary is ~100 terms so the cap is omitted here.
+    """
+    df = docs
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    terms = df.select(
+        F.col(ts_col).alias("_ts"),
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        terms.groupBy(F.window("_ts", window).alias("w"), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def top_k_per_window(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Rank finalized (window, term, n) counts to the top-k per window.
+
+    Batch-only by design (row_number over a streaming aggregate is not
+    executable in append mode) — call inside foreachBatch, where each
+    micro-batch is a plain batch frame of newly-finalized windows. The
+    window spec partitions by window_start, so no global sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("window_start", "rank")
+    )

@@ -925,3 +925,58 @@ def test_streaming_neardup_flags_minhash_collisions(spark, tmp_path):
     assert rows, "edited copy should be flagged"
     assert {(r.doc_id, r.dup_of) for r in rows} == {(3, 1)}
     assert all(r.est_jaccard >= 0.5 for r in rows)
+
+
+def test_trending_terms_stream_topk(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        top_k_per_window,
+        trending_terms_stream,
+    )
+
+    rows = [
+        # hour 0: 'spark' x3, 'flink' x2, 'duck' x1
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 10),
+            text="spark spark flink"),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 40),
+            text="spark flink duck"),
+        # hour 1: 'duck' x2, 'spark' x1
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 1, 15), text="duck duck spark"),
+        # hour 4 row advances the watermark so hours 0-3 finalize
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 4, 30), text="late marker"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "ingest_ts timestamp, text string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("ingest_ts timestamp, text string") \
+        .parquet(src)
+    ranked_batches = []
+    q = (
+        trending_terms_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(
+            lambda df, _id: ranked_batches.append(
+                top_k_per_window(df, k=2).collect()
+            )
+        )
+        .start()
+    )
+    _await(q)
+    got = [r for b in ranked_batches for r in b]
+    by_hour = {}
+    for r in got:
+        by_hour.setdefault(r.window_start.hour, []).append(
+            (r.rank, r.term, r.n)
+        )
+    # finalized windows only (hour-4 window is still open)
+    assert set(by_hour) == {0, 1}
+    assert by_hour[0] == [(1, "spark", 3), (2, "flink", 2)]  # duck cut by k=2
+    assert by_hour[1] == [(1, "duck", 2), (2, "spark", 1)]
+    # batch formulation over the same data ranks identically for the
+    # finalized hours (stream/batch parity)
+    batch = top_k_per_window(
+        trending_terms_stream(spark.read.parquet(src)), k=2
+    ).collect()
+    batch_h = [(r.rank, r.term, r.n) for r in batch
+               if r.window_start.hour in (0, 1)]
+    assert batch_h == by_hour[0] + by_hour[1]
