@@ -117,6 +117,9 @@ HEADLINE = [
     # benched: it is the d^2-amplified oracle-fidelity twin of the
     # kernel (a one-off profile op, not a recurring pipeline pass).
     "embedding_pca_whiten",
+    # r4 addition: drift monitoring (one conditional-agg corpus pass +
+    # in-row decimal folds) — the recurring pre-admission check.
+    "corpus_drift_report",
 ]
 
 

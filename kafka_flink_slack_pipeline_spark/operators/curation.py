@@ -1108,6 +1108,142 @@ ORDER BY vec_id
 
 
 # --------------------------------------------------------------------------
+# Corpus drift monitoring: distribution-shift report between a reference
+# slice and a current slice of the corpus — the check a data pipeline
+# runs before admitting a new crawl snapshot into the training mix (PSI/
+# KL in most shops; here total-variation distance and the chi-square
+# statistic, which are RATIONAL in the bucket proportions — no ln(), the
+# repo's transcendental-free policy, same reason surprisal and tf-idf
+# use rational surrogates). Signals: token-length buckets (16, capped)
+# and the language distribution.
+#
+# Slices are derived in-query (doc_id parity) the way the bench-suite
+# derivations are; production compares two snapshot paths. Scale shape:
+# ONE conditional-aggregation pass over the corpus onto (signal, bucket)
+# keys — bounded cardinality (16 + |langs|) — then all totals/distances
+# fold IN-ROW from a per-signal collect_list (the quantile-histogram
+# pattern: no single-partition window, no totals re-join). Per-bucket
+# terms are single IEEE ops on exact integer ratios accumulated in
+# DECIMAL, so both engines produce identical doubles.
+_DRIFT_LEN_BUCKETS = 16
+_DRIFT_LEN_WIDTH = 16
+
+
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens_col()).alias("n")
+    )
+    len_bucket = F.least(
+        F.lit(_DRIFT_LEN_BUCKETS - 1),
+        F.floor(F.col("n") / _DRIFT_LEN_WIDTH),
+    ).cast("string")
+    tagged = d.select(
+        (F.col("doc_id") % 2 == 1).alias("cur"),
+        len_bucket.alias("length"),
+        F.col("lang").alias("lang_b"),
+    )
+    # one corpus pass: both signals unpivot from the same row
+    sig = tagged.select(
+        "cur",
+        F.explode(
+            F.array(
+                F.struct(F.lit("length").alias("signal"),
+                         F.col("length").alias("bucket")),
+                F.struct(F.lit("lang").alias("signal"),
+                         F.col("lang_b").alias("bucket")),
+            )
+        ).alias("sb"),
+    ).select("cur", "sb.signal", "sb.bucket")
+    buckets = sig.groupBy("signal", "bucket").agg(
+        F.sum(F.when(~F.col("cur"), 1).otherwise(0)).alias("ref_c"),
+        F.sum(F.when(F.col("cur"), 1).otherwise(0)).alias("cur_c"),
+    )
+    one = buckets.groupBy("signal").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "ref_c", "cur_c"))
+        ).alias("bc")
+    )
+    zero_l = F.lit(0).cast("long")
+    base = one.select(
+        "signal",
+        "bc",
+        F.aggregate(F.col("bc"), zero_l, lambda a, x: a + x["ref_c"]).alias(
+            "n_ref"
+        ),
+        F.aggregate(F.col("bc"), zero_l, lambda a, x: a + x["cur_c"]).alias(
+            "n_cur"
+        ),
+    )
+    p = lambda x: x["ref_c"] / F.col("n_ref")  # noqa: E731
+    q = lambda x: x["cur_c"] / F.col("n_cur")  # noqa: E731
+    zero_d = F.lit(0).cast("decimal(25,15)")
+    # re-cast inside the fold: decimal + decimal widens to (26,15) which
+    # breaks aggregate()'s fixed accumulator type; scale stays 15 so the
+    # cast is lossless
+    tv = F.aggregate(
+        F.col("bc"),
+        zero_d,
+        lambda a, x: (
+            a + F.abs(p(x) - q(x)).cast("decimal(25,15)")
+        ).cast("decimal(25,15)"),
+    )
+    chi2 = F.aggregate(
+        F.col("bc"),
+        zero_d,
+        lambda a, x: (
+            a
+            + (
+                (p(x) - q(x)) * (p(x) - q(x)) / ((p(x) + q(x)) / 2.0)
+            ).cast("decimal(25,15)")
+        ).cast("decimal(25,15)"),
+    )
+    return base.select(
+        "signal",
+        F.size("bc").cast("long").alias("n_buckets"),
+        F.round(tv.cast("double") * 0.5, 6).alias("tv_distance"),
+        F.round(chi2.cast("double"), 6).alias("chi2"),
+    ).orderBy("signal")
+
+
+DRIFT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n
+  FROM documents
+),
+sig AS (
+  SELECT doc_id % 2 = 1 AS cur, 'length' AS signal,
+         least({_DRIFT_LEN_BUCKETS - 1},
+               floor(n / {_DRIFT_LEN_WIDTH}))::BIGINT::VARCHAR AS bucket
+  FROM d
+  UNION ALL
+  SELECT doc_id % 2 = 1 AS cur, 'lang' AS signal, lang AS bucket FROM d
+),
+buckets AS (
+  SELECT signal, bucket,
+         sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)::BIGINT AS ref_c,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS cur_c
+  FROM sig GROUP BY signal, bucket
+),
+tot AS (
+  SELECT signal, sum(ref_c)::BIGINT AS n_ref, sum(cur_c)::BIGINT AS n_cur,
+         count(*)::BIGINT AS n_buckets
+  FROM buckets GROUP BY signal
+)
+SELECT b.signal, t.n_buckets,
+       round(sum(CAST(abs(b.ref_c / t.n_ref - b.cur_c / t.n_cur)
+                      AS DECIMAL(25,15)))::DOUBLE * 0.5, 6) AS tv_distance,
+       round(sum(CAST((b.ref_c / t.n_ref - b.cur_c / t.n_cur)
+                      * (b.ref_c / t.n_ref - b.cur_c / t.n_cur)
+                      / ((b.ref_c / t.n_ref + b.cur_c / t.n_cur) / 2.0)
+                      AS DECIMAL(25,15)))::DOUBLE, 6) AS chi2
+FROM buckets b JOIN tot t ON t.signal = b.signal
+GROUP BY b.signal, t.n_buckets
+ORDER BY b.signal
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation funnel: the whole training-data cleaning story as
 # ONE verifiable report — raw -> quality/repetition filter -> exact
 # dedup -> MinHash-LSH near-dedup -> fuzzy decontamination, with the doc
@@ -1304,4 +1440,7 @@ QUERIES = [
               _curation_funnel_oracle(),
               "end-to-end curation funnel: quality -> exact dedup -> "
               "minhash near-dedup -> decontamination survivor report"),
+    QuerySpec("corpus_drift_report", corpus_drift_report, DRIFT_ORACLE,
+              "distribution-drift report (TV distance + chi-square, "
+              "ln-free) between corpus slices"),
 ]

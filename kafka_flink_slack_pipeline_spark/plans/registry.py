@@ -163,6 +163,13 @@ _DEMOTED = (
     # in-window by global_shuffle_shard.
     "dedup_clusters",
     "dataset_split_assign",
+    # One slot for corpus_drift_report (new-code rule), keeping
+    # user_history_window (W1 parity, r4-reworked windows.py — changed
+    # code needs the driver) in-window. sequence_pack is r2-green, its
+    # body is untouched, and the packing primitive (_apply_pack)
+    # executes in-window inside corpus_export_manifest's pack stage; it
+    # also stays a bench headline (bench set is window-independent).
+    "sequence_pack",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -251,3 +251,20 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_dir):
         1 for prev, cur in zip(rows, rows[1:]) if cur.n_docs < prev.n_docs
     )
     assert dropping >= 2
+
+
+def test_drift_report_properties(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        corpus_drift_report,
+    )
+
+    rows = {r.signal: r for r in corpus_drift_report(spark, sf_dir).collect()}
+    assert set(rows) == {"lang", "length"}
+    for r in rows.values():
+        # TV distance is a metric in [0, 1]; chi2 is non-negative
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert r.chi2 >= 0.0
+        assert r.n_buckets >= 1
+    # doc_id parity slices of the same corpus should NOT be drifted:
+    # distances sit near zero (sanity of the slice derivation)
+    assert rows["lang"].tv_distance < 0.2
