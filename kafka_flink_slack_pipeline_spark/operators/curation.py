@@ -1244,6 +1244,77 @@ ORDER BY b.signal
 
 
 # --------------------------------------------------------------------------
+# Snapshot diff: dataset-versioning report between two corpus snapshots
+# — what entered, what left, what changed in place — the audit a data
+# lead reads before promoting a new snapshot (alongside the drift
+# report's distribution view, this is the row-identity view). Production
+# diffs two snapshot paths; here the snapshots derive in-query (the
+# _INCR_EVERY precedent): snapshot A drops every 7th doc, snapshot B has
+# every 11th doc's text perturbed — so the report exercises all four
+# categories on the synthetic corpus.
+#
+# Scale shape: content identity via md5 hash projected at scan (never
+# the text itself through the join), ONE full-outer equi-join on doc_id,
+# and a bounded 4-key aggregate with map-side combine. At 100 TB this is
+# the canonical two-snapshot reconciliation plan — no windows, no
+# amplification, shuffle keyed by doc_id.
+_DIFF_DROP_EVERY = 7      # snapshot A is missing these docs (added in B)
+_DIFF_PERTURB_EVERY = 11  # snapshot B rewrote these docs (changed)
+_DIFF_B_DROP_EVERY = 13   # snapshot B dropped these docs (removed)
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    snap_a = d.filter(F.col("doc_id") % _DIFF_DROP_EVERY != 0).select(
+        "doc_id", F.md5("text").alias("h_a")
+    )
+    snap_b = d.filter(F.col("doc_id") % _DIFF_B_DROP_EVERY != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % _DIFF_PERTURB_EVERY == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("h_b"),
+    )
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        snap_a.join(snap_b, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )
+
+
+SNAPSHOT_DIFF_ORACLE = f"""
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS h_a FROM documents
+  WHERE doc_id % {_DIFF_DROP_EVERY} <> 0
+),
+snap_b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_DIFF_PERTURB_EVERY} = 0
+                  THEN text || ' rev2' ELSE text END) AS h_b
+  FROM documents
+  WHERE doc_id % {_DIFF_B_DROP_EVERY} <> 0
+)
+SELECT CASE WHEN h_a IS NULL THEN 'added'
+            WHEN h_b IS NULL THEN 'removed'
+            WHEN h_a <> h_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::BIGINT AS n_docs
+FROM snap_a FULL OUTER JOIN snap_b USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end curation funnel: the whole training-data cleaning story as
 # ONE verifiable report — raw -> quality/repetition filter -> exact
 # dedup -> MinHash-LSH near-dedup -> fuzzy decontamination, with the doc
@@ -1443,4 +1514,8 @@ QUERIES = [
     QuerySpec("corpus_drift_report", corpus_drift_report, DRIFT_ORACLE,
               "distribution-drift report (TV distance + chi-square, "
               "ln-free) between corpus slices"),
+    QuerySpec("corpus_snapshot_diff", corpus_snapshot_diff,
+              SNAPSHOT_DIFF_ORACLE,
+              "dataset-versioning diff: added/removed/changed/unchanged "
+              "via one full-outer hash reconciliation"),
 ]

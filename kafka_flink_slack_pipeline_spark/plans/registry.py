@@ -170,6 +170,15 @@ _DEMOTED = (
     # executes in-window inside corpus_export_manifest's pack stage; it
     # also stays a bench headline (bench set is window-independent).
     "sequence_pack",
+    # One slot for corpus_snapshot_diff (new-code rule).
+    # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
+    # the full composition), so its driver row carries the least signal
+    # of any in-window entry; every stage it composes (P0-P16 clean
+    # chain, E1 chunker, E3/D5 Block Kit) is hash-verified in-window via
+    # email_clean_chain / email_chunk_blocks / email_blockkit_payload,
+    # and the composition itself is pinned by tests + verify_local.
+    # email_producer_pipeline stays as the rows-only emailpipe rep.
+    "email_consumer_pipeline",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -268,3 +268,29 @@ def test_drift_report_properties(spark, sf_dir):
     # doc_id parity slices of the same corpus should NOT be drifted:
     # distances sit near zero (sanity of the slice derivation)
     assert rows["lang"].tv_distance < 0.2
+
+
+def test_snapshot_diff_counts_reconcile(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _DIFF_B_DROP_EVERY,
+        _DIFF_DROP_EVERY,
+        _DIFF_PERTURB_EVERY,
+        corpus_snapshot_diff,
+    )
+
+    got = {r.status: r.n_docs
+           for r in corpus_snapshot_diff(spark, sf_dir).collect()}
+    n = table(spark, sf_dir, "documents").count()
+    ids = range(n)
+    in_a = {i for i in ids if i % _DIFF_DROP_EVERY != 0}
+    in_b = {i for i in ids if i % _DIFF_B_DROP_EVERY != 0}
+    changed = {i for i in in_a & in_b if i % _DIFF_PERTURB_EVERY == 0}
+    expect = {
+        "added": len(in_b - in_a),
+        "removed": len(in_a - in_b),
+        "changed": len(changed),
+        "unchanged": len((in_a & in_b) - changed),
+    }
+    assert got == expect
+    # every doc in either snapshot lands in exactly one category
+    assert sum(got.values()) == len(in_a | in_b)
