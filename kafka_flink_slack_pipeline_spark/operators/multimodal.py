@@ -230,6 +230,71 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Audio feature extraction — the audio member of the modality trio
+# (image = byte histogram, video = frame sampling). Payload bytes frame
+# into fixed windows and each frame reports its RMS "loudness" — the
+# standard first feature of any audio pipeline (VAD, silence trimming,
+# loudness normalization). The codec decode is stubbed per module policy
+# (no soundfile/librosa in the container): bytes stand in for PCM
+# samples, and the Arrow plumbing — binary column in, frame fan-out out
+# — is the real thing.
+#
+# Exactness: the kernel emits INTEGER sums of squares; rms =
+# round(sqrt(ss/n), 6) runs JVM-side — IEEE-754 sqrt is correctly
+# rounded, so both engines produce the identical double.
+AUDIO_FRAME_SAMPLES = 256  # fake PCM: one frame per 256 payload bytes
+
+
+def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame-windowed RMS over audio-typed payloads."""
+    import numpy as np
+
+    mm = multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("audio/")  # F7-style mimetype gate
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_samples": [], "ss": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for f in range(0, len(arr), AUDIO_FRAME_SAMPLES):
+                    frame = arr[f : f + AUDIO_FRAME_SAMPLES].astype(np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f // AUDIO_FRAME_SAMPLES)
+                    out["n_samples"].append(len(frame))
+                    out["ss"].append(int((frame * frame).sum()))
+            yield pd.DataFrame(out)
+
+    framed = mm.select("doc_id", "payload").mapInPandas(
+        extract, "doc_id bigint, frame_idx int, n_samples int, ss bigint"
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "n_samples",
+        F.round(F.sqrt(F.col("ss") / F.col("n_samples")), 6).alias("rms"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+AUDIO_FRAME_RMS_ORACLE = f"""
+SELECT doc_id, ((i - 1) // {AUDIO_FRAME_SAMPLES})::INT AS frame_idx,
+       count(*)::INT AS n_samples,
+       round(sqrt(sum(code * code)::BIGINT / count(*)), 6) AS rms
+FROM (
+  SELECT doc_id,
+         unnest(range(1, len(text) + 1)) AS i,
+         unnest(list_transform(range(1, len(text) + 1),
+                               i -> ord(text[i]))) AS code
+  FROM documents
+  WHERE doc_id % 3 = 1  -- audio/wav slot of the round-robin typing
+)
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
               MULTIMODAL_BYTE_STATS_ORACLE,
@@ -240,4 +305,7 @@ QUERIES = [
     QuerySpec("video_frame_sample", video_frame_sample,
               VIDEO_FRAME_SAMPLE_ORACLE,
               "frame sampling fan-out over video payloads"),
+    QuerySpec("audio_frame_rms", audio_frame_rms, AUDIO_FRAME_RMS_ORACLE,
+              "mapInPandas frame-windowed RMS over audio payloads "
+              "(integer kernel + IEEE sqrt, codec stubbed)"),
 ]

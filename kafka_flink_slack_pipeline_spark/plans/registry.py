@@ -179,6 +179,14 @@ _DEMOTED = (
     # and the composition itself is pinned by tests + verify_local.
     # email_producer_pipeline stays as the rows-only emailpipe rep.
     "email_consumer_pipeline",
+    # One slot for audio_frame_rms (new-code rule; completes the
+    # image/audio/video modality trio). multimodal_byte_stats is
+    # r2-green and untouched; its metadata-only signals (counts, byte
+    # lengths per mimetype) are the table_profile shape, and the
+    # multimodal family's driver reps become image_byte_histogram (F7 +
+    # Arrow feature extraction) and audio_frame_rms. S7 (file fetch ->
+    # bytes) stays pinned by the event-server tests.
+    "multimodal_byte_stats",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -61,3 +61,34 @@ def test_video_frames_per_doc(spark, sf_dir):
     b = {(r.doc_id, r.frame_idx): r.frame_sig
          for r in M.video_frame_sample(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_audio_frame_rms_partitions_payload(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        AUDIO_FRAME_SAMPLES,
+        audio_frame_rms,
+        multimodal_view,
+    )
+    from pyspark.sql import functions as F
+
+    rows = audio_frame_rms(spark, sf_dir).collect()
+    assert rows
+    sizes = {
+        r.doc_id: r.n
+        for r in multimodal_view(spark, sf_dir)
+        .filter(F.col("mimetype").startswith("audio/"))
+        .select("doc_id", F.octet_length("payload").alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(sizes)
+    for doc_id, frames in by_doc.items():
+        # contiguous frame indices; sample counts cover the payload exactly
+        assert [f.frame_idx for f in frames] == list(range(len(frames)))
+        assert sum(f.n_samples for f in frames) == sizes[doc_id]
+        assert all(f.n_samples == AUDIO_FRAME_SAMPLES
+                   for f in frames[:-1])
+        # byte "samples" bound the RMS
+        assert all(0.0 <= f.rms <= 255.0 for f in frames)
