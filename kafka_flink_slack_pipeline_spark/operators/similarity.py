@@ -1116,6 +1116,215 @@ ORDER BY a.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# MMR-diversified retrieval (Carbonell & Goldstein 1998): re-rank the
+# top-N cosine candidates so results trade relevance against redundancy
+# — score = λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s), picked
+# greedily. The retrieval-side counterpart of SemDeDup's corpus-side
+# pruning: a RAG stack dedups its context window with exactly this.
+#
+# Split of labor (determinism by construction): ALL similarities are
+# computed JVM-side with the repo's sequential cosine fold and rounded
+# to 6 decimals BEFORE the greedy loop; the Arrow applyInPandas stage
+# only runs the selection over those provided doubles (python float
+# arithmetic on identical inputs = identical IEEE results), and the
+# reported score is rounded JVM-side after (python round() is half-even,
+# Spark/DuckDB HALF_UP — never round in python). The oracle unrolls the
+# K greedy stages as CTEs (the kmeans-iterations precedent), so MMR is
+# hash-checked, not rows-only.
+#
+# Scale notes (100 TB / billion vectors): candidate generation is the
+# pluggable stage — brute force here as the labeled baseline (the
+# cosine_topk_bruteforce precedent); swap the LSH/IVF candidate frame in
+# production. Everything after candidates is bounded: 200 candidate rows
+# localCheckpoint-ed (so the pair join reuses the materialized frame
+# instead of recomputing the corpus scoring pass per self-join side —
+# Spark 4.1 AQE), N×N pair sims per query, Arrow groups of ≤ N+N² rows.
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 20
+_MMR_K = 5
+
+
+def cosine_topk_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("sim", F.round(cosine(F.col("qe"), F.col("ne")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MMR_CAND)
+        .select("query_id", "neighbor_id", "sim", "ne")
+        .localCheckpoint(eager=True)  # bounded: 10 queries x N rows
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("ne").alias("a_ne"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("ne").alias("b_ne"),
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_ne"), F.col("b_ne")), 6).alias("psim"),
+        )
+    )
+    tagged = cand.select(
+        "query_id",
+        F.lit("q").alias("kind"),
+        F.col("neighbor_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        "sim",
+    ).unionByName(
+        pairs.select(
+            "query_id",
+            F.lit("p").alias("kind"),
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            F.col("psim").alias("sim"),
+        )
+    )
+
+    def mmr_select(pdf: pd.DataFrame) -> pd.DataFrame:
+        qsim: dict[int, float] = {}
+        psim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples():
+            if r.kind == "q":
+                qsim[int(r.a)] = float(r.sim)
+            else:
+                psim[(int(r.a), int(r.b))] = float(r.sim)
+                psim[(int(r.b), int(r.a))] = float(r.sim)
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        remaining = sorted(qsim)
+        out = []
+        while len(selected) < _MMR_K and remaining:
+            best = None
+            for cid in remaining:
+                mp = (
+                    max(psim[(cid, s)] for s in selected)
+                    if selected
+                    else 0.0
+                )
+                score = _MMR_LAMBDA * qsim[cid] - (1 - _MMR_LAMBDA) * mp
+                key = (-score, cid)
+                if best is None or key < best[0]:
+                    best = (key, cid, score)
+            _, cid, score = best
+            selected.append(cid)
+            remaining.remove(cid)
+            out.append((qid, cid, len(selected), qsim[cid], score))
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "neighbor_id", "rank", "sim", "mmr_raw"],
+        )
+
+    picked = tagged.groupBy("query_id").applyInPandas(
+        mmr_select,
+        "query_id bigint, neighbor_id bigint, rank int, sim double, "
+        "mmr_raw double",
+    )
+    return picked.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        "sim",
+        F.round("mmr_raw", 7).alias("mmr_score"),
+    ).orderBy("query_id", "rank")
+
+
+def _mmr_oracle() -> str:
+    lam, one_m = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+base AS (
+  SELECT query_id, neighbor_id, sim FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(q.emb, c.emb), 6) AS sim,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                      c.vec_id
+           ) AS rn
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+  ) WHERE rn <= {_MMR_CAND}
+),
+pairs AS (
+  SELECT x.query_id, x.neighbor_id AS a_id, y.neighbor_id AS b_id,
+         round(list_cosine_similarity(ea.emb, eb.emb), 6) AS psim
+  FROM base x
+  JOIN base y ON y.query_id = x.query_id AND y.neighbor_id <> x.neighbor_id
+  JOIN e ea ON ea.vec_id = x.neighbor_id
+  JOIN e eb ON eb.vec_id = y.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, sim, {lam} * sim - {one_m} * 0.0 AS mmr_raw
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY {lam} * sim - {one_m} * 0.0 DESC, neighbor_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+)"""]
+    prev_union = "SELECT query_id, neighbor_id FROM sel1"
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+prev{t} AS ({prev_union}),
+scored{t} AS (
+  SELECT b.query_id, b.neighbor_id, b.sim,
+         {lam} * b.sim - {one_m} * (
+           SELECT max(p.psim) FROM pairs p
+           JOIN prev{t} s ON s.query_id = p.query_id
+                         AND s.neighbor_id = p.b_id
+           WHERE p.query_id = b.query_id AND p.a_id = b.neighbor_id
+         ) AS mmr_raw
+  FROM base b
+  LEFT JOIN prev{t} done ON done.query_id = b.query_id
+                        AND done.neighbor_id = b.neighbor_id
+  WHERE done.neighbor_id IS NULL
+),
+sel{t} AS (
+  SELECT query_id, neighbor_id, sim, mmr_raw FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY mmr_raw DESC, neighbor_id) AS rn
+    FROM scored{t}
+  ) WHERE rn = 1
+)""")
+        prev_union += f" UNION ALL SELECT query_id, neighbor_id FROM sel{t}"
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, {t} AS rank, sim, "
+        f"round(mmr_raw, 7) AS mmr_score FROM sel{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    parts.append(f"""
+SELECT query_id, neighbor_id, rank::INT AS rank, sim, mmr_score
+FROM ({ranked})
+ORDER BY query_id, rank
+""")
+    return "".join(parts)
+
+
 QUERIES = [
     QuerySpec("cosine_topk_bruteforce", cosine_topk_bruteforce, COSINE_TOPK_ORACLE,
               "exact cosine top-k, broadcast query side"),
@@ -1134,4 +1343,7 @@ QUERIES = [
               "SemDeDup: centroid-clustered embedding near-dup pruning"),
     QuerySpec("cosine_topk_ivfpq", cosine_topk_ivfpq, _ivfpq_oracle(),
               "IVF-PQ ANN: list pruning + PQ asymmetric stage + exact re-rank"),
+    QuerySpec("cosine_topk_mmr", cosine_topk_mmr, _mmr_oracle(),
+              "MMR-diversified retrieval (greedy relevance/redundancy "
+              "re-rank; unrolled-stage oracle)"),
 ]

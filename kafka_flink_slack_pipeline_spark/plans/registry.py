@@ -187,6 +187,14 @@ _DEMOTED = (
     # Arrow feature extraction) and audio_frame_rms. S7 (file fetch ->
     # bytes) stays pinned by the event-server tests.
     "multimodal_byte_stats",
+    # One slot for cosine_topk_mmr (new-code rule; retrieval
+    # diversification with an unrolled-greedy oracle).
+    # ann_recall_report is the least-marginal in-window row: it is an
+    # EVALUATION HARNESS whose four members (bruteforce/LSH/IVF/IVF-PQ)
+    # each keep their own in-window hash-checked rows; its r4 changes
+    # are recomposition of those members, covered by their driver rows
+    # plus verify_local on the report itself.
+    "ann_recall_report",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

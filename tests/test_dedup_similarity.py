@@ -203,3 +203,31 @@ def test_minhash_sig_bands_single_scan_plan(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("documents.parquet") == 1
+
+
+def test_mmr_diversifies_against_plain_topk(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        _MMR_K,
+        cosine_topk_bruteforce,
+        cosine_topk_mmr,
+    )
+
+    mmr_rows = cosine_topk_mmr(spark, sf_dir).collect()
+    assert mmr_rows
+    by_q: dict[int, list] = {}
+    for r in mmr_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    plain = {}
+    for r in cosine_topk_bruteforce(spark, sf_dir).collect():
+        plain.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(plain)
+    for qid, rows in by_q.items():
+        # clean 1..K ranks, no repeats, first pick = most-similar neighbor
+        assert [r.rank for r in rows] == list(range(1, _MMR_K + 1))
+        assert len({r.neighbor_id for r in rows}) == _MMR_K
+        assert rows[0].neighbor_id == plain[qid][0].neighbor_id
+        # scores are non-increasing ONLY within what greedy guarantees:
+        # each pick maximizes the current objective, so the relevance
+        # term bounds every mmr_score by lambda * best sim
+        best_sim = plain[qid][0].sim
+        assert all(r.mmr_score <= 0.7 * best_sim + 1e-9 for r in rows)
