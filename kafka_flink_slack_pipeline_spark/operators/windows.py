@@ -391,9 +391,99 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series OHLC rollup — the hypertable/continuous-aggregate shape
+# (TimescaleDB's signature op, called out in the build brief): per
+# (hour, event_type), the first/last/extreme values of the metric column
+# plus exact totals. Open/close are defined by (event-time, event_id)
+# order — the event_id tie-break makes the pick total; the oracle orders
+# by MICROSECOND-truncated ts to mirror Spark's nanos->micros ingestion
+# exactly (a same-microsecond pair would otherwise tie-break differently
+# against DuckDB's nanosecond view).
+#
+# Scale shape: ONE window pass partitioned by the rollup key computes
+# row numbers + per-partition counts, and the groupBy that follows uses
+# the same keys, so the sort and the aggregate share one hash
+# partitioning (no second exchange). This is the plan a continuous
+# aggregate materializes incrementally; here it runs as one batch pass.
+
+
+def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.unix_timestamp(
+            F.window("ts", "1 hour").getField("start")
+        ).alias("win"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("win", "event_type")
+    ranked = base.select(
+        "win",
+        "event_type",
+        "value",
+        F.row_number()
+        .over(w.orderBy("ts", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return (
+        ranked.groupBy("win", "event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("open"),
+            F.max(
+                F.when(F.col("rn") == F.col("cnt"), F.col("value"))
+            ).alias("close"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("win").alias("window_start_epoch"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )
+
+
+EVENTS_OHLC_ORACLE = """
+WITH ranked AS (
+  SELECT (epoch_ms(date_trunc('hour', ts)) / 1000)::BIGINT AS win,
+         event_type, value,
+         row_number() OVER (
+           PARTITION BY date_trunc('hour', ts), event_type
+           ORDER BY date_trunc('microsecond', ts), event_id) AS rn,
+         count(*) OVER (
+           PARTITION BY date_trunc('hour', ts), event_type) AS cnt
+  FROM events
+)
+SELECT win AS window_start_epoch, event_type,
+       max(CASE WHEN rn = 1 THEN value END)   AS open,
+       max(value)                             AS high,
+       min(value)                             AS low,
+       max(CASE WHEN rn = cnt THEN value END) AS close,
+       count(*)::BIGINT                       AS n_events,
+       round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value
+FROM ranked
+GROUP BY win, event_type
+ORDER BY win, event_type
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
+    QuerySpec("events_ohlc_rollup", events_ohlc_rollup, EVENTS_OHLC_ORACLE,
+              "hypertable-style OHLC continuous-aggregate rollup"),
     QuerySpec("events_sliding_counts", events_sliding_counts, EVENTS_SLIDING_ORACLE,
               "sliding event-time window (ST5)"),
     QuerySpec("events_sessions_per_user", events_sessions_per_user,

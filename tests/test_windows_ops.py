@@ -51,3 +51,22 @@ def test_user_history_oldest_first(spark, sf_dir):
         .first()
     )
     assert lines[-1] == f"{latest.event_type}:{latest.event_id}"
+
+
+def test_ohlc_rollup_invariants(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_ohlc_rollup,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    rows = events_ohlc_rollup(spark, sf_dir).collect()
+    assert rows
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        # OHLC envelope: low <= open, close <= high
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        # single-event windows degenerate to open == close == high == low
+        if r.n_events == 1:
+            assert r.open == r.close == r.high == r.low
