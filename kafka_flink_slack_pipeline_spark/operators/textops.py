@@ -1124,6 +1124,131 @@ FROM win ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over the
+# term co-occurrence graph — the graph-centrality member of the keyword
+# family beside tf-idf's frequency statistics. Edges are adjacent-token
+# pairs aggregated to (term, term, weight); the random-walk update
+#     pr'(v) = 0.15 + 0.85 * sum_u w(u,v)/wdeg(u) * pr(u)
+# runs _TR_ITERS unrolled iterations. Everything is rational: per-edge
+# contributions are single IEEE ops, neighbor sums accumulate in DECIMAL
+# (order-free), so both engines produce identical doubles at every
+# iteration and the oracle (iterations unrolled as CTE stages — the
+# kmeans precedent) hash-matches without tolerance.
+#
+# Scale notes (100 TB): the edge aggregate is one corpus pass onto
+# VOCAB^2-bounded (a, b) keys (adjacency only — not all co-occurrence
+# pairs); the edge table is localCheckpoint-ed once (it feeds every
+# iteration — Spark 4.1 AQE would otherwise recompute the corpus pass
+# per iteration) and each iteration is a vocab-scale join + aggregate.
+# Top-k via orderBy+limit (TakeOrderedAndProject — no global window).
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+_TR_TOPK = 20
+
+
+def term_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(tokens_col().alias("toks"))
+    pairs = toked.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                ),
+            ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+        ).alias("p")
+    ).filter((F.col("p.x") != "") & (F.col("p.y") != ""))
+    # undirected: materialize both directions, drop self-loops
+    directed = pairs.select(
+        F.col("p.x").alias("src"), F.col("p.y").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("p.y").alias("src"), F.col("p.x").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    edges = directed.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    edges = (
+        edges.join(wdeg, "src")
+        .select("src", "dst", "w", "wdeg")
+        .localCheckpoint(eager=True)  # vocab^2-bounded; feeds every iter
+    )
+    pr = edges.select("src").distinct().select(
+        F.col("src").alias("term"), F.lit(1.0).alias("pr")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = edges.join(
+            pr, edges["src"] == pr["term"]
+        ).select(
+            F.col("dst"),
+            (F.col("w") * F.col("pr") / F.col("wdeg")).alias("c"),
+        )
+        pr = contrib.groupBy("dst").agg(
+            (
+                F.lit(1 - _TR_DAMP)
+                + F.lit(_TR_DAMP)
+                * F.sum(F.col("c").cast("decimal(25,15)")).cast("double")
+            ).alias("pr")
+        ).select(F.col("dst").alias("term"), "pr")
+    return (
+        pr.select("term", F.round("pr", 6).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("term"))
+        .limit(_TR_TOPK)
+    )
+
+
+def _textrank_oracle() -> str:
+    stages = []
+    prev = "pr0"
+    for t in range(1, _TR_ITERS + 1):
+        stages.append(f"""
+pr{t} AS (
+  SELECT e.dst AS term,
+         {1 - _TR_DAMP} + {_TR_DAMP} * sum(
+           CAST(e.w * p.pr / e.wdeg AS DECIMAL(25,15))
+         )::DOUBLE AS pr
+  FROM edges e JOIN {prev} p ON p.term = e.src
+  GROUP BY e.dst
+)""")
+        prev = f"pr{t}"
+    return f"""
+WITH toked AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+),
+directed AS (
+  SELECT p[1] AS src, p[2] AS dst FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> [toks[i], toks[i+1]]
+    )) AS p FROM toked
+  ) WHERE p[1] <> '' AND p[2] <> ''
+  UNION ALL
+  SELECT p[2] AS src, p[1] AS dst FROM (
+    SELECT unnest(list_transform(
+      generate_series(1, greatest(len(toks) - 1, 0)),
+      i -> [toks[i], toks[i+1]]
+    )) AS p FROM toked
+  ) WHERE p[1] <> '' AND p[2] <> ''
+),
+edges AS (
+  SELECT src, dst, count(*)::BIGINT AS w,
+         sum(count(*)) OVER (PARTITION BY src)::BIGINT AS wdeg
+  FROM directed WHERE src <> dst GROUP BY src, dst
+),
+pr0 AS (
+  SELECT DISTINCT src AS term, 1.0::DOUBLE AS pr FROM edges
+),{",".join(stages).lstrip(",")}
+SELECT term, round(pr, 6) AS textrank
+FROM pr{_TR_ITERS}
+ORDER BY textrank DESC, term
+LIMIT {_TR_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_ORACLE,
               "token counting: whitespace + BPE-ish regex"),
@@ -1143,6 +1268,9 @@ QUERIES = [
               "PII/URL scrub: count + redact emails, urls, phone runs"),
     QuerySpec("tfidf_top_terms", tfidf_top_terms, TFIDF_TOP_TERMS_ORACLE,
               "vocab building: top terms per language by tf-rarity"),
+    QuerySpec("term_textrank", term_textrank, _textrank_oracle(),
+              "TextRank keyword centrality (unrolled PageRank over the "
+              "term co-occurrence graph)"),
     QuerySpec("table_profile", table_profile, TABLE_PROFILE_ORACLE,
               "per-column null/distinct/min/max profiling (one agg pass)"),
     QuerySpec("benchmark_decontaminate", benchmark_decontaminate,

@@ -201,6 +201,14 @@ _DEMOTED = (
     # token_quantile_histogram (same split, same length signal) and it
     # stays a bench headline — bench membership is window-independent.
     "doc_token_stats",
+    # One slot for term_textrank (new-code rule; graph-centrality
+    # keywords with an unrolled-PageRank oracle).
+    # embedding_quantize_int8 is r3-green with its body untouched by the
+    # r4 curation rework (diff hunks: 132/564/619/644/677+ — 443 is
+    # outside all of them); the quantization family keeps in-window
+    # representation via embedding_pq_assign, and the half-step
+    # error-bound property test pins the contract independently.
+    "embedding_quantize_int8",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -172,3 +172,20 @@ def test_corpus_export_manifest_consistent_with_filter(spark, sf_dir):
         # greedy first-fit never leaves two consecutive sequences both
         # under half full (or the second would have merged into the first)
         assert r.n_tokens > (r.n_seqs - 1) * _PACK_CAPACITY / 2
+
+
+def test_textrank_centrality_properties(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        _TR_DAMP,
+        _TR_TOPK,
+        term_textrank,
+    )
+
+    rows = term_textrank(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= _TR_TOPK
+    scores = [r.textrank for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every PageRank value is bounded below by the teleport mass
+    assert all(r.textrank >= (1 - _TR_DAMP) - 1e-9 for r in rows)
+    # deterministic across rebuilds (localCheckpoint + decimal sums)
+    assert rows == term_textrank(spark, sf_dir).collect()
