@@ -145,3 +145,83 @@ def top_k_per_window(counts: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("window_start", "rank")
     )
+
+
+def length_bucket_counts_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    n_buckets: int = 16,
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Windowed token-length-bucket counts over a document stream — the
+    counting half of streaming drift monitoring (the streaming face of
+    operators/curation.py corpus_drift_report, same bucketing rule).
+
+    Built-in watermark + windowed aggregation with (windows x 16)-bounded
+    state; distances against a reference distribution are computed per
+    finalized window by `tv_drift_against_reference` inside foreachBatch
+    (same split as trending terms: aggregation streams, ranking/distance
+    math runs on the finalized batch frame)."""
+    df = docs
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    n = F.size(F.split(F.trim(F.col("text")), "\\s+"))
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(n / bucket_width)
+    ).cast("int")
+    return (
+        df.select(F.col(ts_col).alias("_ts"), bucket.alias("bucket"))
+        .groupBy(F.window("_ts", window).alias("w"), "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "n",
+        )
+    )
+
+
+def tv_drift_against_reference(
+    counts: DataFrame, reference: dict[int, float]
+) -> DataFrame:
+    """Per-window total-variation distance of the observed bucket
+    distribution against a fixed reference distribution (the promoted
+    snapshot's profile, passed as {bucket: proportion}).
+
+    Batch-only by design — call inside foreachBatch on finalized
+    windows. TV sums |p - q| over the UNION of observed and reference
+    buckets (an observed-only bucket contributes its full mass, a
+    reference-only bucket likewise), x 0.5."""
+    ref_rows = [(int(b), float(p)) for b, p in sorted(reference.items())]
+    spark = counts.sparkSession
+    ref = spark.createDataFrame(ref_rows, "bucket int, q double")
+    totals = counts.groupBy("window_start").agg(F.sum("n").alias("tot"))
+    # reference-only buckets have no window row to join onto; their
+    # missing mass enters as (1 - seen_q) below — equivalent to the
+    # union-of-buckets sum without fanning the reference out per window
+    observed = (
+        counts.join(totals, "window_start")
+        .select(
+            "window_start", "bucket", (F.col("n") / F.col("tot")).alias("p")
+        )
+        .join(F.broadcast(ref), "bucket", "left")
+        .withColumn("q", F.coalesce(F.col("q"), F.lit(0.0)))
+    )
+    seen_ref_mass = observed.groupBy("window_start").agg(
+        F.sum("q").alias("seen_q")
+    )
+    return (
+        observed.groupBy("window_start")
+        .agg(F.sum(F.abs(F.col("p") - F.col("q"))).alias("tv_seen"))
+        .join(seen_ref_mass, "window_start")
+        .select(
+            "window_start",
+            F.round(
+                (F.col("tv_seen") + (1.0 - F.col("seen_q"))) * 0.5, 6
+            ).alias("tv_distance"),
+        )
+        .orderBy("window_start")
+    )

@@ -980,3 +980,54 @@ def test_trending_terms_stream_topk(spark, tmp_path):
     batch_h = [(r.rank, r.term, r.n) for r in batch
                if r.window_start.hour in (0, 1)]
     assert batch_h == by_hour[0] + by_hour[1]
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        length_bucket_counts_stream,
+        tv_drift_against_reference,
+    )
+
+    # hour 0 matches the reference exactly (2 docs in bucket 0); hour 1
+    # puts all mass in bucket 1 where the reference has half
+    rows = [
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 10), text="a b"),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 40), text="c d"),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 1, 15),
+            text=" ".join(["w"] * 20)),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 4, 30), text="advance mark"),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "ingest_ts timestamp, text string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("ingest_ts timestamp, text string") \
+        .parquet(src)
+    reference = {0: 1.0}
+    drift_batches = []
+    q = (
+        length_bucket_counts_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(
+            lambda df, _id: drift_batches.append(
+                tv_drift_against_reference(df, reference).collect()
+            )
+        )
+        .start()
+    )
+    _await(q)
+    got = {r.window_start.hour: r.tv_distance
+           for b in drift_batches for r in b}
+    # finalized hours only; hour 0 has zero drift, hour 1 full drift
+    assert set(got) == {0, 1}
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    # stream/batch parity on the same files
+    batch_counts = length_bucket_counts_stream(spark.read.parquet(src))
+    batch = {
+        r.window_start.hour: r.tv_distance
+        for r in tv_drift_against_reference(batch_counts, reference)
+        .collect()
+        if r.window_start.hour in (0, 1)
+    }
+    assert batch == got
