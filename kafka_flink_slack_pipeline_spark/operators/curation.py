@@ -1244,6 +1244,135 @@ ORDER BY b.signal
 
 
 # --------------------------------------------------------------------------
+# Typo-pair detection via the DELETION-NEIGHBORHOOD join — the classic
+# way to find edit-distance-1 key pairs WITHOUT an all-pairs comparison
+# (FastSS / SymSpell's core trick): every term emits itself plus its
+# len(t) single-character-deletion variants as join keys; two terms
+# within edit distance 1 always share a key (insert/delete: one term IS
+# the other's deletion variant; substitution: both delete the differing
+# position to the same string), so a plain equi-join generates all
+# candidates and levenshtein(a,b) = 1 confirms. At 100 TB the join is
+# VOCAB-scale with ~(len+1) fan-out — never corpus-scale, never O(V^2).
+#
+# The synthetic vocabulary has no organic distance-1 pairs (verified),
+# so typos are PLANTED in-query (the dedup_exact_normalized precedent):
+# every 9th doc also emits its first token with the last character
+# dropped. Report: (typo, correction) by frequency asymmetry — the
+# cleaning rule "map the rare variant to the frequent one".
+_TYPO_EVERY = 9
+_TYPO_MIN_LEN = 4
+_TYPO_MAX_LEN = 20
+
+
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    ).filter(F.col("term") != "")
+    first_tok = F.element_at(tokens_col(), 1)
+    planted = d.filter(
+        (F.col("doc_id") % _TYPO_EVERY == 0)
+        & (F.length(first_tok) >= _TYPO_MIN_LEN)
+    ).select(
+        first_tok.substr(F.lit(1), F.length(first_tok) - 1).alias("term")
+    )
+    vocab = (
+        toks.select("term")
+        .unionByName(planted.select("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(
+            (F.length("term") >= _TYPO_MIN_LEN - 1)
+            & (F.length("term") <= _TYPO_MAX_LEN)
+        )
+        # vocab-scale; feeds both sides of the key self-join — without
+        # this, Spark 4.1 AQE recomputes the corpus token pass per side
+        .localCheckpoint(eager=True)
+    )
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.concat(
+            F.col("term").substr(F.lit(1), i - 1),
+            F.col("term").substr(i + 1, F.length("term")),
+        ),
+    )
+    keyed = vocab.select(
+        "term",
+        "freq",
+        F.explode(
+            F.array_union(F.array(F.col("term")), deletions)
+        ).alias("k"),
+    )
+    a = keyed.select(
+        F.col("term").alias("a"), F.col("freq").alias("fa"), "k"
+    )
+    b = keyed.select(
+        F.col("term").alias("b"), F.col("freq").alias("fb"), "k"
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "fa", "b", "fb")
+        .distinct()
+        .filter(F.levenshtein("a", "b") == 1)
+    )
+    typo_first = F.col("fa") < F.col("fb")
+    return pairs.select(
+        F.when(typo_first, F.col("a")).otherwise(F.col("b")).alias("typo"),
+        F.when(typo_first, F.col("fa")).otherwise(F.col("fb")).alias(
+            "typo_freq"
+        ),
+        F.when(typo_first, F.col("b")).otherwise(F.col("a")).alias(
+            "correction"
+        ),
+        F.when(typo_first, F.col("fb")).otherwise(F.col("fa")).alias(
+            "correction_freq"
+        ),
+    ).orderBy("typo", "correction")
+
+
+VOCAB_TYPO_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+planted AS (
+  SELECT substr(t1, 1, len(t1) - 1) AS term FROM (
+    SELECT regexp_split_to_array(trim(text), '\\s+')[1] AS t1
+    FROM documents WHERE doc_id % {_TYPO_EVERY} = 0
+  ) WHERE len(t1) >= {_TYPO_MIN_LEN}
+),
+vocab AS (
+  SELECT term, count(*)::BIGINT AS freq FROM (
+    SELECT term FROM toks WHERE term <> ''
+    UNION ALL SELECT term FROM planted
+  )
+  GROUP BY term
+  HAVING len(term) BETWEEN {_TYPO_MIN_LEN - 1} AND {_TYPO_MAX_LEN}
+),
+keyed AS (
+  SELECT term, freq, unnest(list_distinct(
+    [term] || list_transform(
+      range(1, len(term) + 1),
+      i -> substr(term, 1, i - 1) || substr(term, i + 1, len(term))
+    ))) AS k
+  FROM vocab
+),
+pairs AS (
+  SELECT DISTINCT a.term AS a, a.freq AS fa, b.term AS b, b.freq AS fb
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.term < b.term
+)
+SELECT CASE WHEN fa < fb THEN a ELSE b END AS typo,
+       CASE WHEN fa < fb THEN fa ELSE fb END AS typo_freq,
+       CASE WHEN fa < fb THEN b ELSE a END AS correction,
+       CASE WHEN fa < fb THEN fb ELSE fa END AS correction_freq
+FROM pairs
+WHERE levenshtein(a, b) = 1
+ORDER BY typo, correction
+"""
+
+
+# --------------------------------------------------------------------------
 # Snapshot diff: dataset-versioning report between two corpus snapshots
 # — what entered, what left, what changed in place — the audit a data
 # lead reads before promoting a new snapshot (alongside the drift
@@ -1518,4 +1647,7 @@ QUERIES = [
               SNAPSHOT_DIFF_ORACLE,
               "dataset-versioning diff: added/removed/changed/unchanged "
               "via one full-outer hash reconciliation"),
+    QuerySpec("vocab_typo_pairs", vocab_typo_pairs, VOCAB_TYPO_ORACLE,
+              "edit-distance-1 typo pairs via the deletion-neighborhood "
+              "equi-join (FastSS/SymSpell shape, no all-pairs)"),
 ]

@@ -209,6 +209,14 @@ _DEMOTED = (
     # representation via embedding_pq_assign, and the half-step
     # error-bound property test pins the contract independently.
     "embedding_quantize_int8",
+    # One slot for vocab_typo_pairs (new-code rule; deletion-
+    # neighborhood edit-distance join). interdoc_span_dedup is r3-green
+    # with its body untouched by r4 curation edits; its measurement
+    # (fixed-span cross-doc duplication) is strictly generalized by
+    # in-window interdoc_dup_runs (maximal runs over the same positional
+    # spans), and its pinned single-pass plan shape stays covered by
+    # tests/test_plan_audit.py.
+    "interdoc_span_dedup",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -294,3 +294,28 @@ def test_snapshot_diff_counts_reconcile(spark, sf_dir):
     assert got == expect
     # every doc in either snapshot lands in exactly one category
     assert sum(got.values()) == len(in_a | in_b)
+
+
+def test_typo_pairs_recover_planted_truncations(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _TYPO_EVERY,
+        _TYPO_MIN_LEN,
+        vocab_typo_pairs,
+    )
+
+    rows = vocab_typo_pairs(spark, sf_dir).collect()
+    assert rows
+    docs = {r.doc_id: r.text for r in
+            table(spark, sf_dir, "documents").collect()}
+    planted = set()
+    for doc_id, text in docs.items():
+        first = text.strip().split()[0]
+        if doc_id % _TYPO_EVERY == 0 and len(first) >= _TYPO_MIN_LEN:
+            planted.add(first[:-1])
+    found = {(r.typo, r.correction) for r in rows}
+    # every planted truncation pairs with its source term
+    for t in planted:
+        assert any(t in pair for pair in found), t
+    # asymmetry rule: the typo is never more frequent than the correction
+    for r in rows:
+        assert r.typo_freq <= r.correction_freq
