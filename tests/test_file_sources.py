@@ -76,3 +76,40 @@ def test_text_lines_stable_ids(spark, tmp_path):
     again = sorted(read_documents_text(spark, str(p), lang="en").collect(),
                    key=lambda r: r.doc_id)
     assert rows == again
+
+
+def test_streaming_landing_pipeline(spark, tmp_path):
+    """JSONL drops stream into lang-partitioned parquet with quarantine,
+    and a resumed run does not re-land already-committed files."""
+    import time
+
+    from kafka_flink_slack_pipeline_spark.streaming.ingest_land import (
+        land_documents_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "landed")
+    dlq = str(tmp_path / "dlq")
+    ckpt = str(tmp_path / "ckpt")
+    (drop / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ROWS) + "\n{broken\n"
+    )
+    q = land_documents_stream(spark, str(drop), out, dlq, ckpt)
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out)
+    assert {r.doc_id for r in landed.collect()} == {1, 2}
+    # partitioned layout: a lang filter prunes partitions
+    plan = landed.filter(F.col("lang") == "en")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert spark.read.parquet(dlq).count() == 1
+    # second drop arrives; resume lands ONLY the new file
+    (drop / "b.jsonl").write_text(json.dumps(
+        {"doc_id": 3, "text": "epsilon", "lang": "fr", "source": "w",
+         "n_chars": 7}) + "\n")
+    q2 = land_documents_stream(spark, str(drop), out, dlq, ckpt)
+    q2.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # no duplicates from re-landing a.jsonl
+    assert spark.read.parquet(dlq).count() == 1
