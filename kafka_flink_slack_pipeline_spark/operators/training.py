@@ -37,6 +37,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..plans.registry import QuerySpec
 from ..tables import table
@@ -1074,6 +1075,106 @@ ORDER BY e.p
 """
 
 
+# --------------------------------------------------------------------------
+# Temperature-based mixture resampling (the mT5/XLM-R alpha-sampling
+# rule): upsample low-resource languages by sampling language l with
+# probability proportional to p_l^alpha instead of p_l. mixture_weights
+# (textops) REPORTS the target mixture; this op APPLIES it — the
+# deterministic "sampler" every reproducible data pipeline actually
+# ships (hash-rank selection, not RNG).
+#
+# alpha is fixed at 0.5 so the power is sqrt — correctly rounded in
+# IEEE-754, hence identical in both engines (the repo's
+# transcendental-free policy: pow(x, 0.3) has no such guarantee).
+# The sqrt-share denominator accumulates in DECIMAL; per-lang targets
+# are floor(q_l * budget) on identical doubles. Selection ranks docs
+# within each language by md5(doc_id) — a deterministic pseudo-random
+# permutation both engines agree on byte-for-byte.
+#
+# Scale notes (100 TB): language counts are a bounded aggregate (driver
+# model state would also be fine, but the 1-row-per-lang frame
+# broadcasts); selection is one per-lang window over a hash column —
+# equi-partitioned, no global ordering anywhere.
+_RESAMPLE_BUDGET = 200
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # lang-scale (|langs| rows); feeds total/shares/denom/targets — four
+    # consumers that would each recompute the corpus count under Spark
+    # 4.1 AQE (caught by plan_audit: 5 document scans -> 1)
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n").alias("nn"))
+    shares = counts.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n",
+        F.sqrt(F.col("n") / F.col("nn")).alias("s"),
+    )
+    denom = shares.agg(
+        F.sum(F.col("s").cast("decimal(25,15)"))
+        .cast("double")
+        .alias("z")
+    )
+    targets = shares.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n",
+        F.floor(F.col("s") / F.col("z") * _RESAMPLE_BUDGET)
+        .cast("long")
+        .alias("target"),
+    )
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("pick_rank"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("pick_rank") <= F.col("target"))
+        .select("lang", "pick_rank", "doc_id", "target", "n")
+        .orderBy("lang", "pick_rank")
+    )
+
+
+TEMPERATURE_RESAMPLE_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+),
+total AS (SELECT sum(n)::BIGINT AS nn FROM counts),
+shares AS (
+  SELECT lang, n, sqrt(n / nn) AS s FROM counts, total
+),
+denom AS (
+  SELECT sum(CAST(s AS DECIMAL(25,15)))::DOUBLE AS z FROM shares
+),
+targets AS (
+  SELECT lang, n,
+         floor(s / z * {_RESAMPLE_BUDGET})::BIGINT AS target
+  FROM shares, denom
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT r.lang, r.pick_rank, r.doc_id, t.target, t.n
+FROM ranked r JOIN targets t USING (lang)
+WHERE r.pick_rank <= t.target
+ORDER BY r.lang, r.pick_rank
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -1096,4 +1197,8 @@ QUERIES = [
     QuerySpec("token_quantile_histogram", token_quantile_histogram,
               QH_ORACLE,
               "mergeable equi-width-histogram quantile sketch vs exact"),
+    QuerySpec("temperature_resample", temperature_resample,
+              TEMPERATURE_RESAMPLE_ORACLE,
+              "mT5-style alpha-sampling mixture application (sqrt "
+              "temperature, deterministic hash-rank selection)"),
 ]

@@ -217,6 +217,14 @@ _DEMOTED = (
     # spans), and its pinned single-pass plan shape stays covered by
     # tests/test_plan_audit.py.
     "interdoc_span_dedup",
+    # One slot for temperature_resample (new-code rule; the sampler that
+    # APPLIES the mixture mixture_weights reports).
+    # global_shuffle_shard is r3-green with its body untouched by the r4
+    # curation edits; its balanced-permutation contract is pinned by a
+    # dedicated property test independent of the oracle, and the
+    # two-phase bucketed global-position pattern stays in-window via
+    # token_budget_select (same shape, same module).
+    "global_shuffle_shard",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

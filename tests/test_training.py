@@ -225,3 +225,33 @@ def test_quantile_histogram_bounds_and_monotonicity(spark, sf_dir):
             assert r.est_q >= prev_est - 1e-9
             assert r.exact_q >= prev_exact
         prev_est, prev_exact = r.est_q, r.exact_q
+
+
+def test_temperature_resample_upsamples_low_resource(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _RESAMPLE_BUDGET,
+        temperature_resample,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    rows = temperature_resample(spark, sf_dir).collect()
+    assert rows
+    got: dict[str, int] = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+        assert r.pick_rank <= r.target <= r.n  # never oversamples a lang
+    assert sum(got.values()) <= _RESAMPLE_BUDGET
+    # temperature flattening: selected share of a low-resource language
+    # exceeds its corpus share; the highest-resource language's share
+    # shrinks (the alpha-sampling contract)
+    corpus = {
+        r.lang: r.n
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(corpus.values())
+    picked = sum(got.values())
+    lo = min(corpus, key=corpus.get)
+    hi = max(corpus, key=corpus.get)
+    assert got[lo] / picked >= corpus[lo] / total
+    assert got[hi] / picked <= corpus[hi] / total

@@ -86,6 +86,10 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # broadcast of the 1-row train-vocab-size aggregate (constant attach;
     # derived from the localCheckpoint-ed bigram model, not a corpus scan)
     "doc_bigram_lm_score": (1, "1-row vocab-size broadcast"),
+    # 1-row corpus-total + 1-row sqrt-share-denominator attaches onto the
+    # checkpointed |langs|-row counts frame (constant attach, not pair
+    # work); the third BNLJ is Spark folding the two chained attaches
+    "temperature_resample": (3, "1-row total + denominator attaches"),
     "rich_customers_without_orders": (1, "1-row threshold attach"),
     "q11_important_stock": (1, "1-row value-fraction threshold (HAVING)"),
 }
