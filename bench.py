@@ -120,6 +120,17 @@ HEADLINE = [
     # r4 addition: drift monitoring (one conditional-agg corpus pass +
     # in-row decimal folds) — the recurring pre-admission check.
     "corpus_drift_report",
+    # r4 additions (second half): one per distinct new execution shape —
+    # the time-series window+same-key-agg rollup, the Arrow binary
+    # feature kernel, and the two-snapshot full-outer reconciliation.
+    # textrank/mmr/typo-pairs are NOT benched: their corpus passes run
+    # eagerly at frame-build (localCheckpoint model state), so a timed
+    # pass would measure only vocab-scale work (dedup_clusters' reason);
+    # temperature_resample's per-lang hash-rank window is the shape
+    # last_events_per_user already times.
+    "events_ohlc_rollup",
+    "audio_frame_rms",
+    "corpus_snapshot_diff",
 ]
 
 
