@@ -62,3 +62,43 @@ def test_oracle_columns_match_spark_schema(spark, sf_dir):
         if spark_cols != oracle_cols:
             mismatches[name] = (spark_cols, oracle_cols)
     assert not mismatches, mismatches
+
+
+def test_demotion_tuple_names_are_real_and_unique():
+    """A typo'd or stale name in _DEMOTED silently no-ops (the sort key
+    treats it as 'not demoted' for every real query) — pin that every
+    entry names a registered query exactly once."""
+    from kafka_flink_slack_pipeline_spark.plans.registry import (
+        _DEMOTED,
+        all_queries,
+    )
+
+    names = set(all_queries())
+    unknown = [d for d in _DEMOTED if d not in names]
+    assert not unknown, f"_DEMOTED names not in registry: {unknown}"
+    assert len(set(_DEMOTED)) == len(_DEMOTED), "duplicate demotions"
+
+
+def test_window_keeps_parity_representatives():
+    """The 50-entry driver window must always contain the reference-
+    parity core (email chain) and one representative per north-star
+    family — a future registration that silently displaces one of these
+    should fail here, not in the next verdict."""
+    from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
+
+    window = list(all_queries())[:50]
+    required = [
+        "email_clean_chain", "email_chunk_blocks",
+        "email_hyperlink_headings", "email_blockkit_payload",
+        "slack_mention_prompt",            # reference-parity core
+        "dedup_exact", "dedup_minhash_lsh",  # dedup family
+        "cosine_topk_bruteforce",            # similarity baseline
+        "image_byte_histogram",              # multimodal (F7)
+        "corpus_curation_funnel",            # flagship composition
+        "events_sessions_per_user",          # ST5
+        "user_history_window",               # W1
+        "last_events_per_user",              # W4
+        "events_asof_last_error",            # temporal
+    ]
+    missing = [q for q in required if q not in window]
+    assert not missing, f"parity queries displaced from window: {missing}"
