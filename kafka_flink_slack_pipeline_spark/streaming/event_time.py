@@ -225,3 +225,50 @@ def tv_drift_against_reference(
         )
         .orderBy("window_start")
     )
+
+
+def ohlc_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming face of operators/windows.py events_ohlc_rollup — the
+    literal continuous aggregate. The batch op picks open/close with a
+    row_number window; ranking can't run above a streaming aggregate,
+    so here open/close are min_by/max_by over the (event-time, event_id)
+    struct — the same total order, expressed as an aggregate, which
+    Structured Streaming maintains incrementally with bounded per-window
+    state. On a batch frame the identical expression reproduces the
+    batch operator's numbers (parity test).
+
+    total_value accumulates in DECIMAL(18,2) exactly like the batch op
+    (money_sum), so stream and batch agree to the cent."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    pick = F.struct(F.col(ts_col), F.col("event_id"))
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), key_col)
+        .agg(
+            F.min_by("value", pick).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", pick).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1031,3 +1031,58 @@ def test_streaming_drift_monitor(spark, tmp_path):
         if r.window_start.hour in (0, 1)
     }
     assert batch == got
+
+
+def test_streaming_ohlc_matches_batch(spark, tmp_path, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_ohlc_rollup,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        ohlc_rollup_stream,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    # batch parity on real events: the min_by/max_by formulation must
+    # reproduce the row_number formulation exactly
+    batch_rows = {
+        (r.window_start_epoch, r.event_type): r
+        for r in events_ohlc_rollup(spark, sf_dir).collect()
+    }
+    agg_rows = {
+        (r.window_start_epoch, r.event_type): r
+        for r in ohlc_rollup_stream(table(spark, sf_dir, "events")).collect()
+    }
+    assert set(batch_rows) == set(agg_rows)
+    for k, b in batch_rows.items():
+        a = agg_rows[k]
+        assert (a.open, a.high, a.low, a.close, a.n_events,
+                a.total_value) == (
+            b.open, b.high, b.low, b.close, b.n_events, b.total_value)
+
+    # streaming run over a controlled file source emits finalized windows
+    rows = [
+        Row(ts=dt.datetime(2024, 1, 1, 0, m), event_id=i,
+            event_type="click", value=float(v))
+        for i, (m, v) in enumerate([(5, 10.0), (20, 30.0), (50, 20.0)])
+    ] + [Row(ts=dt.datetime(2024, 1, 1, 4, 0), event_id=99,
+             event_type="click", value=1.0)]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "ts timestamp, event_id long, event_type string, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_id long, event_type string, value double"
+    ).parquet(src)
+    q = (
+        ohlc_rollup_stream(stream, watermark="30 minutes")
+        .writeStream.format("memory").queryName("ohlc_stream")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _await(q)
+    got = {r.window_start_epoch: r
+           for r in spark.sql("SELECT * FROM ohlc_stream").collect()}
+    assert len(got) == 1  # hour 0 finalized, hour 4 still open
+    r = next(iter(got.values()))
+    assert (r.open, r.high, r.low, r.close, r.n_events) == \
+        (10.0, 30.0, 10.0, 20.0, 3)
+    assert r.total_value == 60.0
