@@ -479,11 +479,86 @@ ORDER BY win, event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Winsorized robust statistics — the numeric-column cleaning primitive
+# (clamp to [p05, p95] before aggregating) every metrics pipeline ships
+# next to its raw means. Percentile determinism: both engines compute
+# interpolated quantiles with the same rank = p*(n-1) formula on the
+# same doubles, so the UNROUNDED bounds are identical and the clamp
+# comparisons can never diverge at a boundary value (the reason the
+# bounds are NOT pre-rounded before clamping). Means accumulate the
+# clamped values in DECIMAL (order-free), divided once as doubles.
+#
+# Scale shape: one bounded per-type percentile aggregate broadcast back
+# onto the events scan (two scans, the default budget), then one
+# aggregation — no windows, no sort.
+
+
+def events_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        e.join(F.broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("lo"), 4).alias("p05"),
+            F.round(F.min("hi"), 4).alias("p95"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clamped.cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       round(min(lo), 4) AS p05,
+       round(min(hi), 4) AS p95,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+       round(sum(value::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_raw,
+       round(sum(CAST(greatest(lo, least(hi, value)) AS DECIMAL(25,10))
+             )::DOUBLE / count(*), 4) AS mean_winsorized
+FROM events e JOIN pct USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
     QuerySpec("events_ohlc_rollup", events_ohlc_rollup, EVENTS_OHLC_ORACLE,
               "hypertable-style OHLC continuous-aggregate rollup"),
+    QuerySpec("events_value_winsorize", events_value_winsorize,
+              EVENTS_WINSOR_ORACLE,
+              "winsorized robust stats (p05/p95 clamp, decimal means)"),
     QuerySpec("events_sliding_counts", events_sliding_counts, EVENTS_SLIDING_ORACLE,
               "sliding event-time window (ST5)"),
     QuerySpec("events_sessions_per_user", events_sessions_per_user,

@@ -225,6 +225,14 @@ _DEMOTED = (
     # two-phase bucketed global-position pattern stays in-window via
     # token_budget_select (same shape, same module).
     "global_shuffle_shard",
+    # One slot for events_value_winsorize (new-code rule; robust-stats
+    # clamping). email_producer_pipeline carries the weakest in-window
+    # signal left: it is registered ROWS-ONLY (no composition oracle)
+    # and every stage it composes (P0-P16, D1/D3/D6 serde) is
+    # hash-verified in-window via the five email-parity queries; the
+    # composition itself stays pinned by tests + verify_local — the
+    # email_consumer_pipeline precedent from earlier this round.
+    "email_producer_pipeline",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -70,3 +70,19 @@ def test_ohlc_rollup_invariants(spark, sf_dir):
         # single-event windows degenerate to open == close == high == low
         if r.n_events == 1:
             assert r.open == r.close == r.high == r.low
+
+
+def test_winsorize_clamps_and_shrinks_spread(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_value_winsorize,
+    )
+
+    rows = events_value_winsorize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p05 <= r.p95
+        # ~5% clipped on each side (exact count depends on ties)
+        assert r.n_clip_lo <= r.n * 0.06 + 1
+        assert r.n_clip_hi <= r.n * 0.06 + 1
+        # winsorized mean lies inside the clamp bounds
+        assert r.p05 - 1e-4 <= r.mean_winsorized <= r.p95 + 1e-4
