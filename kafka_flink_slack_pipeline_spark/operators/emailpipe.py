@@ -474,6 +474,44 @@ ORDER BY event_id
 """
 
 
+def slack_llm_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — the LLM enrichment stage over the assembled mention prompts,
+    THROUGH the Arrow pandas UDF (`streaming/llm.py` make_llm_udf) with
+    the DeterministicStubModel, whose reply is a pure string function of
+    the prompt: `[<model>:<md5(prompt)[:8]>] ack: <last 120 chars>`
+    truncated to max_tokens*4 chars. That purity is the point — the
+    oracle reproduces the stub in SQL, so the WHOLE enrichment path
+    (prompt assembly -> Arrow batch -> model callable -> reply column)
+    is hash-checked by the driver, not just unit-tested. Production
+    swaps the callable for the API client; the plan is identical
+    (reference: slackEventServer.js:224-276)."""
+    from ..streaming.llm import llm_enrich_col
+
+    prompts = slack_mention_prompt(spark, sf_dir)
+    return prompts.select(
+        "event_id",
+        "question",
+        llm_enrich_col(F.col("prompt")).alias("reply"),
+    ).orderBy("event_id")
+
+
+def _llm_enrichment_oracle() -> str:
+    from ..streaming.llm import _CHARS_PER_TOKEN, MAX_TOKENS, MODEL_NAME
+
+    cap = MAX_TOKENS * _CHARS_PER_TOKEN
+    return f"""
+WITH p AS ({SLACK_MENTION_PROMPT_ORACLE})
+SELECT event_id, question,
+       substr('[{MODEL_NAME}:' || substr(md5(prompt), 1, 8) || '] ack: '
+              || CASE WHEN len(prompt) > 120
+                      THEN substr(prompt, len(prompt) - 119)
+                      ELSE prompt END,
+              1, {cap}) AS reply
+FROM p
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Composed end-to-end pipelines as rows-only queries (no SQL oracle: they
 # route through the P1 html-to-text pandas UDF and the D1 quoted-printable
@@ -555,6 +593,10 @@ QUERIES = [
     QuerySpec("slack_mention_prompt", slack_mention_prompt,
               SLACK_MENTION_PROMPT_ORACLE,
               "P18-P20 mention strip + prompt assembly"),
+    QuerySpec("slack_llm_enrichment", slack_llm_enrichment,
+              _llm_enrichment_oracle(),
+              "U1 enrichment through the Arrow LLM UDF (stub replies "
+              "reproduced in SQL — the full path hash-checked)"),
     QuerySpec("email_producer_pipeline", email_producer_pipeline, None,
               "composed §3.1 ingest path (rows-only: P1/D1 UDFs)"),
     QuerySpec("email_consumer_pipeline", email_consumer_pipeline, None,

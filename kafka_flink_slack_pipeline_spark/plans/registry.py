@@ -233,6 +233,15 @@ _DEMOTED = (
     # composition itself stays pinned by tests + verify_local — the
     # email_consumer_pipeline precedent from earlier this round.
     "email_producer_pipeline",
+    # One slot for slack_llm_enrichment — a §2 PARITY upgrade: U1 (LLM
+    # enrichment) was tests-only; the deterministic stub reply is a pure
+    # string function of the prompt, so the whole Arrow-UDF path is now
+    # hash-checked by the driver. events_asof_last_error rotates out:
+    # r2-green, operators/temporal.py untouched since, the as-of
+    # semantics stay pinned by the DuckDB-ASOF verify_local oracle and
+    # the time-series family keeps in-window driver rows via
+    # events_ohlc_rollup / events_value_winsorize.
+    "events_asof_last_error",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

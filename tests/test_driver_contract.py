@@ -98,7 +98,8 @@ def test_window_keeps_parity_representatives():
         "events_sessions_per_user",          # ST5
         "user_history_window",               # W1
         "last_events_per_user",              # W4
-        "events_asof_last_error",            # temporal
+        "events_ohlc_rollup",                # time-series rollup
+        "slack_llm_enrichment",              # U1 through the Arrow UDF
     ]
     missing = [q for q in required if q not in window]
     assert not missing, f"parity queries displaced from window: {missing}"
