@@ -1244,6 +1244,77 @@ ORDER BY b.signal
 
 
 # --------------------------------------------------------------------------
+# N-gram novelty curve — the data-ordering signal a curriculum pipeline
+# tracks: for each document (in doc_id ingest order), what fraction of
+# its word-3-grams has never appeared in any EARLIER document. A corpus
+# whose novelty decays fast is mostly redundant tail; sharp drops locate
+# bulk-duplicated ingest batches. First-occurrence attribution = the
+# min-doc_id owner of each distinct shingle — one window on the shingle
+# key (equi-partitioned), then a per-doc aggregate; no self-joins, no
+# ordering-sensitive arithmetic (pure integer ratios, rounded once).
+_NOVELTY_N = 3
+
+
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _word_shingles
+
+    d = table(spark, sf_dir, "documents")
+    spans = (
+        d.select(
+            "doc_id",
+            F.explode(_word_shingles(tokens_col(), _NOVELTY_N)).alias("s"),
+        )
+        .filter(F.col("s") != "")
+        .distinct()
+    )
+    first_owner = F.min("doc_id").over(Window.partitionBy("s"))
+    flagged = spans.select(
+        "doc_id", (F.col("doc_id") == first_owner).alias("novel")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("novel").cast("long")).alias("n_novel"),
+            F.round(
+                F.sum(F.col("novel").cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_NOVELTY_ORACLE = f"""
+WITH spans AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_NOVELTY_N - 1}, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS s
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  ) WHERE s <> ''
+),
+flagged AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY s)) AS novel
+  FROM spans
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_shingles,
+       sum(CASE WHEN novel THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       round(sum(CASE WHEN novel THEN 1 ELSE 0 END) / count(*), 4)
+         AS novelty_frac
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Typo-pair detection via the DELETION-NEIGHBORHOOD join — the classic
 # way to find edit-distance-1 key pairs WITHOUT an all-pairs comparison
 # (FastSS / SymSpell's core trick): every term emits itself plus its
@@ -1650,4 +1721,7 @@ QUERIES = [
     QuerySpec("vocab_typo_pairs", vocab_typo_pairs, VOCAB_TYPO_ORACLE,
               "edit-distance-1 typo pairs via the deletion-neighborhood "
               "equi-join (FastSS/SymSpell shape, no all-pairs)"),
+    QuerySpec("doc_ngram_novelty", doc_ngram_novelty, NGRAM_NOVELTY_ORACLE,
+              "per-doc first-occurrence n-gram novelty (curriculum/"
+              "data-ordering signal)"),
 ]

@@ -242,6 +242,15 @@ _DEMOTED = (
     # the time-series family keeps in-window driver rows via
     # events_ohlc_rollup / events_value_winsorize.
     "events_asof_last_error",
+    # One slot for doc_ngram_novelty (new-code rule; the data-ordering
+    # novelty curve). decontaminate_fuzzy: r3-green, body identical
+    # since r3 (verified by function-body diff), its paraphrase-recovery
+    # contract is pinned by a dedicated test, and — decisive — its exact
+    # math EXECUTES AND HASH-CHECKS IN-WINDOW as stage 4 of
+    # corpus_curation_funnel, whose oracle composes the decon oracle
+    # verbatim. Nothing about fuzzy decontamination leaves the driver's
+    # sight by this rotation.
+    "decontaminate_fuzzy",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

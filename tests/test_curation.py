@@ -319,3 +319,31 @@ def test_typo_pairs_recover_planted_truncations(spark, sf_dir):
     # asymmetry rule: the typo is never more frequent than the correction
     for r in rows:
         assert r.typo_freq <= r.correction_freq
+
+
+def test_ngram_novelty_is_a_prefix_monotone_signal(spark, sf_dir):
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        doc_ngram_novelty,
+    )
+
+    rows = doc_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    # the first document is 100% novel by construction
+    assert rows[0].novelty_frac == 1.0
+    total_novel = sum(r.n_novel for r in rows)
+    # every distinct corpus shingle is novel exactly once
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        _word_shingles,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.textops import tokens_col
+
+    distinct_shingles = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(_word_shingles(tokens_col(), 3)).alias("s"))
+        .filter(F.col("s") != "")
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
