@@ -7,15 +7,19 @@ quantization (curation.embedding_quantize_int8) and random projection
   - embedding_covariance: the d x d covariance profile of the embedding
     columns — the statistic behind PCA, whitening, and drift monitoring.
     DECIMAL-exact formulation so the DuckDB oracle hash-matches.
-  - embedding_pca_whiten: PCA whitening (project onto the top-K
-    eigenvectors, scale to unit variance) — the standard preprocessing
-    in front of ANN/SemDeDup pipelines (normalized, decorrelated
-    embeddings make cosine thresholds comparable across dims). The Gram
-    matrix comes from an Arrow `mapInPandas` kernel (per-partition numpy
-    X^T X — the BLAS shape a 1000-executor job would run), the
-    eigendecomposition is O(d^3) DRIVER model state (the kmeans /
-    PQ-codebook precedent), and the projection re-enters the plan as a
-    literal matrix narrow map (the sign-matrix precedent).
+  - pca_whiten_vectors / embedding_pca_whiten: PCA whitening (project
+    onto the top-K eigenvectors, scale to unit variance) — the standard
+    preprocessing in front of ANN/SemDeDup pipelines (normalized,
+    decorrelated embeddings make cosine thresholds comparable across
+    dims). The Gram matrix comes from an Arrow `mapInPandas` kernel
+    (per-partition numpy X^T X — the BLAS shape a 1000-executor job
+    would run), the eigendecomposition is O(d^3) DRIVER model state
+    (the kmeans / PQ-codebook precedent), and the projection re-enters
+    the plan as a literal matrix narrow map (the sign-matrix
+    precedent). The REGISTERED query is the whitening certificate —
+    the whitened K x K covariance, hash-checked against a literal
+    identity matrix — so the whole non-SQL pipeline gets a driver hash
+    row (r4 verdict item 1).
 
 Exactness policy (the repo's ln-free/decimal rule applied to BLAS):
 float32 embeddings upcast to float64 multiply EXACTLY (<= 48 mantissa
@@ -183,18 +187,12 @@ def gram_and_means(spark: SparkSession, sf_dir: str):
     return g, s, n
 
 
-def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitened top-{_PCA_K} PCA projection of every embedding.
+def _whitening_model(spark: SparkSession, sf_dir: str):
+    """(mean (d,), W (d, K)) from the Gram kernel + driver eigh.
 
-    Model fit (Gram kernel + driver eigh) happens at frame-build like
-    the ANN index builds; the returned plan is a pure narrow map — each
-    vector folds against the literal (d x K) whitening matrix exactly as
-    embedding_random_projection folds its sign matrix. Eigenvector signs
-    are fixed by the largest-|component|-positive convention so the
-    output is deterministic. Not SQL-expressible (eigendecomposition) —
-    registered without an oracle; tests/test_linalg.py pins the
-    whitened-covariance ~= identity contract.
-    """
+    O(d^3) DRIVER model state (the kmeans / PQ-codebook precedent).
+    Eigenvector signs are fixed by the largest-|component|-positive
+    convention so the projection is deterministic."""
     import numpy as np
 
     g, s, n = gram_and_means(spark, sf_dir)
@@ -208,14 +206,24 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip = np.sign(v[np.abs(v).argmax(axis=0), range(_PCA_K)])
     flip[flip == 0] = 1.0
     w = (v * flip) / np.sqrt(np.maximum(lam, 1e-12))  # (d, K) whitening
+    return mean, w
+
+
+def _projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNROUNDED whitened projection (vec_id, w00..w0{K-1} doubles) —
+    the shared narrow map under both the vectors op and the identity
+    check. Each vector folds against the literal (d x K) whitening
+    matrix exactly as embedding_random_projection folds its sign
+    matrix; zero shuffles."""
+    mean, w = _whitening_model(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
-    cols = [F.col("vec_id")]
     centered = F.zip_with(
         F.col("embedding").cast("array<double>"),
         F.array(*[F.lit(float(m)) for m in mean]),
         lambda x, m: x - m,
     )
     proj = e.select("vec_id", centered.alias("c"))
+    cols = [F.col("vec_id")]
     for k in range(_PCA_K):
         col_w = F.array(*[F.lit(float(w[i, k])) for i in range(_DIM)])
         fold = F.aggregate(
@@ -223,8 +231,87 @@ def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        cols.append(F.round(fold, 6).alias(f"w{k:02d}"))
-    return proj.select(*cols).orderBy("vec_id")
+        cols.append(fold.alias(f"w{k:02d}"))
+    return proj.select(*cols)
+
+
+def pca_whiten_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened top-{_PCA_K} PCA projection of every embedding — the
+    pipeline-facing op (feeds ANN/SemDeDup with decorrelated,
+    unit-variance embeddings). Model fit happens at frame-build like
+    the ANN index builds; the returned plan is a pure narrow map.
+    Outputs rounded to 6 decimals for reproducible downstream hashes."""
+    proj = _projected(spark, sf_dir)
+    return proj.select(
+        "vec_id",
+        *[F.round(F.col(f"w{k:02d}"), 6).alias(f"w{k:02d}")
+          for k in range(_PCA_K)],
+    ).orderBy("vec_id")
+
+
+def embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening correctness certificate: the K x K covariance of the
+    whitened projection, which must be EXACTLY the identity at round 6.
+
+    The eigendecomposition itself is not SQL-expressible, but its output
+    invariant is — whitened covariance == I — so this registered query
+    emits cov(w_i, w_j) for every (i, j) and the DuckDB oracle is a
+    literal identity-matrix SELECT, turning the one formerly rows-only
+    driver row into a full hash check of the whole Gram-kernel -> eigh
+    -> literal-matrix-projection pipeline (any model/projection bug
+    decorrelates the output and flips an entry off 0/1).
+
+    Exactness: projections stay UNROUNDED doubles; their products are
+    exact-double then DECIMAL-accumulated (order-free sums), so the
+    only deviation from I is kernel-merge float noise + eigh residual
+    (~1e-10), far inside the 5e-7 round-6 guard band. Scale: one
+    narrow projection map + one O(K^2)-state partial aggregate to a
+    single row — the mergeable-sketch shape, no data-sized state."""
+    proj = _projected(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(_PCA_K):
+        aggs.append(
+            F.sum(F.col(f"w{i:02d}").cast("decimal(25,15)")).alias(f"s{i}")
+        )
+    for i in range(_PCA_K):
+        for j in range(i, _PCA_K):
+            aggs.append(
+                F.sum(
+                    (F.col(f"w{i:02d}") * F.col(f"w{j:02d}")).cast(
+                        "decimal(25,15)"
+                    )
+                ).alias(f"p{i}_{j}")
+            )
+    one = proj.agg(*aggs)
+    entries = []
+    for i in range(_PCA_K):
+        for j in range(_PCA_K):
+            a, b = min(i, j), max(i, j)
+            cov = (
+                F.col(f"p{a}_{b}").cast("double") / F.col("n")
+                - (F.col(f"s{i}").cast("double") / F.col("n"))
+                * (F.col(f"s{j}").cast("double") / F.col("n"))
+            )
+            entries.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
+                )
+            )
+    return (
+        one.select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.i", "e.j", "e.cov")
+        .orderBy("i", "j")
+    )
+
+
+PCA_WHITEN_ORACLE = f"""
+SELECT a.i::INT AS i, b.j::INT AS j,
+       CAST(CASE WHEN a.i = b.j THEN 1 ELSE 0 END AS DOUBLE) AS cov
+FROM range({_PCA_K}) a(i), range({_PCA_K}) b(j)
+ORDER BY i, j
+"""
 
 
 QUERIES = [
@@ -232,7 +319,9 @@ QUERIES = [
               COVARIANCE_ORACLE,
               "d x d covariance profile, decimal-exact (oracle-fidelity "
               "twin of the whitening kernel's Gram)"),
-    QuerySpec("embedding_pca_whiten", embedding_pca_whiten, None,
-              "PCA whitening via Arrow Gram kernel + driver eigh + "
-              "literal-matrix narrow map (tests pin cov ~= I)"),
+    QuerySpec("embedding_pca_whiten", embedding_pca_whiten,
+              PCA_WHITEN_ORACLE,
+              "PCA whitening certificate: whitened K x K covariance must "
+              "hash-equal the identity (Gram kernel + driver eigh + "
+              "literal-matrix narrow map, all under the check)"),
 ]

@@ -177,13 +177,19 @@ def image_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BYTE-exact oracle: the Spark kernel reads UTF-8 payload bytes, so the
+# oracle extracts bytes too — hex(encode(text)) then 2-char slices —
+# rather than ord() codepoints, which diverge from bytes (values AND
+# counts) the moment a document contains a non-ASCII character.
 IMAGE_BYTE_HISTOGRAM_ORACLE = """
 SELECT doc_id, (code // 16)::INT AS bin, count(*)::BIGINT AS n
 FROM (
-  SELECT doc_id, unnest(list_transform(range(1, len(text) + 1),
-                                       i -> ord(text[i]))) AS code
-  FROM documents
-  WHERE doc_id % 3 = 0  -- image/png slot of the round-robin typing
+  SELECT doc_id, ('0x' || substr(h, 2*i - 1, 2))::BIGINT AS code
+  FROM (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE doc_id % 3 = 0  -- image/png slot of the round-robin typing
+  ), unnest(range(1, nb + 1)) t(i)
 )
 GROUP BY doc_id, bin
 ORDER BY doc_id, bin
@@ -278,17 +284,21 @@ def audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+# BYTE-exact oracle (same policy as the image histogram's): the kernel
+# frames np.frombuffer UTF-8 bytes, so the oracle slices bytes out of
+# hex(encode(text)) — codepoint ord() would diverge in both values and
+# frame boundaries for any non-ASCII document.
 AUDIO_FRAME_RMS_ORACLE = f"""
 SELECT doc_id, ((i - 1) // {AUDIO_FRAME_SAMPLES})::INT AS frame_idx,
        count(*)::INT AS n_samples,
        round(sqrt(sum(code * code)::BIGINT / count(*)), 6) AS rms
 FROM (
-  SELECT doc_id,
-         unnest(range(1, len(text) + 1)) AS i,
-         unnest(list_transform(range(1, len(text) + 1),
-                               i -> ord(text[i]))) AS code
-  FROM documents
-  WHERE doc_id % 3 = 1  -- audio/wav slot of the round-robin typing
+  SELECT doc_id, i, ('0x' || substr(h, 2*i - 1, 2))::BIGINT AS code
+  FROM (
+    SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE doc_id % 3 = 1  -- audio/wav slot of the round-robin typing
+  ), unnest(range(1, nb + 1)) t(i)
 )
 GROUP BY doc_id, frame_idx
 ORDER BY doc_id, frame_idx

@@ -38,21 +38,31 @@ def write_stream_to_kafka(
     topic: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    extra_options: dict[str, str] | None = None,
 ) -> StreamingQuery:
     """writeStream wiring for a DataFrame that already has a `value` column.
 
     `trigger` kwargs pass straight through (e.g.
     {'processingTime': '10 minutes'} mirroring the reference's poll period,
-    or {'availableNow': True} for drain-and-stop runs).
+    or {'availableNow': True} for drain-and-stop runs). `extra_options`
+    forwards producer configs verbatim — the SASL/SSL security options a
+    Confluent-style cluster needs (`Producer/kafkaProducer.js:29-40`;
+    see sources.kafka.SASL_SSL_OPTIONS_EXAMPLE) plus any `kafka.`-prefixed
+    tuning; managed keys collide loudly rather than silently clobber.
     """
+    from ..sources.kafka import merge_kafka_options
+
     if "value" not in df.columns:
         raise ValueError("expected a 'value' column (use email_kafka_sink_frame)")
+    managed = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
     writer = (
         df.select(F.col("value"))
         .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        .options(**merge_kafka_options(managed, extra_options))
     )
     if trigger:
         writer = writer.trigger(**trigger)

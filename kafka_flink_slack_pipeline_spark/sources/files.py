@@ -111,7 +111,21 @@ def read_documents_text(
     file layout the ordering is the file's line order (the same
     fixed-layout determinism contract the PCA Gram kernel documents). A
     plain global monotonically_increasing_id would NOT survive a
-    repartition — the per-file window is what pins it."""
+    repartition — the per-file window is what pins it.
+
+    ID layout: doc_id = pmod(xxhash64(file), 2^23) * 2^40 + line_pos.
+    The low 40 bits hold the 1-based line position (a single file may
+    carry up to 2^40 - 1 ~ 1.1e12 lines before overflowing into the
+    next slot — far past any real shard; files.maxPartitionBytes splits
+    long before that), the high 23 bits the file-hash slot, and the
+    maximum value (2^23 - 1) * 2^40 + (2^40 - 1) = Long.MAX exactly.
+    pmod (not abs) because abs(Long.MIN_VALUE) stays negative in Java
+    two's-complement. The 23-bit file space means hash-colliding FILES
+    can still collide ids at identical line positions (birthday bound
+    ~2^11.5 files for a first collision) — callers landing more than a
+    few thousand files per drop should dedupe on (doc_id, md5(text)) or
+    land per-directory; the registered dedup operators treat doc_id as
+    unique per TESTDATA contract."""
     lines = spark.read.text(path).select(
         F.col("value").alias("text"), F.input_file_name().alias("f")
     )
@@ -120,7 +134,7 @@ def read_documents_text(
     )
     return lines.select(
         (
-            F.abs(F.xxhash64("f")) % F.lit(1 << 40) * F.lit(1 << 20)
+            F.pmod(F.xxhash64("f"), F.lit(1 << 23)) * F.lit(1 << 40)
             + w_pos
         ).alias("doc_id"),
         "text",

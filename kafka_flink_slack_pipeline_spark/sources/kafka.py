@@ -22,6 +22,41 @@ from ..schemas import KAFKA_ENVELOPE_SCHEMA
 
 DEFAULT_TOPIC = "technews"  # Producer/kafkaProducer.js:71, Consumer :53
 
+# The secured-cluster options the reference passes to KafkaJS against
+# Confluent Cloud (`Consumer/kafkaConsumer.js:23-31`, same shape in
+# `Producer/kafkaProducer.js:29-40`: ssl + sasl plain + broker list),
+# expressed as the Spark connector's `kafka.`-prefixed consumer/producer
+# configs. Purely illustrative — pass your own dict as `extra_options`.
+SASL_SSL_OPTIONS_EXAMPLE = {
+    "kafka.security.protocol": "SASL_SSL",
+    "kafka.sasl.mechanism": "PLAIN",
+    "kafka.sasl.jaas.config": (
+        "org.apache.kafka.common.security.plain.PlainLoginModule required "
+        'username="<api-key>" password="<api-secret>";'
+    ),
+}
+
+
+def merge_kafka_options(
+    managed: dict[str, str], extra_options: dict[str, str] | None
+) -> dict[str, str]:
+    """Merge caller-supplied reader/writer options under the managed ones.
+
+    `extra_options` is the SASL/SSL/tuning pass-through (the reference
+    connects over SASL_PLAIN+SSL — see SASL_SSL_OPTIONS_EXAMPLE); keys
+    this wrapper itself manages (subscribe/offsets/etc.) may NOT be
+    overridden through it — a silent clobber would desync the wrapper's
+    semantics (e.g. replay policy) from its arguments, so colliding keys
+    raise instead."""
+    extra = dict(extra_options or {})
+    clash = sorted(set(extra) & set(managed))
+    if clash:
+        raise ValueError(
+            f"extra_options may not override managed option(s) {clash}; "
+            "use the dedicated parameters instead"
+        )
+    return {**extra, **managed}
+
 
 def kafka_envelope_stream(
     spark: SparkSession,
@@ -29,32 +64,43 @@ def kafka_envelope_stream(
     topic: str = DEFAULT_TOPIC,
     starting_offsets: str = "earliest",  # fromBeginning: true
     max_offsets_per_trigger: int | None = None,
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """S4 — streaming Kafka scan. Backpressure via maxOffsetsPerTrigger
-    (absent in the reference; fire-hose replay there)."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
+    (absent in the reference; fire-hose replay there). `extra_options`
+    forwards connector configs verbatim — security (`kafka.security.
+    protocol`, `kafka.sasl.jaas.config`, ... per SASL_SSL_OPTIONS_EXAMPLE)
+    and tuning (`kafka.fetch.max.bytes`, `minPartitions`, ...)."""
+    managed = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
     if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load()
+        managed["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return (
+        spark.readStream.format("kafka")
+        .options(**merge_kafka_options(managed, extra_options))
+        .load()
+    )
 
 
 def kafka_envelope_batch(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str = DEFAULT_TOPIC,
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Batch Kafka scan (full-topic replay, e.g. backfills)."""
+    managed = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "endingOffsets": "latest",
+    }
     return (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
+        .options(**merge_kafka_options(managed, extra_options))
         .load()
     )
 

@@ -194,8 +194,22 @@ def tv_drift_against_reference(
     Batch-only by design — call inside foreachBatch on finalized
     windows. TV sums |p - q| over the UNION of observed and reference
     buckets (an observed-only bucket contributes its full mass, a
-    reference-only bucket likewise), x 0.5."""
-    ref_rows = [(int(b), float(p)) for b, p in sorted(reference.items())]
+    reference-only bucket likewise), x 0.5.
+
+    The reference proportions are NORMALIZED here (divided by their
+    sum): the reference-only mass enters as (1 - seen_q), which is only
+    correct when the reference sums to exactly 1 — an unnormalized or
+    partial dict would silently yield a wrong (possibly negative) TV
+    distance. An empty/non-positive reference raises."""
+    total_ref = float(sum(reference.values()))
+    if not total_ref > 0.0:
+        raise ValueError(
+            "reference distribution must have positive total mass, got "
+            f"{total_ref!r}"
+        )
+    ref_rows = [
+        (int(b), float(p) / total_ref) for b, p in sorted(reference.items())
+    ]
     spark = counts.sparkSession
     ref = spark.createDataFrame(ref_rows, "bucket int, q double")
     totals = counts.groupBy("window_start").agg(F.sum("n").alias("tot"))

@@ -1,5 +1,5 @@
 """Streaming ingestion landing: JSONL drops → quarantine split →
-lang-partitioned parquet, exactly-once.
+lang-partitioned parquet, exactly-once BY IDEMPOTENT REPLAY.
 
 The arrival half of the dataset story (sinks/dataset.py is the export
 half): a crawl keeps appending JSONL files to a drop directory; this
@@ -7,19 +7,30 @@ pipeline streams them in with the SAME explicit schema + corrupt-record
 quarantine the batch readers use (sources/files.py policy), lands clean
 rows as lang-partitioned parquet, and routes malformed lines to a DLQ
 directory — all under one checkpoint, so a crashed run resumes without
-re-landing or losing files (Structured Streaming's file-source log +
-sink commit log give exactly-once for file-to-file pipelines).
+re-landing or losing files.
+
+Delivery semantics — stated precisely, because foreachBatch alone is NOT
+exactly-once: batch writes inside foreachBatch do not participate in the
+streaming sink commit log, so a crash after one write but before the
+checkpoint commit replays the whole batch, and a plain append-mode
+parquet write re-appends duplicate part files under fresh task UUIDs.
+The upgrade to effective exactly-once is idempotence: each micro-batch
+writes to a batch-id-scoped subdirectory (`.../batch_id=N/lang=.../`)
+in OVERWRITE mode, so a replayed batch deterministically replaces its
+own previous (possibly partial) output instead of duplicating it.
+`batch_id` and `lang` surface as partition columns on read, and a lang
+filter still prunes partitions (tests pin PartitionFilters). At-least-
+once execution + idempotent writes = exactly-once observed contents —
+the same contract a transactional table format would give, without
+needing one in this container.
 
 Scale notes (100 TB/day): the pipeline is fully narrow — parse,
 validate, route — so throughput is bounded by source listing + parquet
 encode; `maxFilesPerTrigger` bounds per-batch memory, partitionBy(lang)
-keeps landed files query-prunable (tests pin PartitionFilters on the
-batch side). foreachBatch does the two-way split because a streaming
-query has exactly one sink; the batch handle inside is the standard
-multi-sink pattern and stays exactly-once via the checkpoint's batch-id
-dedup (idempotent re-run of a replayed batch overwrites the same
-paths deterministically... for parquet append sinks Spark skips
-committed batch ids entirely)."""
+keeps landed files query-prunable. foreachBatch does the two-way split
+because a streaming query has exactly one sink; the batch-id directory
+scheme also gives ops a free retention/compaction unit (rewrite one
+batch dir at a time)."""
 
 from __future__ import annotations
 
@@ -53,22 +64,23 @@ def land_documents_stream(
     def split(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
         try:
+            # overwrite into the batch-scoped dir: a replayed batch
+            # replaces its own prior output — idempotent, see module doc
             (
                 batch.filter(F.col("_corrupt_record").isNull())
                 .drop("_corrupt_record", "_src")
-                .write.mode("append")
+                .write.mode("overwrite")
                 .partitionBy("lang")
-                .parquet(out_dir)
+                .parquet(f"{out_dir}/batch_id={batch_id}")
             )
             (
                 batch.filter(F.col("_corrupt_record").isNotNull())
                 .select(
                     F.col("_corrupt_record").alias("raw"),
                     F.col("_src").alias("src_file"),
-                    F.lit(batch_id).alias("batch_id"),
                 )
-                .write.mode("append")
-                .parquet(dlq_dir)
+                .write.mode("overwrite")
+                .parquet(f"{dlq_dir}/batch_id={batch_id}")
             )
         finally:
             batch.unpersist()

@@ -113,3 +113,47 @@ def test_streaming_landing_pipeline(spark, tmp_path):
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # no duplicates from re-landing a.jsonl
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_landing_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: foreachBatch is at-least-once, so a batch
+    whose writes completed but whose checkpoint commit didn't gets
+    REPLAYED on restart. The batch-id-scoped overwrite writes must make
+    that replay idempotent (the old append-mode writes duplicated every
+    row of the replayed batch)."""
+    import os
+
+    from kafka_flink_slack_pipeline_spark.streaming.ingest_land import (
+        land_documents_stream,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "landed")
+    dlq = str(tmp_path / "dlq")
+    ckpt = tmp_path / "ckpt"
+    (drop / "a.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in ROWS) + "\n{broken\n"
+    )
+    q = land_documents_stream(spark, str(drop), out, dlq, str(ckpt))
+    q.awaitTermination(120)
+    q.stop()
+    import time
+
+    for _ in range(100):  # restart needs the old query fully deregistered
+        if q.id not in {a.id for a in spark.streams.active}:
+            break
+        time.sleep(0.2)
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    # simulate the crash window: writes landed, commit marker didn't
+    commits = sorted(p for p in os.listdir(ckpt / "commits")
+                     if not p.startswith("."))
+    os.remove(ckpt / "commits" / commits[-1])
+    crc = ckpt / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():  # stale Hadoop checksum blocks the re-written marker
+        os.remove(crc)
+    q2 = land_documents_stream(spark, str(drop), out, dlq, str(ckpt))
+    q2.awaitTermination(120)
+    # replayed batch overwrote its own directory — no duplicates
+    assert sorted(r.doc_id for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert spark.read.parquet(dlq).count() == 1

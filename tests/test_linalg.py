@@ -17,6 +17,7 @@ from kafka_flink_slack_pipeline_spark.operators.linalg import (
     embedding_covariance,
     embedding_pca_whiten,
     gram_and_means,
+    pca_whiten_vectors,
 )
 from kafka_flink_slack_pipeline_spark.tables import table
 
@@ -53,7 +54,7 @@ def test_gram_kernel_agrees_with_numpy(spark, sf_dir):
 
 
 def test_whitened_embeddings_are_decorrelated_unit_variance(spark, sf_dir):
-    rows = embedding_pca_whiten(spark, sf_dir).collect()
+    rows = pca_whiten_vectors(spark, sf_dir).collect()
     x = _matrix(spark, sf_dir)
     assert len(rows) == x.shape[0]
     w = np.array([[r[k + 1] for k in range(_PCA_K)] for r in rows])
@@ -63,6 +64,15 @@ def test_whitened_embeddings_are_decorrelated_unit_variance(spark, sf_dir):
 
 
 def test_whitening_is_deterministic(spark, sf_dir):
-    a = embedding_pca_whiten(spark, sf_dir).collect()
-    b = embedding_pca_whiten(spark, sf_dir).collect()
+    a = pca_whiten_vectors(spark, sf_dir).collect()
+    b = pca_whiten_vectors(spark, sf_dir).collect()
     assert a == b
+
+
+def test_whiten_check_is_exact_identity(spark, sf_dir):
+    """The registered certificate query must hash-equal the identity —
+    the same contract the driver's DuckDB oracle now enforces."""
+    rows = embedding_pca_whiten(spark, sf_dir).collect()
+    assert len(rows) == _PCA_K * _PCA_K
+    for r in rows:
+        assert r.cov == (1.0 if r.i == r.j else 0.0), (r.i, r.j, r.cov)

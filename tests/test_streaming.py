@@ -742,6 +742,36 @@ def test_kafka_sink_option_plumbing(spark, tmp_path):
         )
 
 
+def test_kafka_sasl_option_passthrough():
+    """Secured-cluster parity (Consumer/kafkaConsumer.js:23-31,
+    Producer/kafkaProducer.js:29-40 — SASL_PLAIN + SSL to Confluent):
+    extra_options must reach the final reader/writer option map verbatim,
+    and managed keys must collide loudly instead of silently clobbering
+    the wrapper's replay/subscription semantics."""
+    from kafka_flink_slack_pipeline_spark.sources.kafka import (
+        SASL_SSL_OPTIONS_EXAMPLE,
+        merge_kafka_options,
+    )
+
+    managed = {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "technews",
+        "startingOffsets": "earliest",
+    }
+    merged = merge_kafka_options(managed, SASL_SSL_OPTIONS_EXAMPLE)
+    # every security option passes through verbatim
+    for k, v in SASL_SSL_OPTIONS_EXAMPLE.items():
+        assert merged[k] == v
+    # managed options survive untouched
+    for k, v in managed.items():
+        assert merged[k] == v
+    # None → managed only
+    assert merge_kafka_options(managed, None) == managed
+    # clobber attempt on a managed key raises, naming the key
+    with pytest.raises(ValueError, match="startingOffsets"):
+        merge_kafka_options(managed, {"startingOffsets": "latest"})
+
+
 def test_multimodal_content_blocks_wire_shape(spark):
     """Content-array parity (slackEventServer.js:231-258): a mention with
     an image must hand the model `[{"type":"text",...},{"type":"image",
@@ -1031,6 +1061,30 @@ def test_streaming_drift_monitor(spark, tmp_path):
         if r.window_start.hour in (0, 1)
     }
     assert batch == got
+
+
+def test_tv_drift_normalizes_unnormalized_reference(spark):
+    """An unnormalized reference dict (e.g. raw counts) must yield the
+    same TV distance as its normalized form, and an empty/zero-mass
+    reference must raise instead of silently producing a wrong
+    (possibly negative) distance."""
+    import pytest
+
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        tv_drift_against_reference,
+    )
+
+    counts = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 0), 0, 3), (dt.datetime(2024, 1, 1, 0), 1, 1)],
+        "window_start timestamp, bucket int, n long",
+    )
+    normalized = {0: 0.25, 1: 0.75}
+    scaled = {0: 25.0, 1: 75.0}  # same distribution, raw-count form
+    a = tv_drift_against_reference(counts, normalized).collect()
+    b = tv_drift_against_reference(counts, scaled).collect()
+    assert [r.tv_distance for r in a] == [r.tv_distance for r in b] == [0.5]
+    with pytest.raises(ValueError):
+        tv_drift_against_reference(counts, {})
 
 
 def test_streaming_ohlc_matches_batch(spark, tmp_path, sf_dir):
