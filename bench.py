@@ -40,6 +40,9 @@ HEADLINE = [
     # r1 additions: one per new operator family
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # r5 addition: the bucket-capped production twin (the decade-probe
+    # fix) — same single-pass plan with the fan-out guard in place.
+    "dedup_simhash_capped",
     "cosine_topk_lsh",
     "image_byte_histogram",
     "email_clean_chain",

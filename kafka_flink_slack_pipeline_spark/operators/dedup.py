@@ -660,8 +660,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract and its oracle IS the O(n²) scan, so dropping buckets would
     break the proof. Bucket lists hold (doc_id, fp) pairs only — 16
     bytes/member — and a k-member bucket emits k² candidates in any
-    formulation; a production deployment fronting this with exact dedup
-    (as this repo's pipeline does) bounds k."""
+    formulation. THE CONSEQUENCE IS MEASURED: the r5 decade probe
+    (tools/scale_probe.py, SCALE_PROBE.json) clocks this op at scaling
+    exponent 1.78 over a 10x corpus growth — on a narrow-vocabulary
+    corpus the fingerprints crowd into few band buckets and k tracks n,
+    which is exactly the quadratic the pigeonhole proof implies when the
+    TRUE hamming<=3 pair set is itself dense. This is therefore the
+    ORACLE-FIDELITY TWIN (the dedup_ngram_jaccard precedent); the
+    production scale path is dedup_simhash_capped below, which bounds
+    k by SIMHASH_BUCKET_CAP (2.3x faster at the probe's 10x point) and
+    documents the geometry's honest capacity ceiling."""
     d = table(spark, sf_dir, "documents")
     fps = _simhash_fps(d)
     bands = fps.select(
@@ -739,6 +747,132 @@ DEDUP_SIMHASH_ORACLE = _simhash_oracle()
 
 
 # --------------------------------------------------------------------------
+SIMHASH_BUCKET_CAP = 1000  # the MINHASH_BUCKET_CAP precedent
+
+
+def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_simhash with a bucket-size cap — the production scale path.
+
+    A band bucket holding k fingerprints emits k(k-1)/2 hamming
+    candidates; uncapped, k tracks the corpus' densest fingerprint
+    cluster and the decade probe measures exponent 1.78 (SCALE_PROBE.
+    json). Dropping buckets larger than SIMHASH_BUCKET_CAP bounds every
+    bucket's fan-out at any corpus size — the trade is candidate RECALL
+    on pairs whose ONLY colliding band is a mega-bucket (a pair within
+    hamming<=3 collides on some band by pigeonhole, but that band's
+    bucket may be over-cap). A near-dup cluster larger than the cap is
+    better served by exact dedup upstream anyway (this repo's funnel
+    runs exact dedup first), the same argument MINHASH_BUCKET_CAP
+    documents. Cap semantics are oracle-verified: the DuckDB twin
+    applies the identical per-(band, bucket) count filter.
+
+    Capacity math the cap does NOT fix (stated so nobody deploys past
+    it): with 15-bit bands, RANDOM band occupancy is n / 2^15 — at
+    n = 3e7 docs the average bucket already holds ~1000 fingerprints,
+    so every bucket saturates the cap and recall collapses. The 60-bit/
+    4x15 geometry is good to ~10^6-10^7 docs; beyond that the knob is
+    FINGERPRINT WIDTH, not the cap — a 128-bit simhash with 4x32-bit
+    bands (two BIGINT halves) keeps random occupancy < 1 past 10^9
+    docs. The decade probe (SCALE_PROBE.json) shows the cap earning its
+    keep inside this geometry's envelope: 64.9 s -> 28.4 s at 10x
+    sf0.1 versus the uncapped twin.
+
+    Plan: identical single-pass groupBy+collect_list+explode shape as
+    dedup_simhash — the cap filter rides the same hash partitioning, so
+    no extra shuffle; over-cap buckets die at the aggregate before any
+    pair explosion."""
+    d = table(spark, sf_dir, "documents")
+    fps = _simhash_fps(d)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("doc_id", "fp")).alias("ms"))
+        .filter(
+            (F.size("ms") >= 2) & (F.size("ms") <= SIMHASH_BUCKET_CAP)
+        )
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_capped_oracle() -> str:
+    th = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
+    sums = ",\n         ".join(
+        f"sum(((({th} >> {j}) & 1) * 2 - 1)::BIGINT) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {j})"
+        for j in range(SIMHASH_BITS)
+    )
+    band_vals = ", ".join(
+        f"((fp >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1})"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp} AS fp FROM sums),
+bands AS (
+  SELECT doc_id, fp, band, bval, count(*) OVER (PARTITION BY band, bval)
+           AS bsize
+  FROM (
+    SELECT doc_id, fp,
+           unnest(range({SIMHASH_BANDS}))::INT AS band,
+           unnest([{band_vals}]) AS bval
+    FROM fps)
+),
+capped AS (
+  SELECT * FROM bands WHERE bsize BETWEEN 2 AND {SIMHASH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_CAPPED_ORACLE = _simhash_capped_oracle()
+
+
+# --------------------------------------------------------------------------
 NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many docs
 
 
@@ -768,6 +902,20 @@ def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     upstream is computed per side (Spark 4.1 AQE plans no cross-branch
     exchange reuse); a long-running production job would persist `capped`
     once instead.
+
+    Decade-probe reading (SCALE_PROBE.json, r5; two runs measured
+    exponent 1.9 and 1.2 — the spread is host-stall noise, the shape
+    analysis is what matters): the decade straddles the DF-CAP
+    TRANSITION ZONE, not an uncapped blowup. On this narrow-vocab
+    corpus nearly every shingle sits in df 2..CAP at the small end, so
+    candidate count grows ~df² per posting group until dfs saturate
+    past the cap, after which growth is LINEAR (#qualifying shingles x
+    CAP² bounded per group — the cap is doing its job; the decade
+    crosses the knee). The asymptotic production path for
+    low-threshold near-dup at 100 TB is dedup_minhash_lsh (measured
+    exponent ~0.68 on the same probe, both runs), whose candidate count
+    is driven by true-near-dup density rather than shingle document
+    frequency.
 
     r4 note — the bucket-grouped single-pass pair generation that fixed
     dedup_minhash_lsh/dedup_simhash was measured HERE and is ~9x SLOWER
@@ -1042,6 +1190,10 @@ QUERIES = [
               "MinHash signatures + banded LSH candidate pairs"),
     QuerySpec("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_ORACLE,
               "SimHash 60-bit fingerprints, banded hamming<=3 pairs"),
+    QuerySpec("dedup_simhash_capped", dedup_simhash_capped,
+              DEDUP_SIMHASH_CAPPED_ORACLE,
+              "bucket-capped SimHash — the production scale path "
+              "(decade-probe fix: bounded band-bucket fan-out)"),
     QuerySpec("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped,
               DEDUP_NGRAM_CAPPED_ORACLE,
               "df-capped inverted index: bounded join fan-out at scale"),

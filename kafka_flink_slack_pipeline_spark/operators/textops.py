@@ -721,20 +721,47 @@ ORDER BY doc_id
 # overflow the budget starts a new sequence (oversized docs get their own).
 #
 # Scale notes (100 TB): packing is inherently sequential WITHIN a
-# sequence, so parallelism comes from sharding — raise _PACK_SHARDS until
-# each (lang, shard) group fits an executor's Arrow batch comfortably.
-# Because the order inside a group is (doc_id), the assignment is fully
-# deterministic regardless of cluster partitioning. applyInPandas streams
-# groups through Arrow; no state, no driver collect.
+# sequence, so parallelism comes from sharding. The shard count is NOT a
+# constant: it is DERIVED from the corpus size (ceil(n_docs / target),
+# floored at a minimum) so the packing stage's parallelism grows with
+# the data — a fixed count would bound the whole stage to a handful of
+# Arrow tasks at 10^10 docs, with multi-GB groups. Each group carries
+# only (doc_id, n_tokens) metadata, so the target keeps groups at
+# ~16 MB of Arrow buffer. The derivation is a pure function of the
+# TOTAL documents count — deterministic, partitioning-independent, and
+# reproducible in the oracle as the same GREATEST/ceil expression over
+# count(*) — and because the order inside a group is (doc_id), the
+# assignment is fully deterministic regardless of cluster layout.
+# applyInPandas streams groups through Arrow; no state, no driver
+# collect (the count() that sizes the derivation is parquet metadata).
 _PACK_CAPACITY = 128
-_PACK_SHARDS = 4
+_PACK_MIN_SHARDS = 4
+_PACK_TARGET_DOCS_PER_SHARD = 1_000_000
 
 
-def _sized_docs(d: DataFrame) -> DataFrame:
+def _pack_shards_for(n_docs: int) -> int:
+    """ceil(n_docs / target), floored at _PACK_MIN_SHARDS."""
+    return max(
+        _PACK_MIN_SHARDS,
+        -(-int(n_docs) // _PACK_TARGET_DOCS_PER_SHARD),
+    )
+
+
+# The same derivation as a DuckDB CTE (cross-join `ns` and use `ns.n`):
+# `//` is DuckDB integer division, so this is the exact ceil the Python
+# side computes — no float rounding to drift on.
+_PACK_SHARDS_CTE = (
+    f"ns AS (SELECT GREATEST({_PACK_MIN_SHARDS}, "
+    f"(count(*) + {_PACK_TARGET_DOCS_PER_SHARD} - 1) // "
+    f"{_PACK_TARGET_DOCS_PER_SHARD})::BIGINT AS n FROM documents)"
+)
+
+
+def _sized_docs(d: DataFrame, n_shards: int) -> DataFrame:
     """Project (lang, shard, doc_id, n_tokens) for the packer."""
     return d.select(
         "lang",
-        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
         "doc_id",
         F.size(tokens_col()).cast("long").alias("n_tokens"),
     )
@@ -768,22 +795,24 @@ def _apply_pack(sized: DataFrame) -> DataFrame:
 
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return _apply_pack(_sized_docs(d)).orderBy(
+    n_shards = _pack_shards_for(d.count())
+    return _apply_pack(_sized_docs(d, n_shards)).orderBy(
         "lang", "shard", "seq_id", "seq_offset", "doc_id"
     )
 
 
 SEQUENCE_PACK_ORACLE = f"""
-WITH RECURSIVE ordered AS (
+WITH RECURSIVE {_PACK_SHARDS_CTE},
+ordered AS (
   SELECT lang,
-         CAST(doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(doc_id % ns.n AS INTEGER) AS shard,
          doc_id,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
            AS n_tokens,
          row_number() OVER (
-           PARTITION BY lang, doc_id % {_PACK_SHARDS} ORDER BY doc_id
+           PARTITION BY lang, doc_id % ns.n ORDER BY doc_id
          ) AS rn
-  FROM documents
+  FROM documents, ns
 ),
 packed AS (
   SELECT lang, shard, doc_id, n_tokens, rn,
@@ -988,13 +1017,16 @@ ORDER BY s.doc_id
 def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Survivors carry (lang, n_tokens) straight out of the signal frame —
     # no second documents scan, semi-join, or re-tokenization (measured
-    # ~0.9 s of the old plan's execution at sf0.1).
+    # ~0.9 s of the old plan's execution at sf0.1). The shard count
+    # derives from the TOTAL documents count (metadata-only count job),
+    # not the survivor count — same constant the oracle's ns CTE computes.
+    n_shards = _pack_shards_for(table(spark, sf_dir, "documents").count())
     survivors = (
         _corpus_filter_signals(spark, sf_dir)
         .filter(F.col("keep") == 1)
         .select(
             "lang",
-            (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
             "doc_id",
             "n_tokens",
         )
@@ -1021,16 +1053,17 @@ def _export_manifest_oracle() -> str:
     return f"""
 WITH RECURSIVE filter_r AS ({_corpus_filter_oracle()}),
 kept AS (SELECT doc_id FROM filter_r WHERE keep = 1),
+{_PACK_SHARDS_CTE},
 ordered AS (
   SELECT d.lang,
-         CAST(d.doc_id % {_PACK_SHARDS} AS INTEGER) AS shard,
+         CAST(d.doc_id % ns.n AS INTEGER) AS shard,
          d.doc_id,
          CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
            AS n_tokens,
          row_number() OVER (
-           PARTITION BY d.lang, d.doc_id % {_PACK_SHARDS} ORDER BY d.doc_id
+           PARTITION BY d.lang, d.doc_id % ns.n ORDER BY d.doc_id
          ) AS rn
-  FROM documents d JOIN kept k USING (doc_id)
+  FROM documents d JOIN kept k USING (doc_id), ns
 ),
 packed AS (
   SELECT lang, shard, doc_id, n_tokens, rn,

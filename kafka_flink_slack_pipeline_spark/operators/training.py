@@ -210,14 +210,11 @@ FROM scored ORDER BY doc_id
 # BPE merge learning.
 #
 # Sennrich et al. 2016: repeatedly merge the most frequent adjacent symbol
-# pair. The distributed shape (what SentencePiece/HF trainers do at scale):
-# pair counting runs over the WORD-COUNT table (vocab-scale, weighted by
-# word frequency), never the raw corpus — one corpus pass builds the word
-# counts, then every merge iteration is a vocab-scale job whose result is
-# O(1) driver model state (the single best pair). The word table is
-# localCheckpoint-ed once (model-scale; the connected-components precedent
-# in operators/dedup.py) so iterations do not re-scan the corpus under
-# Spark 4.1's no-reuse AQE.
+# pair. The scale split (what SentencePiece/HF trainers do): pair counting
+# runs over the WORD-COUNT table (vocab-scale, weighted by word
+# frequency), never the raw corpus — one corpus pass builds the word
+# counts, and the merge loop is MODEL FITTING over that table, not a
+# distributed query per merge.
 #
 # Symbol sequences ride as pipe-wrapped strings ('abc' -> '|a||b||c|'):
 # applying merge (L,R) is then the literal replace '|L||R|' -> '|LR|',
@@ -225,8 +222,29 @@ FROM scored ORDER BY doc_id
 # greedy BPE scan on BOTH engines ('|' never occurs in the corpus —
 # asserted by the '(.)' wrap producing it only as separator), which is
 # what makes the oracle an exact unrolled-CTE mirror. Ties break
-# deterministically by (count DESC, left ASC, right ASC).
-_BPE_MERGES = 6
+# deterministically by (count DESC, left ASC, right ASC) — identical
+# under Spark UTF8String byte order, DuckDB binary collation, and
+# Python codepoint order (UTF-8 byte order preserves codepoints).
+#
+# TWO learners share that contract, split by where the merge loop runs:
+#
+#  - `_learn_merges` (the production path, used by the registered
+#    queries): ONE distributed corpus pass builds the word-count table,
+#    which is then COLLECTED — it is vocab-scale model input, not
+#    corpus-scale data (web-scale whitespace vocab ~1e7-1e8 rows of
+#    (short string, count); prune `HAVING count >= k` first if even
+#    that is too fat, exactly as SentencePiece/HF trainers do) — and
+#    the merge loop runs driver-side with INCREMENTAL pair-count deltas
+#    (only words containing the chosen pair are rescanned). That is the
+#    32k-merge regime: no per-merge cluster jobs, no 32k-deep lineage.
+#  - `_learn_merges_distributed`: the fully-distributed loop kept for
+#    the huge-vocab regime (vocab too large to collect). CEILING,
+#    stated honestly: it launches one vocab-scale Spark job PER MERGE
+#    and chains one literal `replace` of lineage per merge on the
+#    checkpointed word table — fine for hundreds of merges, unusable at
+#    32k (32k sequential jobs). An equivalence test pins it against
+#    the driver-held learner merge-for-merge.
+_BPE_MERGES = 64
 
 
 def _bpe_pairs(words: DataFrame) -> DataFrame:
@@ -256,22 +274,103 @@ def _bpe_pairs(words: DataFrame) -> DataFrame:
     )
 
 
-def _learn_merges(
-    spark: SparkSession, sf_dir: str
-) -> list[tuple[int, str, str, str, int]]:
-    """Run the merge iterations; returns the O(merges) driver model."""
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus pass: (word, count) — everything after is
+    vocab-scale."""
     d = table(spark, sf_dir, "documents")
-    words = (
+    return (
         d.select(F.explode(tokens_col()).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _learn_merges_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side BPE merge loop with incremental pair-count deltas.
+
+    The classic algorithm (Sennrich 2016 reference impl / HF trainers):
+    maintain pair -> weighted count and pair -> set of word ids
+    containing it; each merge rescans ONLY the words that contain the
+    chosen pair, so total work is O(total_symbols + merges * touched),
+    which is what makes 32k merges tractable. The left-to-right
+    non-overlapping symbol scan is exactly the '|L||R|' -> '|LR|'
+    literal-replace semantics of the distributed variant and the
+    unrolled-CTE oracle."""
+    from collections import defaultdict
+
+    words: list[list[str]] = [list(w) for w, _ in word_counts]
+    counts: list[int] = [c for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for pr in zip(syms, syms[1:]):
+            pair_counts[pr] += c
+            pair_words[pr].add(wi)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        live = {p: n for p, n in pair_counts.items() if n > 0}
+        if not live:
+            raise ValueError(
+                f"corpus exhausted after {rank - 1} merges "
+                f"(requested {n_merges})"
+            )
+        (left, right), cnt = min(
+            live.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for wi in sorted(pair_words[(left, right)]):
+            syms, c = words[wi], counts[wi]
+            for pr in zip(syms, syms[1:]):  # retract old contributions
+                pair_counts[pr] -= c
+                pair_words[pr].discard(wi)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):  # left-to-right non-overlapping scan
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for pr in zip(out, out[1:]):  # add new contributions
+                pair_counts[pr] += c
+                pair_words[pr].add(wi)
+    return merges
+
+
+def _learn_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Production learner: one corpus pass -> vocab-scale collect ->
+    driver-held incremental merge loop (see module comment for the
+    regime split vs `_learn_merges_distributed`)."""
+    rows = _word_counts(spark, sf_dir).orderBy("word").collect()
+    return _learn_merges_local([(r.word, int(r.c)) for r in rows], n_merges)
+
+
+def _learn_merges_distributed(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Huge-vocab fallback: one vocab-scale Spark job per merge (ceiling
+    documented in the module comment — hundreds of merges, not 32k)."""
+    words = (
+        _word_counts(spark, sf_dir)
         .select(F.regexp_replace("word", "(.)", "|$1|").alias("w"), "c")
         .localCheckpoint()  # vocab-scale; iterations never re-scan the corpus
     )
     merges: list[tuple[int, str, str, str, int]] = []
     cur = words
-    for rank in range(1, _BPE_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         best = (
             _bpe_pairs(cur)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))

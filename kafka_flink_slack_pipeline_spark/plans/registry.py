@@ -165,11 +165,27 @@ _DEMOTED = (
     "dataset_split_assign",
     # One slot for corpus_drift_report (new-code rule), keeping
     # user_history_window (W1 parity, r4-reworked windows.py — changed
-    # code needs the driver) in-window. sequence_pack is r2-green, its
-    # body is untouched, and the packing primitive (_apply_pack)
-    # executes in-window inside corpus_export_manifest's pack stage; it
-    # also stays a bench headline (bench set is window-independent).
-    "sequence_pack",
+    # code needs the driver) in-window.
+    # r5: sequence_pack is PROMOTED BACK into the window — its shard
+    # derivation changed this round (corpus-size-derived shard count
+    # replacing the fixed constant; the oracle gained the matching ns
+    # CTE), and changed code gets the driver's hash check. The slot
+    # comes from embedding_random_projection, rotating out below.
+    # r5 demotion: embedding_random_projection was r4-green, its body is
+    # untouched this round, the literal-matrix zero-shuffle fold shape
+    # it represents executes IN-WINDOW inside embedding_pca_whiten's
+    # projection (same F.aggregate/zip_with fold against a literal
+    # matrix), and its fold-order-exact oracle stays verify_local-
+    # covered; JL norm preservation is pinned by a dedicated test.
+    "embedding_random_projection",
+    # One slot for dedup_simhash_capped (new-code rule: the decade
+    # probe's quadratic-blowup fix, registered r5). term_heavy_hitters_
+    # cms rotates out: r4-green, untouched since, the sketch family
+    # keeps two in-window reps (term_cardinality_kmv,
+    # token_quantile_histogram), its corpus pass runs eagerly at
+    # frame-build (the reason bench also excludes it), and the
+    # integer-exact CMS cell math stays verify_local-covered.
+    "term_heavy_hitters_cms",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

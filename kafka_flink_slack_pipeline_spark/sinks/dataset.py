@@ -9,9 +9,9 @@ a directory tree a training job consumes directly:
 Scale notes (100 TB):
   - `repartition(lang, shard)` gives one writer task per output partition
     (no tiny-file explosion from every input task writing to every dir);
-    at real scale raise the shard count (`_PACK_SHARDS`) so each writer's
-    slice fits an executor, and cap file size with maxRecordsPerFile —
-    both knobs are exposed here.
+    the shard count is derived from corpus size (`_pack_shards_for`) so
+    each writer's slice stays executor-sized at any scale, and file size
+    is capped with maxRecordsPerFile.
   - `sortWithinPartitions` makes file contents deterministic (seq order),
     so re-runs produce byte-identical shards for unchanged input —
     downstream caching/dedup of shards works.
@@ -75,17 +75,19 @@ def export_corpus(
     write actually persisted what the plan promised.
     """
     from ..operators.textops import (
-        _PACK_SHARDS,
         _apply_pack,
         _corpus_filter_signals,
+        _pack_shards_for,
     )
+    from ..tables import table
 
+    n_shards = _pack_shards_for(table(spark, sf_dir, "documents").count())
     survivors = (
         _corpus_filter_signals(spark, sf_dir)
         .filter(F.col("keep") == 1)
         .select(
             "lang",
-            (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
             "doc_id",
             "n_tokens",
         )

@@ -44,11 +44,13 @@ def test_export_is_deterministic_across_reruns(spark, sf_dir, tmp_path):
     """Same input -> byte-identical shard contents (rerun-stable caching)."""
     from kafka_flink_slack_pipeline_spark.operators.textops import (
         _apply_pack,
+        _pack_shards_for,
         _sized_docs,
     )
     from kafka_flink_slack_pipeline_spark.tables import table
 
-    packed = _apply_pack(_sized_docs(table(spark, sf_dir, "documents")))
+    docs = table(spark, sf_dir, "documents")
+    packed = _apply_pack(_sized_docs(docs, _pack_shards_for(docs.count())))
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
     write_training_shards(packed, a)
     write_training_shards(packed, b)
@@ -70,11 +72,13 @@ def test_export_is_deterministic_across_reruns(spark, sf_dir, tmp_path):
 def test_max_records_per_file_splits_output(spark, sf_dir, tmp_path):
     from kafka_flink_slack_pipeline_spark.operators.textops import (
         _apply_pack,
+        _pack_shards_for,
         _sized_docs,
     )
     from kafka_flink_slack_pipeline_spark.tables import table
 
-    packed = _apply_pack(_sized_docs(table(spark, sf_dir, "documents")))
+    docs = table(spark, sf_dir, "documents")
+    packed = _apply_pack(_sized_docs(docs, _pack_shards_for(docs.count())))
     out = str(tmp_path / "small")
     write_training_shards(packed, out, max_records_per_file=10)
     one_lang = os.path.join(

@@ -194,6 +194,25 @@ def test_minhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
     assert D.dedup_minhash_lsh(spark, str(tmp_path)).count() == 0
 
 
+def test_simhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
+    """The decade-probe fix, same safety-valve contract as minhash's:
+    band buckets larger than SIMHASH_BUCKET_CAP emit no pairs. Squeeze
+    the cap to 1 — every >=2 bucket is over cap and the identical-doc
+    pairs vanish; with the default cap the capped op matches the exact
+    twin. (The oracle applies the same per-(band, bucket) count filter,
+    so driver parity cannot drift.)"""
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base)], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    uncapped = D.dedup_simhash(spark, str(tmp_path)).collect()
+    assert len(uncapped) == 3  # 3 identical docs -> 3 hamming-0 pairs
+    assert D.dedup_simhash_capped(spark, str(tmp_path)).collect() == uncapped
+    monkeypatch.setattr(D, "SIMHASH_BUCKET_CAP", 1)
+    assert D.dedup_simhash_capped(spark, str(tmp_path)).count() == 0
+
+
 def test_minhash_sig_bands_single_scan_plan(spark, sf_dir):
     """The signature pipeline must appear exactly once in the LSH plan —
     the r4 one-pass contract (scan count == recompute count under

@@ -118,6 +118,25 @@ def test_sequence_pack_greedy_fill_and_oversize(spark, tmp_path):
     assert out[16] == (3, 0)   # seq after an oversized doc starts fresh
 
 
+def test_pack_shard_count_scales_with_corpus():
+    """The packing shard count derives from corpus size: floored at the
+    minimum for small corpora, then ceil(n/target) so per-group Arrow
+    frames stay bounded at any scale (a fixed constant would bound the
+    whole packing stage to 4 tasks at 10^10 docs)."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        _PACK_MIN_SHARDS,
+        _PACK_TARGET_DOCS_PER_SHARD,
+        _pack_shards_for,
+    )
+
+    t = _PACK_TARGET_DOCS_PER_SHARD
+    assert _pack_shards_for(0) == _PACK_MIN_SHARDS
+    assert _pack_shards_for(500) == _PACK_MIN_SHARDS
+    assert _pack_shards_for(_PACK_MIN_SHARDS * t) == _PACK_MIN_SHARDS
+    assert _pack_shards_for(_PACK_MIN_SHARDS * t + 1) == _PACK_MIN_SHARDS + 1
+    assert _pack_shards_for(10**10) == 10**10 // t  # 10k tasks, not 4
+
+
 def test_mixture_weights_sqrt_temperature(spark, tmp_path):
     from kafka_flink_slack_pipeline_spark.operators.textops import (
         mixture_weights,

@@ -70,6 +70,38 @@ def test_bpe_merges_are_monotone_and_well_formed(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
 
 
+def test_bpe_driver_learner_matches_distributed_loop(spark, sf_dir):
+    """The driver-held incremental learner (production path, 32k-merge
+    regime) and the one-job-per-merge distributed loop must agree
+    merge-for-merge — same pairs, same counts, same tie-breaks. Run at a
+    reduced merge count to keep the distributed variant's per-merge jobs
+    affordable in a test."""
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _learn_merges,
+        _learn_merges_distributed,
+    )
+
+    n = 12
+    assert _learn_merges(spark, sf_dir, n) == \
+        _learn_merges_distributed(spark, sf_dir, n)
+
+
+def test_bpe_learner_exhaustion_raises():
+    """Asking for more merges than the corpus supports must fail loudly
+    (a silent short vocab would desync apply-side replace chains)."""
+    import pytest
+
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _learn_merges_local,
+    )
+
+    with pytest.raises(ValueError, match="exhausted"):
+        _learn_merges_local([("ab", 3)], 2)  # only one pair exists
+    # exactly-at-ceiling works and reports the true count
+    got = _learn_merges_local([("ab", 3)], 1)
+    assert got == [(1, "a", "b", "ab", 3)]
+
+
 def test_bigram_lm_scores_are_inverse_probabilities(spark, sf_dir):
     s = doc_bigram_lm_score(spark, sf_dir)
     # every per-doc mean inverse probability is >= 1 (each bigram term is

@@ -1,0 +1,221 @@
+"""One-decade scale probe for the cap-bounded join-family operators.
+
+bench.py measures sf0.1 round-over-round; this tool answers the question
+bench cannot: do the dedup/ANN/retrieval join caps (MINHASH_BUCKET_CAP,
+the ngram DF cap, IVF nprobe, BM25's bounded query workload, the derived
+packing shards) actually hold over a DECADE of data growth, or is there
+a super-linear blowup hiding below the bench SF?
+
+Method: generate synthetic documents/embeddings corpora at multiples of
+the sf0.1 shape (same 31-word vocab with empirical weights, same
+language/source mix, same doc-length distribution, similar exact/near
+duplicate rates, unit-norm clustered embeddings) at mult=1 and mult=10
+FROM THE SAME GENERATOR — both probe points share the distribution, so
+the ratio isolates the engine. Each probe query runs warmup + 2 timed
+passes (min taken, bench.py's protocol); the scaling exponent is
+log(t_hi / t_lo) / log(mult_hi / mult_lo). Exponent ~1 = linear; the
+probe flags anything above _FLAG_EXPONENT (super-linear: a cap that
+stopped capping).
+
+Writes SCALE_PROBE.json at the repo root and prints one JSON line.
+Probe data lands under .scale_probe/ (gitignored); other tables are
+symlinked from the base sf dir so `tables.table()` works unchanged.
+
+Usage:  python tools/scale_probe.py [--mults 1,10] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_flink_slack_pipeline_spark.plans.registry import all_queries  # noqa: E402
+from kafka_flink_slack_pipeline_spark.session import get_spark  # noqa: E402
+from kafka_flink_slack_pipeline_spark.tables import TABLE_NAMES  # noqa: E402
+
+BASE_SF_DIR = "/root/testdata/sf0.1"
+BASE_DOCS = 5_000  # sf0.1 documents rows
+BASE_VECS = 2_000  # sf0.1 embeddings rows
+_FLAG_EXPONENT = 1.3
+
+# The cap-sensitive join family (the reason this probe exists), plus the
+# packing stage whose shard derivation must grow with the corpus.
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_capped",
+    "dedup_ngram_jaccard_capped",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_topk_ivfpq",
+    "bm25_keyword_search",
+    "sequence_pack",
+]
+
+
+def _base_profile():
+    """Empirical generation profile lifted from the base corpus once."""
+    import duckdb
+
+    vocab = duckdb.sql(
+        f"""SELECT word, count(*) c FROM (
+              SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+              FROM '{BASE_SF_DIR}/documents.parquet')
+            WHERE word <> '' GROUP BY word ORDER BY word"""
+    ).fetchall()
+    lengths = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT len(regexp_split_to_array(trim(text), '\\s+'))
+                FROM '{BASE_SF_DIR}/documents.parquet'"""
+        ).fetchall()
+    ]
+    langs = duckdb.sql(
+        f"SELECT lang, count(*) FROM '{BASE_SF_DIR}/documents.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    sources = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT source FROM '{BASE_SF_DIR}/documents.parquet'"
+        ).fetchall()
+    )
+    return vocab, lengths, langs, sources
+
+
+def generate(mult: int, out_dir: str, seed: int = 42) -> None:
+    """documents.parquet + embeddings.parquet at `mult` x the base shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed + mult)
+    vocab, lengths, langs, sources = _base_profile()
+    words = np.array([w for w, _ in vocab])
+    w_p = np.array([c for _, c in vocab], dtype=np.float64)
+    w_p /= w_p.sum()
+    lang_names = np.array([l for l, _ in langs])
+    lang_p = np.array([c for _, c in langs], dtype=np.float64)
+    lang_p /= lang_p.sum()
+
+    n_docs = BASE_DOCS * mult
+    doc_lens = rng.choice(np.array(lengths), size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        texts.append(" ".join(rng.choice(words, size=int(doc_lens[i]), p=w_p)))
+    # duplicate injection at the base corpus's observed rates:
+    # ~0.3% exact copies, ~0.5% near copies (2 words perturbed)
+    for _ in range(max(1, n_docs // 300)):
+        i, j = rng.integers(0, n_docs, size=2)
+        texts[int(i)] = texts[int(j)]
+    for _ in range(max(1, n_docs // 200)):
+        i, j = rng.integers(0, n_docs, size=2)
+        toks = texts[int(j)].split()
+        for _k in range(2):
+            toks[int(rng.integers(0, len(toks)))] = str(
+                rng.choice(words)
+            )
+        texts[int(i)] = " ".join(toks)
+    doc_tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(rng.choice(lang_names, size=n_docs, p=lang_p)),
+            "source": pa.array(rng.choice(np.array(sources), size=n_docs)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(doc_tbl, f"{out_dir}/documents.parquet")
+
+    n_vecs = BASE_VECS * mult
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, 10, size=n_vecs)
+    vecs = centers[labels] + 0.6 * rng.normal(size=(n_vecs, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    emb_tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_vecs), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(emb_tbl, f"{out_dir}/embeddings.parquet")
+
+    for t in TABLE_NAMES:  # the probe queries never read these; symlink
+        p = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{BASE_SF_DIR}/{t}.parquet", p)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep generated probe data")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe_root = os.path.join(root, ".scale_probe")
+    spark = get_spark("scale_probe")
+    specs = all_queries()
+
+    times: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    for mult in mults:
+        d = os.path.join(probe_root, f"m{mult}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        print(f"generating mult={mult} ...", file=sys.stderr)
+        generate(mult, d)
+        for q in PROBE_QUERIES:
+            frame = specs[q].fn(spark, d)
+            frame.count()  # warmup: codegen + model fits at frame-build
+            samples = []
+            for _ in range(3):  # min-of-3: this box shows multi-x host
+                t0 = time.time()  # stalls; one bad pass must not set the
+                frame.count()     # exponent (observed 95s vs 23s on the
+                samples.append(time.time() - t0)  # same data+plan)
+            times[q][mult] = round(min(samples), 3)
+            print(f"  {q} @ m{mult}: {times[q][mult]}s", file=sys.stderr)
+
+    lo, hi = min(mults), max(mults)
+    report = {}
+    for q in PROBE_QUERIES:
+        t_lo, t_hi = times[q][lo], times[q][hi]
+        exp = (
+            math.log(t_hi / t_lo) / math.log(hi / lo)
+            if t_lo > 0 and hi > lo
+            else None
+        )
+        report[q] = {
+            "times_by_mult": {str(m): times[q][m] for m in mults},
+            "exponent": round(exp, 3) if exp is not None else None,
+            "superlinear": bool(exp is not None and exp > _FLAG_EXPONENT),
+        }
+    out = {
+        "metric": "decade_scaling_exponent",
+        "base": "synthetic sf0.1-shaped corpus (same generator both points)",
+        "mults": mults,
+        "flag_exponent": _FLAG_EXPONENT,
+        "queries": report,
+        "superlinear_count": sum(r["superlinear"] for r in report.values()),
+    }
+    with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    if not args.keep:
+        shutil.rmtree(probe_root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
