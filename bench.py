@@ -36,6 +36,9 @@ HEADLINE = [
     # the df-capped variant is the 100-TB scale path (bounded join fan-out);
     # the uncapped form stays registered as oracle-fidelity only.
     "dedup_ngram_jaccard_capped",
+    # r5 addition: the EXACT prefix-filtered similarity join (PPJoin
+    # family) — zero recall trade, candidates from rarest shingles only.
+    "dedup_ngram_prefix_join",
     "cosine_topk_bruteforce",
     # r1 additions: one per new operator family
     "dedup_minhash_lsh",

@@ -218,6 +218,132 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered EXACT similarity join (the PPJoin family: Chaudhuri et
+# al. 2006 SSJoin / Bayardo et al. 2007 AllPairs / Xiao et al. 2008
+# PPJoin; distributed form Vernica et al. SIGMOD 2010). Unlike the
+# df-capped and LSH variants, this is NOT a recall trade: prefix
+# filtering is a THEOREM, so the output is byte-identical to the naive
+# inverted-index threshold join — the oracle below is literally
+# DEDUP_NGRAM_JACCARD_ORACLE — while the candidate join only ever
+# touches each document's globally-RAREST shingles.
+#
+# The theorem (for a common total order over shingles): if
+# |x ∩ y| >= α, the (|x|-α+1)-prefixes of x and y share an element.
+# J(x,y) >= t implies |y| >= t|x| (size filter), hence
+# |x ∩ y| >= t/(1+t)·(|x|+|y|) >= max(ceil(t|x|), ceil(t|y|)), so
+# prefixes of length l(x) = |x| - ceil(t·|x|) + 1 must collide. Ordering
+# by ASCENDING document frequency puts the rarest shingles in the
+# prefix, which is what makes the candidate join cheap: stop-shingles
+# (the df-cap variant's whole problem) sort to the suffix and never
+# generate candidates.
+PREFIX_JOIN_T = 0.5  # same threshold as the jaccard twins
+
+
+def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= t pairs via prefix filtering — the scalable form
+    of the EXACT join (dedup_ngram_jaccard is the naive fidelity twin;
+    dedup_ngram_jaccard_capped trades recall for its bound, this trades
+    nothing).
+
+    Plan: one shingle pass -> df window (the capped variant's shape) ->
+    per-doc sort by (df, shingle) into an array -> explode only the
+    l(n)-prefix -> equi-join on prefix shingle with the integer-exact
+    size filter (na <= 2 nb, nb <= 2 na at t=0.5; a float form could
+    drop a true pair) -> distinct candidate pairs -> verify by
+    array_intersect against the full sorted arrays (JVM-side, exact).
+    The `docs` frame is consumed three times (prefix postings + both
+    verify sides); Spark 4.1 AQE recomputes each branch — 3 documents
+    scans, budgeted in tools/plan_audit.py; a long-running job would
+    persist `docs` once.
+
+    100 TB shape: every join is an equi-join; candidate fan-out is
+    bounded by PREFIX df distributions (rare shingles), not raw df —
+    the published fix for exactly the df-cap knee SCALE_PROBE.json
+    measures on the capped variant."""
+    t = PREFIX_JOIN_T
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    dfreq = Window.partitionBy("shingle")
+    with_df = shingled.withColumn("df", F.count(F.lit(1)).over(dfreq))
+    docs = (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("arr")
+        )
+        .select("doc_id", "arr", F.size("arr").alias("n"))
+    )
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + 1
+    prefix = docs.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("shingle"),
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.hint("SHUFFLE_HASH").alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter, integer-exact at t=0.5 (see docstring)
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verify = (
+        cands.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint").alias(
+                "n_common"
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verify
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup detection.
 #
 # Cross-engine determinism: ONE md5 per shingle (28 bits of it parsed as
@@ -873,6 +999,180 @@ DEDUP_SIMHASH_CAPPED_ORACLE = _simhash_capped_oracle()
 
 
 # --------------------------------------------------------------------------
+# Wide-fingerprint SimHash: the CAPACITY fix the capped variant's
+# docstring derives. With 15-bit bands, random band occupancy is n/2^15
+# — the geometry itself saturates around 10^6-10^7 docs no matter the
+# cap. Widening the fingerprint to 120 bits (two 60-bit BIGINT halves —
+# md5 supplies 32 hex chars, so both halves come from the hash already
+# computed) gives 4 bands x 30 bits: random occupancy n/2^30, good past
+# 10^9 docs with the same bucket-cap guard. Pigeonhole still holds —
+# hamming <= 3 over 4 bands leaves one band exact — and the SAME
+# absolute threshold over twice the bits is a strictly more precise
+# near-dup test (fewer random collisions per band AND per fingerprint).
+SIMHASH_WIDE_HALF_BITS = 60
+SIMHASH_WIDE_BITS = 120
+SIMHASH_WIDE_BAND_BITS = 30
+
+
+def _simhash_fps_wide(d: DataFrame) -> DataFrame:
+    """doc_id + 120-bit simhash as two 60-bit halves (fp0 bits 0-59,
+    fp1 bits 60-119), packed-counter aggregation per half (the 60-bit
+    kernel's trick, run twice off one md5)."""
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    halves = [
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(F.md5(F.col("tok")), 17, 15), 16, 10).cast("long"),
+    ]
+    n_packed = SIMHASH_WIDE_HALF_BITS // SIMHASH_PACK
+    packed_exprs = [
+        F.sum(
+            sum(
+                F.shiftright(th, SIMHASH_PACK * i + k)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+                * F.lit(1 << (SIMHASH_COUNTER_BITS * k)).cast("long")
+                for k in range(SIMHASH_PACK)
+            )
+        ).alias(f"h{h}p{i}")
+        for h, th in enumerate(halves)
+        for i in range(n_packed)
+    ]
+    sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *packed_exprs
+    )
+
+    def s_bit(h: int, j: int):
+        i, k = divmod(j, SIMHASH_PACK)
+        return F.shiftright(
+            F.col(f"h{h}p{i}"), SIMHASH_COUNTER_BITS * k
+        ).bitwiseAND(F.lit(SIMHASH_COUNTER_MASK))
+
+    fps = [
+        sum(
+            F.when(s_bit(h, j) * 2 > F.col("n"), F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(SIMHASH_WIDE_HALF_BITS)
+        )
+        for h in range(2)
+    ]
+    return sums.select("doc_id", fps[0].alias("fp0"), fps[1].alias("fp1"))
+
+
+def dedup_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """120-bit capped SimHash — the geometry that survives 10^9+ docs.
+
+    Same single-pass bucket plan as dedup_simhash_capped; band values
+    come 2-per-half ((fp >> {0,30}) & (2^30-1)), hamming is the sum of
+    the halves' popcounts, and SIMHASH_BUCKET_CAP guards residual
+    mega-buckets (true dup clusters) exactly as in the 60-bit op."""
+    d = table(spark, sf_dir, "documents")
+    fps = _simhash_fps_wide(d)
+    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
+    band_structs = []
+    for b in range(4):
+        half = F.col("fp0") if b < 2 else F.col("fp1")
+        shift = SIMHASH_WIDE_BAND_BITS * (b % 2)
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(half, shift).bitwiseAND(F.lit(mask)).alias(
+                    "bval"
+                ),
+            )
+        )
+    bands = fps.select(
+        "doc_id", "fp0", "fp1", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "fp0", "fp1", "bk.band", "bk.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(F.collect_list(F.struct("doc_id", "fp0", "fp1")).alias("ms"))
+        .filter(
+            (F.size("ms") >= 2) & (F.size("ms") <= SIMHASH_BUCKET_CAP)
+        )
+    )
+    hamming = (
+        F.bit_count(F.col("a.fp0").bitwiseXOR(F.col("b.fp0")))
+        + F.bit_count(F.col("a.fp1").bitwiseXOR(F.col("b.fp1")))
+    ).cast("bigint")
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_wide_oracle() -> str:
+    th = [
+        "('0x' || substr(md5(tok), 1, 15))::BIGINT",
+        "('0x' || substr(md5(tok), 17, 15))::BIGINT",
+    ]
+    sums = ",\n         ".join(
+        f"sum(((({th[h]} >> {j}) & 1) * 2 - 1)::BIGINT) AS s{h}_{j}"
+        for h in range(2)
+        for j in range(SIMHASH_WIDE_HALF_BITS)
+    )
+    fp = [
+        " + ".join(
+            f"(CASE WHEN s{h}_{j} > 0 THEN 1::BIGINT ELSE 0::BIGINT END << {j})"
+            for j in range(SIMHASH_WIDE_HALF_BITS)
+        )
+        for h in range(2)
+    ]
+    mask = (1 << SIMHASH_WIDE_BAND_BITS) - 1
+    band_vals = ", ".join(
+        f"(({'fp0' if b < 2 else 'fp1'} >> {SIMHASH_WIDE_BAND_BITS * (b % 2)})"
+        f" & {mask})"
+        for b in range(4)
+    )
+    ham = "bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp[0]} AS fp0, {fp[1]} AS fp1 FROM sums),
+bands AS (
+  SELECT doc_id, fp0, fp1, band, bval,
+         count(*) OVER (PARTITION BY band, bval) AS bsize
+  FROM (
+    SELECT doc_id, fp0, fp1,
+           unnest(range(4))::INT AS band,
+           unnest([{band_vals}]) AS bval
+    FROM fps)
+),
+capped AS (
+  SELECT * FROM bands WHERE bsize BETWEEN 2 AND {SIMHASH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ({ham})::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_WIDE_ORACLE = _simhash_wide_oracle()
+
+
+# --------------------------------------------------------------------------
 NGRAM_DF_CAP = 50  # drop shingles appearing in more than this many docs
 
 
@@ -1194,9 +1494,18 @@ QUERIES = [
               DEDUP_SIMHASH_CAPPED_ORACLE,
               "bucket-capped SimHash — the production scale path "
               "(decade-probe fix: bounded band-bucket fan-out)"),
+    QuerySpec("dedup_simhash_wide", dedup_simhash_wide,
+              DEDUP_SIMHASH_WIDE_ORACLE,
+              "120-bit SimHash (30-bit bands): the capacity geometry "
+              "for 10^9+ docs — random band occupancy n/2^30"),
     QuerySpec("dedup_ngram_jaccard_capped", dedup_ngram_jaccard_capped,
               DEDUP_NGRAM_CAPPED_ORACLE,
               "df-capped inverted index: bounded join fan-out at scale"),
+    QuerySpec("dedup_ngram_prefix_join", dedup_ngram_prefix_join,
+              DEDUP_NGRAM_JACCARD_ORACLE,
+              "prefix-filtered EXACT similarity join (PPJoin family): "
+              "rarest-shingle candidates, zero recall trade — oracle IS "
+              "the naive threshold join's"),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
               "pairs -> connected components -> per-doc cluster id "
               "(iterative min-label propagation vs recursive-CTE oracle)"),

@@ -186,6 +186,20 @@ _DEMOTED = (
     # frame-build (the reason bench also excludes it), and the
     # integer-exact CMS cell math stays verify_local-covered.
     "term_heavy_hitters_cms",
+    # One slot for dedup_ngram_prefix_join (new-code rule: the exact
+    # PPJoin-family similarity join, registered r5). temperature_
+    # resample rotates out: r4-green, untouched since, its per-lang
+    # deterministic hash-rank window is the exact shape
+    # last_events_per_user keeps in-window, and the alpha-share math
+    # stays pinned by mixture_weights' verify_local oracle plus its own.
+    "temperature_resample",
+    # One slot for dedup_simhash_wide (new-code rule: the 120-bit
+    # capacity geometry, registered r5). doc_chunk_sliding rotates out:
+    # r4-green, untouched since, its bounded-amplification narrow
+    # explode executes in-window inside interdoc_dup_runs' positional
+    # shingle spans, and the 64/48 window arithmetic stays pinned by
+    # its own tests + verify_local.
+    "doc_chunk_sliding",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

@@ -194,6 +194,40 @@ def test_minhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
     assert D.dedup_minhash_lsh(spark, str(tmp_path)).count() == 0
 
 
+def test_prefix_join_equals_naive_threshold_join(spark, sf_dir):
+    """Prefix filtering is a theorem, not a heuristic: the PPJoin-style
+    operator must return BYTE-identical rows to the naive inverted-index
+    threshold join on the same corpus (they also share one oracle)."""
+    naive = D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    pruned = D.dedup_ngram_prefix_join(spark, sf_dir).collect()
+    assert naive == pruned
+    assert len(naive) > 0  # corpus contains planted near-dups
+
+
+def test_prefix_join_prunes_stop_shingle_candidates(spark, tmp_path):
+    """The point of the df-ascending order: two docs sharing ONLY a
+    stop-shingle (present in every doc, so never in any prefix at this
+    corpus shape) must not pair, while a true near-dup pair must — and
+    exactness must hold even though the stop shingle never enters the
+    candidate join."""
+    stop = "the common stop"  # one shared 3-gram across all docs
+    a = "the common stop alpha beta gamma delta eps zeta eta"
+    b = "the common stop alpha beta gamma delta eps zeta theta"
+    c = "the common stop one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in D.dedup_ngram_prefix_join(spark, str(tmp_path)).collect()}
+    naive = {(r.doc_a, r.doc_b): r.jaccard
+             for r in D.dedup_ngram_jaccard(spark, str(tmp_path)).collect()}
+    assert got == naive
+    assert (1, 2) in got        # true near-dups pair
+    assert (1, 3) not in got    # stop-shingle-only overlap: below t
+    assert (2, 3) not in got
+
+
 def test_simhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
     """The decade-probe fix, same safety-valve contract as minhash's:
     band buckets larger than SIMHASH_BUCKET_CAP emit no pairs. Squeeze
@@ -211,6 +245,26 @@ def test_simhash_bucket_cap_drops_megadup_buckets(spark, tmp_path, monkeypatch):
     assert D.dedup_simhash_capped(spark, str(tmp_path)).collect() == uncapped
     monkeypatch.setattr(D, "SIMHASH_BUCKET_CAP", 1)
     assert D.dedup_simhash_capped(spark, str(tmp_path)).count() == 0
+
+
+def test_simhash_wide_subset_of_narrow_and_finds_dups(spark, tmp_path, sf_dir):
+    """120-bit simhash: identical docs still pair at hamming 0, and —
+    because fp0 reuses EXACTLY the 60-bit op's md5 bits — every wide
+    pair is a narrow pair (ham120 = ham60 + ham(extra bits), so
+    ham120 <= 3 implies ham60 <= 3): the wide geometry is a strictly
+    more precise test, never a different one."""
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = D.dedup_simhash_wide(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b, r.hamming) for r in got] == [(1, 2, 0)]
+    wide = {(r.doc_a, r.doc_b)
+            for r in D.dedup_simhash_wide(spark, sf_dir).collect()}
+    narrow = {(r.doc_a, r.doc_b)
+              for r in D.dedup_simhash(spark, sf_dir).collect()}
+    assert wide <= narrow
 
 
 def test_minhash_sig_bands_single_scan_plan(spark, sf_dir):

@@ -107,6 +107,10 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     # capped_jaccard_pairs docstring)
     "dedup_ngram_jaccard": (4, "uncapped inverted-index self-join + sizes"),
     "dedup_ngram_jaccard_capped": (4, "capped self-join + sizes re-joins"),
+    "dedup_ngram_prefix_join": (4, "prefix-posting self-join sides + two "
+                                   "verify array sides (docs branch "
+                                   "recomputed per consumer under 4.1 AQE; "
+                                   "docstring: persist once in production)"),
     "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
     "corpus_export_manifest": (5, "filter + pack composition"),
     # composed reports re-derive their member queries' branches

@@ -54,7 +54,9 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_capped",
+    "dedup_simhash_wide",
     "dedup_ngram_jaccard_capped",
+    "dedup_ngram_prefix_join",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
