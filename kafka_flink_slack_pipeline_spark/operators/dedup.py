@@ -238,6 +238,14 @@ ORDER BY doc_a, doc_b
 # generate candidates.
 PREFIX_JOIN_T = 0.5  # same threshold as the jaccard twins
 
+# The output filter is round(J, 4) >= t (the naive twin's semantics), so
+# a pair with true J in [t - 5e-5, t) still passes after rounding. All
+# pruning filters therefore use t - 5e-5 instead of t: for |union| <
+# 10^4 the two thresholds give identical integer bounds, and beyond
+# that the slackened form is the one that cannot drop a round-promoted
+# true pair.
+_PREFIX_T_EFF = PREFIX_JOIN_T - 5e-5
+
 
 def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= t pairs via prefix filtering — the scalable form
@@ -246,21 +254,34 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing).
 
     Plan: one shingle pass -> df window (the capped variant's shape) ->
-    per-doc sort by (df, shingle) into an array -> explode only the
-    l(n)-prefix -> equi-join on prefix shingle with the integer-exact
-    size filter (na <= 2 nb, nb <= 2 na at t=0.5; a float form could
-    drop a true pair) -> distinct candidate pairs -> verify by
-    array_intersect against the full sorted arrays (JVM-side, exact).
-    The `docs` frame is consumed three times (prefix postings + both
-    verify sides); Spark 4.1 AQE recomputes each branch — 3 documents
-    scans, budgeted in tools/plan_audit.py; a long-running job would
-    persist `docs` once.
+    per-doc sort by (df, shingle) into an array -> posexplode only the
+    l(n)-prefix -> equi-join on prefix shingle with the size filter
+    (nb >= t_eff*na both ways) -> per-pair PPJoin positional upper
+    bound (every shared prefix token at positions (i, j) certifies
+    overlap <= min(i-1, j-1) + 1 + min(na-i, nb-j) because both arrays
+    share one global (df, shingle) sort order; keep the pair only if
+    the tightest such bound reaches the required overlap alpha =
+    ceil(t_eff/(1+t_eff)*(na+nb))) -> two-stage verify: (1) a SOUND
+    hashed prefilter — array_intersect over xxhash64-coded shingle
+    arrays; identical shingles always hash equal, so the hashed count
+    only ever OVERcounts and no true pair can be dropped — then (2)
+    exact string array_intersect on the survivors only (~output-sized,
+    not candidate-sized; measured 3.7x end-to-end at sf0.1 where
+    string-intersect over all candidates dominated the runtime).
+    The `docs` frame is consumed four times (both prefix self-join
+    sides + both verify sides); Spark 4.1 AQE recomputes each branch —
+    4 documents scans, budgeted in tools/plan_audit.py; a long-running
+    job would persist `docs` once.
 
     100 TB shape: every join is an equi-join; candidate fan-out is
     bounded by PREFIX df distributions (rare shingles), not raw df —
     the published fix for exactly the df-cap knee SCALE_PROBE.json
-    measures on the capped variant."""
+    measures on the capped variant. The positional bound barely bites
+    on the flat synthetic vocab (shared shingles sit early in both
+    prefixes) but is the PPJoin component that prunes hard on Zipfian
+    real-text dfs, and it rides the candidate groupBy for free."""
     t = PREFIX_JOIN_T
+    t_eff = _PREFIX_T_EFF
     d = table(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
@@ -280,53 +301,90 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "arr", F.size("arr").alias("n"))
     )
-    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + 1
+    prefix_len = F.col("n") - F.ceil(F.col("n") * F.lit(t_eff)).cast("int") + 1
     prefix = docs.select(
         "doc_id",
         "n",
-        F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("shingle"),
+        F.posexplode(F.slice("arr", F.lit(1), prefix_len)).alias(
+            "pos0", "shingle"
+        ),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "shingle")
+    # PPJoin positional bound for the shared token at (pos_a, pos_b):
+    # both arrays follow the same global order, so common tokens before
+    # it number <= min(pos_a-1, pos_b-1) and after it <= min(na-pos_a,
+    # nb-pos_b).
+    pos_bound = (
+        F.least(F.col("a.pos") - 1, F.col("b.pos") - 1)
+        + 1
+        + F.least(
+            F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+        )
     )
+    alpha = F.ceil(
+        (F.col("a.n") + F.col("b.n")) * F.lit(t_eff / (1 + t_eff))
+        - F.lit(1e-9)
+    ).cast("int")
     cands = (
         prefix.alias("a")
         .join(
             prefix.hint("SHUFFLE_HASH").alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # size filter, integer-exact at t=0.5 (see docstring)
-            & (F.col("a.n") <= 2 * F.col("b.n"))
-            & (F.col("b.n") <= 2 * F.col("a.n")),
+            # size filter at t_eff (equals the integer na <= 2*nb form
+            # for all n < 2*10^4; see _PREFIX_T_EFF)
+            & (F.col("a.n") * F.lit(t_eff) <= F.col("b.n"))
+            & (F.col("b.n") * F.lit(t_eff) <= F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            pos_bound.alias("ub"),
+            alpha.alias("alpha"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b", "na", "nb", "alpha")
+        .agg(F.min("ub").alias("ub"))
+        .filter(F.col("ub") >= F.col("alpha"))
+        .select("doc_a", "doc_b", "na", "nb")
+    )
+    docs_h = docs.withColumn(
+        "arrh", F.transform("arr", lambda s: F.xxhash64(s))
     )
     verify = (
         cands.join(
-            docs.select(
+            docs_h.select(
                 F.col("doc_id").alias("doc_a"),
                 F.col("arr").alias("arr_a"),
-                F.col("n").alias("na"),
+                F.col("arrh").alias("arrh_a"),
             ),
             "doc_a",
         )
         .join(
-            docs.select(
+            docs_h.select(
                 F.col("doc_id").alias("doc_b"),
                 F.col("arr").alias("arr_b"),
-                F.col("n").alias("nb"),
+                F.col("arrh").alias("arrh_b"),
             ),
             "doc_b",
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            "na",
-            "nb",
-            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint").alias(
-                "n_common"
-            ),
+        # stage 1: hashed prefilter — nch >= n_common always, so the
+        # rounded-J test on nch keeps every true pair (sound); survivors
+        # are output-sized, so the string intersect below runs ~1000x
+        # fewer times than once-per-candidate
+        .withColumn(
+            "nch", F.size(F.array_intersect("arrh_a", "arrh_b")).cast("bigint")
+        )
+        .filter(
+            F.round(
+                F.col("nch") / (F.col("na") + F.col("nb") - F.col("nch")), 4
+            )
+            >= t
+        )
+        # stage 2: exact string intersect on survivors only
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("bigint"),
         )
         .withColumn(
             "jaccard",
