@@ -279,7 +279,21 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures on the capped variant. The positional bound barely bites
     on the flat synthetic vocab (shared shingles sit early in both
     prefixes) but is the PPJoin component that prunes hard on Zipfian
-    real-text dfs, and it rides the candidate groupBy for free."""
+    real-text dfs, and it rides the candidate groupBy for free.
+
+    PROBE FINDING (SCALE_PROBE.json, decade exponent 1.36 — flagged):
+    the probe's 31-word flat-vocab corpus is the ADVERSARIAL case for
+    every exact prefix-filtered join — no shingle is globally rare, so
+    even the df-ascending prefix stays dense and candidate pairs per
+    prefix shingle grow ~df^2 with corpus size. That cost is intrinsic
+    to EXACT threshold joins on low-entropy vocabularies (the
+    candidate set is lower-bounded by pairs sharing a prefix token;
+    Bayardo et al. 2007 §5 measures the same df-dependence); it is not
+    a missing cap. Production guidance: on natural Zipfian text the
+    prefix is genuinely rare and this is the exact-join scale path; on
+    low-entropy/templated corpora (logs, boilerplate) use
+    dedup_ngram_jaccard_capped or dedup_minhash_lsh, which bound
+    fan-out by trading recall."""
     t = PREFIX_JOIN_T
     t_eff = _PREFIX_T_EFF
     d = table(spark, sf_dir, "documents")

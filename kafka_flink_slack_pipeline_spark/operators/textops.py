@@ -140,6 +140,149 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Gopher quality-filter rule set (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Table A1)
+# — the published heuristic battery most large-corpus curation stacks
+# start from. Emitted as per-doc metrics + one 0/1 flag per rule + the
+# composite keep flag, so downstream selection can drop or re-weight by
+# individual rule. All thresholds are the paper's; every metric is a
+# narrow JVM-side projection (zero shuffles before the output sort).
+# Rules are evaluated on the ROUNDED (4dp) metrics — the same values
+# the query outputs — so the flag is reproducible from the row itself
+# and engine-identical under the repo's round-parity policy.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_BULLETS = ("•", "-", "*")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_words = F.size(toks)
+    mean_wl = F.round(
+        F.length(F.regexp_replace("text", "\\s+", "")) / n_words, 4
+    )
+    n_hash = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 4)
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith(_GOPHER_BULLETS[0])
+                | F.ltrim(l).startswith(_GOPHER_BULLETS[1])
+                | F.ltrim(l).startswith(_GOPHER_BULLETS[2]),
+            )
+        )
+        / n_lines,
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+            )
+        )
+        / n_lines,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words, 4
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+    )
+    flags = out.select(
+        "*",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000))
+        .cast("int")
+        .alias("r_word_count"),
+        ((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10))
+        .cast("int")
+        .alias("r_mean_word_len"),
+        (F.col("symbol_ratio") <= 0.1).cast("int").alias("r_symbol_ratio"),
+        (F.col("bullet_line_frac") <= 0.9).cast("int").alias("r_bullet_lines"),
+        (F.col("ellipsis_line_frac") <= 0.3)
+        .cast("int")
+        .alias("r_ellipsis_lines"),
+        (F.col("alpha_word_frac") >= 0.8).cast("int").alias("r_alpha_words"),
+        (F.col("n_stop_hits") >= 2).cast("int").alias("r_stop_words"),
+    )
+    rule_cols = [c for c in flags.columns if c.startswith("r_")]
+    keep = None
+    for c in rule_cols:
+        keep = F.col(c) if keep is None else keep * F.col(c)
+    return flags.withColumn("keep", keep.cast("int")).orderBy("doc_id")
+
+
+GOPHER_QUALITY_ORACLE = """
+WITH metrics AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 4)
+           AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / len(toks), 4) AS symbol_ratio,
+         round(len(list_filter(lines,
+                 l -> starts_with(trim(l), '•') OR starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*'))) / len(lines), 4)
+           AS bullet_line_frac,
+         round(len(list_filter(lines,
+                 l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+               / len(lines), 4) AS ellipsis_line_frac,
+         round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / len(toks), 4) AS alpha_word_frac,
+         len(list_intersect(list_distinct(toks),
+             ['the','be','to','of','and','that','have','with']))
+           AS n_stop_hits
+  FROM (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           string_split(text, chr(10)) AS lines
+    FROM documents
+  )
+),
+flagged AS (
+  SELECT *,
+         (n_words BETWEEN 50 AND 100000)::INT              AS r_word_count,
+         (mean_word_len BETWEEN 3 AND 10)::INT             AS r_mean_word_len,
+         (symbol_ratio <= 0.1)::INT                        AS r_symbol_ratio,
+         (bullet_line_frac <= 0.9)::INT                    AS r_bullet_lines,
+         (ellipsis_line_frac <= 0.3)::INT                  AS r_ellipsis_lines,
+         (alpha_word_frac >= 0.8)::INT                     AS r_alpha_words,
+         (n_stop_hits >= 2)::INT                           AS r_stop_words
+  FROM metrics
+)
+SELECT *,
+       r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+       * r_ellipsis_lines * r_alpha_words * r_stop_words AS keep
+FROM flagged
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Language ID: marker-word voting with fixed priority tie-break; output is
 # the actual-vs-predicted confusion matrix.
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1287,6 +1430,10 @@ QUERIES = [
               "token counting: whitespace + BPE-ish regex"),
     QuerySpec("doc_quality_scores", doc_quality_scores, DOC_QUALITY_ORACLE,
               "per-doc quality scoring"),
+    QuerySpec("gopher_quality_flags", gopher_quality_flags,
+              GOPHER_QUALITY_ORACLE,
+              "the published Gopher (Rae et al. 2021) quality-filter "
+              "rule battery: per-doc metrics + per-rule 0/1 flags + keep"),
     QuerySpec("doc_langid_confusion", doc_langid_confusion, DOC_LANGID_ORACLE,
               "marker-word language ID, confusion matrix"),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_ORACLE,

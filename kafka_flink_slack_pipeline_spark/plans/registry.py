@@ -200,6 +200,13 @@ _DEMOTED = (
     # shingle spans, and the 64/48 window arithmetic stays pinned by
     # its own tests + verify_local.
     "doc_chunk_sliding",
+    # One slot for gopher_quality_flags (new-code rule: the published
+    # Gopher rule battery, registered r5 — keeping user_history_window,
+    # the W1 parity row, in-window). embedding_neardup_pairs rotates
+    # out: r2-green, similarity.py untouched this round, its banded-LSH
+    # candidates + exact-cosine verify shape is exactly in-window
+    # cosine_topk_lsh's, and its own oracle stays verify_local-covered.
+    "embedding_neardup_pairs",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

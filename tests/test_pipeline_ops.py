@@ -208,3 +208,45 @@ def test_textrank_centrality_properties(spark, sf_dir):
     assert all(r.textrank >= (1 - _TR_DAMP) - 1e-9 for r in rows)
     # deterministic across rebuilds (localCheckpoint + decimal sums)
     assert rows == term_textrank(spark, sf_dir).collect()
+
+
+def test_gopher_flags_planted_rule_violations(spark, tmp_path):
+    """One planted doc per Gopher rule violation, plus one clean doc
+    that passes the whole battery. Thresholds are the published Table A1
+    values; rules evaluate on the emitted (rounded) metrics."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["the", "be"] + [f"word{i:03d}" for i in range(60)])
+    short = "the be one two"                       # < 50 words
+    hashy = " ".join(["the", "be"] + ["ab#cd"] * 60)   # symbol ratio 60/62
+    bullets = "\n".join(["- the be item " + " ".join(f"w{i}" for i in range(12))] * 5)
+    ellipsisy = "\n".join(["the be trailing words here and more words now..."] * 5)
+    numeric = " ".join(["the", "be"] + ["12345"] * 60)  # alpha frac 2/62
+    nostops = " ".join(f"word{i:03d}" for i in range(60))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, good, "en"),
+            (1, short, "en"),
+            (2, hashy, "en"),
+            (3, bullets, "en"),
+            (4, ellipsisy, "en"),
+            (5, numeric, "en"),
+            (6, nostops, "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in gopher_quality_flags(spark, sf).collect()}
+    assert out[0].keep == 1 and all(
+        getattr(out[0], c) == 1 for c in out[0].asDict() if c.startswith("r_")
+    )
+    assert out[1].r_word_count == 0 and out[1].keep == 0
+    assert out[2].r_symbol_ratio == 0 and out[2].keep == 0
+    assert out[3].r_bullet_lines == 0 and out[3].keep == 0
+    assert out[4].r_ellipsis_lines == 0 and out[4].keep == 0
+    assert out[5].r_alpha_words == 0 and out[5].keep == 0
+    assert out[6].r_stop_words == 0 and out[6].keep == 0
+    # metric sanity on the clean doc: 62 words, every word alphabetic
+    assert out[0].n_words == 62 and out[0].alpha_word_frac == 1.0
