@@ -689,6 +689,136 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# each language's documents are split into head/middle/tail terciles by
+# LM score — CCNet's core curation primitive (train on head, sample
+# middle, drop tail). The LM here is the repo's unigram-surprisal score
+# (doc_unigram_surprisal's exact expressions; low surprisal = more
+# predictable = head).
+#
+# Scale notes (100 TB): a naive per-lang ntile is a
+# Window.partitionBy(lang) sort — parallelism equal to the number of
+# languages, i.e. ~10 tasks sorting 10 TB each. This is instead the
+# repo's two-phase bucketed global-position shape (token_budget_select /
+# global_shuffle_shard): a construction-BOUNDED coarse key
+# sbucket = floor(log10(surprisal)*10) (surprisal <= corpus token count
+# < 2^63 -> log10 < 19 -> < 190 buckets/lang; monotone in the sort key,
+# so (sbucket, surprisal, doc_id) order == (surprisal, doc_id) order),
+# tiny per-(lang, sbucket) counts -> running offsets (broadcast), then
+# row_number only within (lang, sbucket). The SQL-standard ntile
+# remainder rule (first n%3 tiles get the extra row) is applied as an
+# integer formula on the reconstructed per-lang rank, so the oracle is
+# literally DuckDB's ntile(3).
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens_col()).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    total = vocab.agg(F.sum("freq").cast("double").alias("total"))
+    s = (F.col("total") / F.col("freq").cast("double")).alias("s")
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", s)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_surprisal")
+        )
+        .withColumn(
+            "sbucket",
+            F.floor(
+                F.log10(F.greatest(F.col("avg_surprisal"), F.lit(1.0))) * 10
+            ).cast("int"),
+        )
+    )
+    # The score table feeds three consumers (bucket counts -> offsets,
+    # per-lang totals, and the ranked assignment); Spark 4.1 AQE
+    # recomputes every multi-consumer branch, which would re-run the
+    # corpus surprisal pass 9x. Materialize it once — it is the per-doc
+    # score table a production pipeline persists anyway (4 narrow
+    # columns, corpus-row-count-sized, not corpus-text-sized).
+    scored = scored.localCheckpoint(eager=False)
+    counts = scored.groupBy("lang", "sbucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("sbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    )
+    lang_n = counts.groupBy("lang").agg(F.sum("c").alias("n"))
+    w_in = Window.partitionBy("lang", "sbucket").orderBy(
+        "avg_surprisal", "doc_id"
+    )
+    ranked = (
+        scored.join(F.broadcast(offsets.select("lang", "sbucket", "off")),
+                    ["lang", "sbucket"])
+        .join(F.broadcast(lang_n), "lang")
+        .withColumn("r", F.col("off") + F.row_number().over(w_in))
+    )
+    # SQL-standard ntile(3): size = n div 3, the first (n mod 3) tiles
+    # carry one extra row.
+    size = (F.col("n") / 3).cast("bigint")
+    extras = F.col("n") % 3
+    cut = (size + 1) * extras
+    tile = F.when(
+        F.col("r") <= cut, ((F.col("r") - 1) / (size + 1)).cast("bigint") + 1
+    ).otherwise(
+        extras + ((F.col("r") - cut - 1) / size).cast("bigint") + 1
+    )
+    bucket_name = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "lang",
+            "avg_surprisal",
+            F.col("r").alias("lang_rank"),
+            bucket_name.alias("ppl_bucket"),
+        )
+        .orderBy("lang", "lang_rank")
+    )
+
+
+CCNET_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+  FROM documents
+),
+nonempty AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+vocab AS (SELECT term, count(*) AS freq FROM nonempty GROUP BY term),
+total AS (SELECT count(*)::DOUBLE AS n FROM nonempty),
+scored AS (
+  SELECT doc_id, lang,
+         round((sum(((SELECT n FROM total) / freq::DOUBLE)::DECIMAL(25,10))
+                ::DOUBLE) / count(*), 6) AS avg_surprisal
+  FROM nonempty JOIN vocab USING (term)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, avg_surprisal,
+       row_number() OVER (PARTITION BY lang
+                          ORDER BY avg_surprisal, doc_id) AS lang_rank,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY avg_surprisal, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored
+ORDER BY lang, lang_rank
+"""
+
+
+# --------------------------------------------------------------------------
 # K-means (Lloyd's algorithm) over the embedding column — the iterative-
 # algorithm representative the brief's "custom operators" clause calls
 # for. Deterministic throughout: init centroids are the first K vectors
@@ -1700,6 +1830,10 @@ QUERIES = [
     QuerySpec("doc_unigram_surprisal", doc_unigram_surprisal,
               DOC_SURPRISAL_ORACLE,
               "unigram-LM surprisal quality score (rational, ln-free)"),
+    QuerySpec("ccnet_perplexity_buckets", ccnet_perplexity_buckets,
+              CCNET_BUCKETS_ORACLE,
+              "CCNet head/middle/tail per-lang LM-score terciles via the "
+              "two-phase bounded-bucket rank (no per-lang sort)"),
     QuerySpec("kmeans_lloyd_clusters", kmeans_lloyd_clusters, KMEANS_ORACLE,
               "iterative Lloyd k-means, driver-held O(k*d) model state "
               "(oracle: the 3 iterations unrolled as CTE stages)"),

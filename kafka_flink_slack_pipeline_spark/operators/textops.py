@@ -283,6 +283,84 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# C4 heuristic filter battery (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning...", §2.2) — the other canonical published
+# curation rule set beside Gopher's. Line rules (terminal punctuation,
+# >= 3 words, no "javascript") are evaluated per line and reported as
+# the kept-line fraction; document rules (>= 3 sentences, no "lorem
+# ipsum", no '{') gate the doc outright. The original's bad-words list
+# is a policy artifact, not an algorithm — omitted here (callers inject
+# their own list the same way the line rules compose). All-JVM narrow
+# map, zero shuffles before the output sort.
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    line_ok = lambda l: (  # noqa: E731
+        (
+            F.rtrim(l).endswith(".")
+            | F.rtrim(l).endswith("!")
+            | F.rtrim(l).endswith("?")
+            | F.rtrim(l).endswith('"')
+        )
+        & (F.size(F.split(F.trim(l), "\\s+")) >= 3)
+        & ~F.lower(l).contains("javascript")
+    )
+    n_kept = F.size(F.filter(lines, line_ok))
+    n_sentences = F.size(F.split(F.col("text"), "[.!?]")) - 1
+    out = d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.round(n_kept / n_lines, 4).alias("kept_line_frac"),
+        n_sentences.alias("n_sentences"),
+        (n_sentences >= 3).cast("int").alias("r_min_sentences"),
+        (~F.lower("text").contains("lorem ipsum"))
+        .cast("int")
+        .alias("r_no_lorem"),
+        (~F.col("text").contains("{")).cast("int").alias("r_no_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            F.col("r_min_sentences")
+            * F.col("r_no_lorem")
+            * F.col("r_no_brace")
+            * (F.col("n_kept_lines") > 0).cast("int")
+        ),
+    ).orderBy("doc_id")
+
+
+C4_QUALITY_ORACLE = """
+SELECT *,
+       r_min_sentences * r_no_lorem * r_no_brace
+         * (n_kept_lines > 0)::INT AS keep
+FROM (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(kept)  AS n_kept_lines,
+         round(len(kept) / len(lines), 4) AS kept_line_frac,
+         len(regexp_split_to_array(text, '[.!?]')) - 1 AS n_sentences,
+         (len(regexp_split_to_array(text, '[.!?]')) - 1 >= 3)::INT
+           AS r_min_sentences,
+         (NOT contains(lower(text), 'lorem ipsum'))::INT AS r_no_lorem,
+         (NOT contains(text, '{'))::INT                  AS r_no_brace
+  FROM (
+    SELECT doc_id, text, lines,
+           list_filter(lines,
+             l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+              AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+              AND NOT contains(lower(l), 'javascript')) AS kept
+    FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+          FROM documents)
+  )
+)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Language ID: marker-word voting with fixed priority tie-break; output is
 # the actual-vs-predicted confusion matrix.
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,6 +1512,9 @@ QUERIES = [
               GOPHER_QUALITY_ORACLE,
               "the published Gopher (Rae et al. 2021) quality-filter "
               "rule battery: per-doc metrics + per-rule 0/1 flags + keep"),
+    QuerySpec("c4_quality_flags", c4_quality_flags, C4_QUALITY_ORACLE,
+              "the C4 (Raffel et al. 2020 §2.2) heuristic battery: "
+              "kept-line fraction + sentence/lorem/brace doc gates"),
     QuerySpec("doc_langid_confusion", doc_langid_confusion, DOC_LANGID_ORACLE,
               "marker-word language ID, confusion matrix"),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_ORACLE,

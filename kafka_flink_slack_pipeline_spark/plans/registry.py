@@ -207,6 +207,22 @@ _DEMOTED = (
     # candidates + exact-cosine verify shape is exactly in-window
     # cosine_topk_lsh's, and its own oracle stays verify_local-covered.
     "embedding_neardup_pairs",
+    # One slot for c4_quality_flags (new-code rule: the C4 heuristic
+    # battery, registered r5). dedup_incremental rotates out: r2-green,
+    # its function body untouched by the r5 dedup.py additions (diff
+    # hunks are the prefix-join and wide-simhash blocks), its
+    # shard-bands-broadcast-vs-corpus join is the banded equi-join shape
+    # in-window dedup_minhash_lsh hash-checks, and its own oracle stays
+    # verify_local-covered.
+    "dedup_incremental",
+    # One slot for ccnet_perplexity_buckets (new-code rule: CCNet
+    # head/middle/tail terciles over the surprisal score, registered
+    # r5). embedding_pq_assign rotates out: r4-green, untouched since,
+    # its per-vector PQ-code narrow map executes in-window as
+    # cosine_topk_ivfpq's stage-1 (same codebook literals, same
+    # assignment expressions), and its own oracle stays
+    # verify_local-covered.
+    "embedding_pq_assign",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

@@ -250,3 +250,67 @@ def test_gopher_flags_planted_rule_violations(spark, tmp_path):
     assert out[6].r_stop_words == 0 and out[6].keep == 0
     # metric sanity on the clean doc: 62 words, every word alphabetic
     assert out[0].n_words == 62 and out[0].alpha_word_frac == 1.0
+
+
+def test_c4_flags_planted_rule_violations(spark, tmp_path):
+    """One planted doc per C4 rule. Line rules feed kept_line_frac;
+    doc rules gate keep outright."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        c4_quality_flags,
+    )
+
+    good = "This is a sentence. Here is another one! And a third one?"
+    lorem = "A doc with lorem ipsum inside. Two more lines here. Third one."
+    brace = "Code docs have { braces. More text here. And more again."
+    fewsent = "only one sentence here."
+    jsline = "This line mentions javascript code.\nBut this one is clean. It ends well. Really it does!"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, good, "en"),
+            (1, lorem, "en"),
+            (2, brace, "en"),
+            (3, fewsent, "en"),
+            (4, jsline, "en"),
+        ],
+    )
+    out = {r.doc_id: r for r in c4_quality_flags(spark, sf).collect()}
+    assert out[0].keep == 1 and out[0].kept_line_frac == 1.0
+    assert out[1].r_no_lorem == 0 and out[1].keep == 0
+    assert out[2].r_no_brace == 0 and out[2].keep == 0
+    assert out[3].r_min_sentences == 0 and out[3].keep == 0
+    # the javascript line is dropped, the clean line kept: frac 0.5,
+    # doc rules all pass (4 sentences), so the doc survives
+    assert out[4].n_kept_lines == 1 and out[4].kept_line_frac == 0.5
+    assert out[4].keep == 1
+
+
+def test_ccnet_buckets_tercile_assignment(spark, tmp_path):
+    """9 docs in one lang with strictly ordered surprisal -> exactly 3
+    docs per tercile, ordered head < middle < tail by score; a 2-doc
+    lang exercises the n<3 edge (ranks 1,2 -> head, middle)."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = []
+    # lang 'en': doc k repeats a doc-unique word 9-k times plus k shared
+    # fillers -> increasing share of rare tokens = increasing surprisal
+    # with doc_id. Use distinct words per doc so frequencies differ.
+    common = "the quick brown fox jumps over lazy dogs daily".split()
+    for k in range(9):
+        toks = common * (9 - k) + [f"rare{k}_{i}" for i in range(3 * k)]
+        rows.append((k, " ".join(toks), "en"))
+    rows.append((100, " ".join(common * 3), "de"))
+    rows.append((101, " ".join(common + ["einzig"]), "de"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = ccnet_perplexity_buckets(spark, sf).collect()
+    en = [r for r in out if r.lang == "en"]
+    assert [r.ppl_bucket for r in en] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    surp = [r.avg_surprisal for r in en]
+    assert surp == sorted(surp)
+    de = {r.doc_id: r.ppl_bucket for r in out if r.lang == "de"}
+    assert de[100] == "head" and de[101] == "middle"
