@@ -361,6 +361,82 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# RefinedWeb-style line-wise correction (Penedo et al. 2023, "The
+# RefinedWeb Dataset for Falcon LLM", §3.3 "line-wise corrections"):
+# boilerplate lines — navigation chrome, cookie banners, share buttons —
+# repeat VERBATIM across many documents, so a line whose normalized form
+# (lower + trim) appears in more than _BOILERPLATE_DF_CAP distinct
+# documents is scrubbed from every document that carries it. Documents
+# are reassembled in original line order.
+#
+# 100 TB shape: one groupBy shuffle for the line document-frequency
+# table (line-key domain is corpus-scale — NOT broadcast), one
+# equi-join back on the line key, one groupBy(doc_id) reassembly with a
+# sort_array over (pos, line) structs. Three hash shuffles, no windows,
+# no Python. Frequent EMPTY lines are scrubbed like any other repeated
+# line — a blankness allowance would be a policy knob on top.
+_BOILERPLATE_DF_CAP = 5
+
+
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.lower(F.trim("line")))
+    ldf = lines.groupBy("lkey").agg(
+        F.count_distinct("doc_id").alias("line_df")
+    )
+    joined = lines.join(ldf, "lkey")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                (F.col("line_df") > _BOILERPLATE_DF_CAP).cast("bigint")
+            ).alias("n_scrubbed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("line_df") <= _BOILERPLATE_DF_CAP,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SCRUB_ORACLE = f"""
+WITH lines AS (
+  SELECT doc_id, i AS pos, lines[i] AS line, lower(trim(lines[i])) AS lkey
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines
+        FROM documents),
+       unnest(generate_series(1, len(lines))) AS t(i)
+),
+ldf AS (
+  SELECT lkey, count(DISTINCT doc_id) AS line_df FROM lines GROUP BY lkey
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_lines,
+       sum((line_df > {_BOILERPLATE_DF_CAP})::BIGINT)::BIGINT AS n_scrubbed,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE line_df <= {_BOILERPLATE_DF_CAP}),
+                '') AS clean_text
+FROM lines JOIN ldf USING (lkey)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Language ID: marker-word voting with fixed priority tie-break; output is
 # the actual-vs-predicted confusion matrix.
 def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1515,6 +1591,10 @@ QUERIES = [
     QuerySpec("c4_quality_flags", c4_quality_flags, C4_QUALITY_ORACLE,
               "the C4 (Raffel et al. 2020 §2.2) heuristic battery: "
               "kept-line fraction + sentence/lorem/brace doc gates"),
+    QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub,
+              BOILERPLATE_SCRUB_ORACLE,
+              "RefinedWeb line-wise correction: corpus-frequent "
+              "normalized lines scrubbed, order-preserving reassembly"),
     QuerySpec("doc_langid_confusion", doc_langid_confusion, DOC_LANGID_ORACLE,
               "marker-word language ID, confusion matrix"),
     QuerySpec("doc_fingerprints", doc_fingerprints, DOC_FINGERPRINT_ORACLE,

@@ -223,6 +223,15 @@ _DEMOTED = (
     # assignment expressions), and its own oracle stays
     # verify_local-covered.
     "embedding_pq_assign",
+    # One slot for boilerplate_line_scrub (new-code rule: the RefinedWeb
+    # line-wise correction, registered r5). doc_unigram_surprisal
+    # rotates out: r4-green, its body untouched this round, and —
+    # decisive — its exact scoring expressions (toks -> vocab ->
+    # broadcast total -> DECIMAL-accumulated per-doc average) execute
+    # AND hash-check in-window as ccnet_perplexity_buckets' scored
+    # stage; it also stays a bench headline (bench membership is
+    # window-independent) and verify_local-covered.
+    "doc_unigram_surprisal",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

@@ -314,3 +314,29 @@ def test_ccnet_buckets_tercile_assignment(spark, tmp_path):
     assert surp == sorted(surp)
     de = {r.doc_id: r.ppl_bucket for r in out if r.lang == "de"}
     assert de[100] == "head" and de[101] == "middle"
+
+
+def test_boilerplate_scrub_drops_frequent_lines_in_order(spark, tmp_path):
+    """A cookie-banner line repeated across >_BOILERPLATE_DF_CAP docs is
+    scrubbed from every doc; rare lines survive in original order;
+    normalization (lower+trim) unifies the key."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        _BOILERPLATE_DF_CAP,
+        boilerplate_line_scrub,
+    )
+
+    banner = "Accept all cookies"
+    rows = [
+        (0, f"first unique line\n{banner}\nlast unique line", "en"),
+        (1, f"  {banner.upper()}  \nanother unique", "en"),
+    ]
+    # enough extra carriers to push the banner's distinct-doc df over cap
+    for k in range(_BOILERPLATE_DF_CAP):
+        rows.append((10 + k, banner, "en"))
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in boilerplate_line_scrub(spark, sf).collect()}
+    assert out[0].n_lines == 3 and out[0].n_scrubbed == 1
+    assert out[0].clean_text == "first unique line\nlast unique line"
+    # case/whitespace variant shares the normalized key -> also scrubbed
+    assert out[1].n_scrubbed == 1 and out[1].clean_text == "another unique"
+    assert out[10].clean_text == "" and out[10].n_scrubbed == 1
