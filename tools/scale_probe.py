@@ -22,6 +22,11 @@ Probe data lands under .scale_probe/ (gitignored); other tables are
 symlinked from the base sf dir so `tables.table()` works unchanged.
 
 Usage:  python tools/scale_probe.py [--mults 1,10] [--keep]
+            [--queries a,b,...] [--out SCALE_PROBE.json]
+
+Subset / extra-decade runs (e.g. --mults 1,30 over just the capped
+production family) should pass --out with a different name so the
+canonical full-decade SCALE_PROBE.json record survives.
 """
 
 from __future__ import annotations
@@ -164,22 +169,36 @@ def main() -> None:
     ap.add_argument("--mults", default="1,10")
     ap.add_argument("--keep", action="store_true",
                     help="keep generated probe data")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated subset of PROBE_QUERIES")
+    ap.add_argument("--out", default="SCALE_PROBE.json",
+                    help="output file (repo-root-relative); use a "
+                         "different name for subset/extra-decade runs so "
+                         "the full-decade record survives")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    probe_queries = (
+        [q.strip() for q in args.queries.split(",")]
+        if args.queries
+        else PROBE_QUERIES
+    )
+    unknown = set(probe_queries) - set(PROBE_QUERIES)
+    if unknown:
+        raise SystemExit(f"not probe members: {sorted(unknown)}")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     probe_root = os.path.join(root, ".scale_probe")
     spark = get_spark("scale_probe")
     specs = all_queries()
 
-    times: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    times: dict[str, dict[int, float]] = {q: {} for q in probe_queries}
     for mult in mults:
         d = os.path.join(probe_root, f"m{mult}")
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         print(f"generating mult={mult} ...", file=sys.stderr)
         generate(mult, d)
-        for q in PROBE_QUERIES:
+        for q in probe_queries:
             frame = specs[q].fn(spark, d)
             frame.count()  # warmup: codegen + model fits at frame-build
             samples = []
@@ -192,7 +211,7 @@ def main() -> None:
 
     lo, hi = min(mults), max(mults)
     report = {}
-    for q in PROBE_QUERIES:
+    for q in probe_queries:
         t_lo, t_hi = times[q][lo], times[q][hi]
         exp = (
             math.log(t_hi / t_lo) / math.log(hi / lo)
@@ -212,7 +231,7 @@ def main() -> None:
         "queries": report,
         "superlinear_count": sum(r["superlinear"] for r in report.values()),
     }
-    with open(os.path.join(root, "SCALE_PROBE.json"), "w") as f:
+    with open(os.path.join(root, args.out), "w") as f:
         json.dump(out, f, indent=2)
     if not args.keep:
         shutil.rmtree(probe_root, ignore_errors=True)
