@@ -1501,6 +1501,101 @@ ORDER BY l.doc_id
 
 
 # --------------------------------------------------------------------------
+# Cluster consolidation — the APPLY step every production dedup pipeline
+# runs after clustering: keep exactly one representative per near-dup
+# cluster, chosen by quality (the repo's doc_quality_scores signal),
+# ties broken to the lowest doc_id. One row per cluster with the
+# representative and the member mass it stands for (what you'd join
+# against the corpus to drop the other members).
+#
+# 100 TB shape: clusters come from the audited minhash->components
+# pipeline (eager label-propagation rounds at frame-build, like the ANN
+# index builds); the quality join is doc_id-keyed, and the arg-max is a
+# single groupBy with a lexicographic struct max — no windows over
+# unbounded partitions.
+def dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .textops import doc_quality_scores
+
+    clusters = dedup_clusters(spark, sf_dir)
+    quality = doc_quality_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    joined = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("quality_score"), (-F.col("doc_id")).alias("neg_id")
+        )
+    ).alias("b")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            best,
+            F.sum("n_tokens").alias("member_tokens"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("b.neg_id")).cast("bigint").alias("rep_doc_id"),
+            F.col("b.quality_score").alias("rep_quality"),
+            "member_tokens",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_REPRESENTATIVES_ORACLE = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_LSH_ORACLE}),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, anc) AS (
+  SELECT DISTINCT src, src FROM sym
+  UNION
+  SELECT s.dst, r.anc FROM reach r JOIN sym s ON s.src = r.node
+),
+labels AS (
+  SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
+),
+quality AS (
+  SELECT doc_id,
+         n_tokens,
+         round(
+           (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stop / n_tokens BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN sq / n_tokens BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+         , 1) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+               t -> t IN ('the','a','of','is','and')))::DOUBLE AS stop,
+           length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE AS sq
+    FROM documents
+  )
+),
+ranked AS (
+  SELECT l.cluster_id, q.doc_id, q.n_tokens, q.quality_score,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality_score DESC, q.doc_id)
+           AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id)::BIGINT AS n_members,
+         sum(q.n_tokens) OVER (PARTITION BY l.cluster_id)::BIGINT
+           AS member_tokens
+  FROM labels l JOIN quality q USING (doc_id)
+)
+SELECT cluster_id, n_members, doc_id AS rep_doc_id,
+       quality_score AS rep_quality, member_tokens
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Dedup evaluation: precision/recall of the MinHash-LSH candidate pairs
 # against exact word-3-gram Jaccard pairs — the metric that justifies
 # swapping the O(pairs-sharing-a-shingle) exact join for the sketch at
@@ -1581,6 +1676,11 @@ QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
               "pairs -> connected components -> per-doc cluster id "
               "(iterative min-label propagation vs recursive-CTE oracle)"),
+    QuerySpec("dedup_cluster_representatives",
+              dedup_cluster_representatives,
+              DEDUP_REPRESENTATIVES_ORACLE,
+              "one best-quality representative per near-dup cluster "
+              "(struct-max arg-max; the dedup APPLY step)"),
     QuerySpec("dedup_incremental", dedup_incremental,
               DEDUP_INCREMENTAL_ORACLE,
               "incoming-shard vs corpus minhash dedup, shard side broadcast"),

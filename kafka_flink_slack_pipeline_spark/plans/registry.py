@@ -232,6 +232,15 @@ _DEMOTED = (
     # stage; it also stays a bench headline (bench membership is
     # window-independent) and verify_local-covered.
     "doc_unigram_surprisal",
+    # One slot for dedup_cluster_representatives (new-code rule: the
+    # cluster-consolidation APPLY step, registered r5). dedup_simhash
+    # rotates out: the uncapped oracle-fidelity twin whose 60-bit body
+    # is untouched this round; dedup_simhash_capped hash-checks the
+    # IDENTICAL single-pass banding plan in-window (same fingerprint
+    # kernel, same pigeonhole join, plus the cap), the wide geometry
+    # adds a second in-window banding rep, and the uncapped twin stays
+    # a bench headline + verify_local-covered.
+    "dedup_simhash",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

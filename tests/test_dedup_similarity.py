@@ -304,3 +304,32 @@ def test_mmr_diversifies_against_plain_topk(spark, sf_dir):
         # term bounds every mmr_score by lambda * best sim
         best_sim = plain[qid][0].sim
         assert all(r.mmr_score <= 0.7 * best_sim + 1e-9 for r in rows)
+
+
+def test_cluster_representatives_pick_best_quality(spark, tmp_path):
+    """Two planted near-dup docs + one exact copy form one cluster; the
+    representative is the highest-quality member (quality ties break to
+    the lowest doc_id), and the member mass covers the whole cluster."""
+    base = ["the", "a", "of", "is", "and"] * 5 + [
+        f"tok{i}" for i in range(20)
+    ]
+    twin = list(base)
+    twin[-1] = "changedtok"
+    lone = ["zz"] * 25
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base)),       # exact copy of 1
+            (3, " ".join(twin)),       # near-dup of 1/2
+            (9, " ".join(lone)),       # no pair -> no cluster row
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = D.dedup_cluster_representatives(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_members == 3
+    # all three members share the same (in-range) quality -> lowest id
+    assert row.rep_doc_id == 1
+    assert row.member_tokens == 45 * 3
