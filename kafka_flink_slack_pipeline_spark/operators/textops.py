@@ -152,87 +152,112 @@ ORDER BY doc_id
 # and engine-identical under the repo's round-parity policy.
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_BULLETS = ("•", "-", "*")
+_GOPHER_METRICS = (
+    "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac", "n_stop_hits",
+)
+_GOPHER_RULES = (
+    "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+    "r_ellipsis_lines", "r_alpha_words", "r_stop_words",
+)
+
+
+def with_gopher_flags(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append the Gopher metrics, per-rule 0/1 flags, and `gopher_keep`
+    to ANY frame carrying a `text` column — a pure narrow projection, so
+    it composes into batch queries and Structured Streams alike (the
+    streaming admission gate in streaming/event_time.py uses it
+    unchanged). Caller's columns pass through; the appended names
+    (_GOPHER_METRICS/_GOPHER_RULES/gopher_keep) must not pre-exist."""
+    toks = F.split(F.trim(F.col(text)), "\\s+")
+    n_words = F.size(toks)
+    n_hash = F.length(text) - F.length(
+        F.replace(F.col(text), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(text)
+        - F.length(F.replace(F.col(text), F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(F.col(text), "\n")
+    n_lines = F.size(lines)
+    df = df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(
+                F.length(F.regexp_replace(text, "\\s+", "")) / n_words, 4
+            ),
+            "symbol_ratio": F.round((n_hash + n_ellipsis) / n_words, 4),
+            "bullet_line_frac": F.round(
+                F.size(
+                    F.filter(
+                        lines,
+                        lambda l: F.ltrim(l).startswith(_GOPHER_BULLETS[0])
+                        | F.ltrim(l).startswith(_GOPHER_BULLETS[1])
+                        | F.ltrim(l).startswith(_GOPHER_BULLETS[2]),
+                    )
+                )
+                / n_lines,
+                4,
+            ),
+            "ellipsis_line_frac": F.round(
+                F.size(
+                    F.filter(
+                        lines,
+                        lambda l: F.rtrim(l).endswith("...")
+                        | F.rtrim(l).endswith("…"),
+                    )
+                )
+                / n_lines,
+                4,
+            ),
+            "alpha_word_frac": F.round(
+                F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+                / n_words,
+                4,
+            ),
+            "n_stop_hits": F.size(
+                F.array_intersect(
+                    F.array_distinct(toks),
+                    F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                )
+            ),
+        }
+    )
+    df = df.withColumns(
+        {
+            "r_word_count": (
+                (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            ).cast("int"),
+            "r_mean_word_len": (
+                (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
+            ).cast("int"),
+            "r_symbol_ratio": (F.col("symbol_ratio") <= 0.1).cast("int"),
+            "r_bullet_lines": (F.col("bullet_line_frac") <= 0.9).cast("int"),
+            "r_ellipsis_lines": (
+                F.col("ellipsis_line_frac") <= 0.3
+            ).cast("int"),
+            "r_alpha_words": (F.col("alpha_word_frac") >= 0.8).cast("int"),
+            "r_stop_words": (F.col("n_stop_hits") >= 2).cast("int"),
+        }
+    )
+    keep = None
+    for c in _GOPHER_RULES:
+        keep = F.col(c) if keep is None else keep * F.col(c)
+    return df.withColumn("gopher_keep", keep.cast("int"))
 
 
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_words = F.size(toks)
-    mean_wl = F.round(
-        F.length(F.regexp_replace("text", "\\s+", "")) / n_words, 4
-    )
-    n_hash = F.length("text") - F.length(
-        F.replace(F.col("text"), F.lit("#"), F.lit(""))
-    )
-    n_ellipsis = (
-        F.length("text")
-        - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
-    ) / 3
-    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 4)
-    lines = F.split(F.col("text"), "\n")
-    n_lines = F.size(lines)
-    bullet_frac = F.round(
-        F.size(
-            F.filter(
-                lines,
-                lambda l: F.ltrim(l).startswith(_GOPHER_BULLETS[0])
-                | F.ltrim(l).startswith(_GOPHER_BULLETS[1])
-                | F.ltrim(l).startswith(_GOPHER_BULLETS[2]),
-            )
+    return (
+        with_gopher_flags(d)
+        .select(
+            "doc_id",
+            *_GOPHER_METRICS,
+            *_GOPHER_RULES,
+            F.col("gopher_keep").alias("keep"),
         )
-        / n_lines,
-        4,
+        .orderBy("doc_id")
     )
-    ellipsis_frac = F.round(
-        F.size(
-            F.filter(
-                lines,
-                lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
-            )
-        )
-        / n_lines,
-        4,
-    )
-    alpha_frac = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / n_words, 4
-    )
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(toks),
-            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-        )
-    )
-    out = d.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("n_stop_hits"),
-    )
-    flags = out.select(
-        "*",
-        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000))
-        .cast("int")
-        .alias("r_word_count"),
-        ((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10))
-        .cast("int")
-        .alias("r_mean_word_len"),
-        (F.col("symbol_ratio") <= 0.1).cast("int").alias("r_symbol_ratio"),
-        (F.col("bullet_line_frac") <= 0.9).cast("int").alias("r_bullet_lines"),
-        (F.col("ellipsis_line_frac") <= 0.3)
-        .cast("int")
-        .alias("r_ellipsis_lines"),
-        (F.col("alpha_word_frac") >= 0.8).cast("int").alias("r_alpha_words"),
-        (F.col("n_stop_hits") >= 2).cast("int").alias("r_stop_words"),
-    )
-    rule_cols = [c for c in flags.columns if c.startswith("r_")]
-    keep = None
-    for c in rule_cols:
-        keep = F.col(c) if keep is None else keep * F.col(c)
-    return flags.withColumn("keep", keep.cast("int")).orderBy("doc_id")
 
 
 GOPHER_QUALITY_ORACLE = """
@@ -292,9 +317,11 @@ ORDER BY doc_id
 # is a policy artifact, not an algorithm — omitted here (callers inject
 # their own list the same way the line rules compose). All-JVM narrow
 # map, zero shuffles before the output sort.
-def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    lines = F.split(F.col("text"), "\n")
+def with_c4_flags(df: DataFrame, text: str = "text") -> DataFrame:
+    """Append the C4 metrics, per-rule 0/1 flags, and `c4_keep` to ANY
+    frame carrying a `text` column — the streaming-composable twin of
+    with_gopher_flags (same pure-narrow-projection contract)."""
+    lines = F.split(F.col(text), "\n")
     n_lines = F.size(lines)
     line_ok = lambda l: (  # noqa: E731
         (
@@ -307,28 +334,48 @@ def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ~F.lower(l).contains("javascript")
     )
     n_kept = F.size(F.filter(lines, line_ok))
-    n_sentences = F.size(F.split(F.col("text"), "[.!?]")) - 1
-    out = d.select(
-        "doc_id",
-        n_lines.alias("n_lines"),
-        n_kept.alias("n_kept_lines"),
-        F.round(n_kept / n_lines, 4).alias("kept_line_frac"),
-        n_sentences.alias("n_sentences"),
-        (n_sentences >= 3).cast("int").alias("r_min_sentences"),
-        (~F.lower("text").contains("lorem ipsum"))
-        .cast("int")
-        .alias("r_no_lorem"),
-        (~F.col("text").contains("{")).cast("int").alias("r_no_brace"),
+    n_sentences = F.size(F.split(F.col(text), "[.!?]")) - 1
+    df = df.withColumns(
+        {
+            "n_lines": n_lines,
+            "n_kept_lines": n_kept,
+            "kept_line_frac": F.round(n_kept / n_lines, 4),
+            "n_sentences": n_sentences,
+            "r_min_sentences": (n_sentences >= 3).cast("int"),
+            "r_no_lorem": (
+                ~F.lower(text).contains("lorem ipsum")
+            ).cast("int"),
+            "r_no_brace": (~F.col(text).contains("{")).cast("int"),
+        }
     )
-    return out.withColumn(
-        "keep",
+    return df.withColumn(
+        "c4_keep",
         (
             F.col("r_min_sentences")
             * F.col("r_no_lorem")
             * F.col("r_no_brace")
             * (F.col("n_kept_lines") > 0).cast("int")
         ),
-    ).orderBy("doc_id")
+    )
+
+
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        with_c4_flags(d)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept_lines",
+            "kept_line_frac",
+            "n_sentences",
+            "r_min_sentences",
+            "r_no_lorem",
+            "r_no_brace",
+            F.col("c4_keep").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 C4_QUALITY_ORACLE = """

@@ -241,6 +241,59 @@ def tv_drift_against_reference(
     )
 
 
+def quality_gate_stream(
+    docs: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming corpus-admission monitor: the published Gopher + C4
+    rule batteries (operators/textops.py with_gopher_flags /
+    with_c4_flags — both pure narrow projections, so they run on a
+    stream unchanged) applied per document, aggregated into per-window
+    admission counts. A doc is admitted when BOTH batteries keep it;
+    the per-family reject counts tell an operator which battery is
+    biting when the admit rate moves.
+
+    The row-level gate itself is just
+    `with_c4_flags(with_gopher_flags(stream)).filter("gopher_keep *
+    c4_keep = 1")` — this aggregate is the monitoring face (watermark +
+    windowed agg, state bounded by open windows x 1 row)."""
+    from ..operators.textops import with_c4_flags, with_gopher_flags
+
+    df = docs
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    flagged = with_c4_flags(with_gopher_flags(df))
+    admit = F.col("gopher_keep") * F.col("c4_keep")
+    return (
+        flagged.select(
+            F.col(ts_col).alias("_ts"),
+            F.col("gopher_keep"),
+            F.col("c4_keep"),
+            admit.alias("admit"),
+        )
+        .groupBy(F.window("_ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("admit").alias("n_admitted"),
+            F.sum(1 - F.col("gopher_keep")).alias("n_gopher_reject"),
+            F.sum(1 - F.col("c4_keep")).alias("n_c4_reject"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_docs",
+            "n_admitted",
+            "n_gopher_reject",
+            "n_c4_reject",
+            F.round(F.col("n_admitted") / F.col("n_docs"), 4).alias(
+                "admit_rate"
+            ),
+        )
+    )
+
+
 def ohlc_rollup_stream(
     events: DataFrame,
     ts_col: str = "ts",

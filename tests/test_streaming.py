@@ -1140,3 +1140,61 @@ def test_streaming_ohlc_matches_batch(spark, tmp_path, sf_dir):
     assert (r.open, r.high, r.low, r.close, r.n_events) == \
         (10.0, 30.0, 10.0, 20.0, 3)
     assert r.total_value == 60.0
+
+
+def test_quality_gate_stream_parity_and_rejects(spark, tmp_path):
+    """The Gopher+C4 admission gate over a file stream: a clean doc is
+    admitted, a short doc is rejected by Gopher, a brace doc by C4;
+    finalized-window counts match the batch run on the same files."""
+    from kafka_flink_slack_pipeline_spark.streaming.event_time import (
+        quality_gate_stream,
+    )
+
+    clean = (
+        "The quick brown fox jumps over the lazy dog and runs far away. "
+        "Here is another full sentence with plenty of ordinary words. "
+        "And a third one to be safe with the sentence count rule. "
+        + " ".join(f"filler{i:03d}" for i in range(40))
+        + " ."
+    )
+    # C4-clean (3 sentences, terminal punct, no brace) but Gopher-short
+    short = "the be one and two. the be three and four. the be five now."
+    brace = (
+        "This document would pass every rule except the brace one { . "
+        "Here is another full sentence with plenty of ordinary words. "
+        "And a third one to be safe with the sentence count rule. "
+        + " ".join(f"pad{i:03d}" for i in range(40))
+        + " ."
+    )
+    rows = [
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 10), text=clean),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 20), text=short),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 0, 30), text=brace),
+        Row(ingest_ts=dt.datetime(2024, 1, 1, 4, 30), text="advance mark."),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "ingest_ts timestamp, text string") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("ingest_ts timestamp, text string") \
+        .parquet(src)
+    batches = []
+    q = (
+        quality_gate_stream(stream, watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(lambda df, _id: batches.append(df.collect()))
+        .start()
+    )
+    _await(q)
+    got = {r.window_start.hour: r for b in batches for r in b}
+    assert 0 in got  # hour-0 window finalized by the watermark
+    h0 = got[0]
+    assert h0.n_docs == 3 and h0.n_admitted == 1
+    assert h0.n_gopher_reject == 1  # the short doc
+    assert h0.n_c4_reject == 1     # the brace doc
+    assert h0.admit_rate == 0.3333
+    batch = {
+        r.window_start.hour: r
+        for r in quality_gate_stream(spark.read.parquet(src)).collect()
+    }
+    assert batch[0].asDict() == h0.asDict()
