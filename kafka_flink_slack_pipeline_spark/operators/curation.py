@@ -640,9 +640,15 @@ ORDER BY doc_id, bench_id
 # per-doc aggregate shuffles on doc_id. No Python anywhere.
 
 
-def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens_col()).alias("term")).filter(
+def _surprisal_scored(d: DataFrame, with_lang: bool = False) -> DataFrame:
+    """The ONE definition of the unigram-surprisal score: per-doc
+    (n_tokens, avg_surprisal, max_surprisal), optionally keyed by lang
+    too. doc_unigram_surprisal and ccnet_perplexity_buckets both select
+    from this — the registry demotion of the former is justified by the
+    latter hash-checking these exact expressions in-window, which only
+    holds while there is a single copy to drift."""
+    keys = ["doc_id", "lang"] if with_lang else ["doc_id"]
+    toks = d.select(*keys, F.explode(tokens_col()).alias("term")).filter(
         F.col("term") != ""
     )
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
@@ -653,8 +659,8 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(F.broadcast(vocab), "term")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", s)
-        .groupBy("doc_id")
+        .select(*keys, s)
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(
@@ -664,6 +670,14 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
             F.round(F.max("s"), 6).alias("max_surprisal"),
         )
+    )
+
+
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        _surprisal_scored(d)
+        .select("doc_id", "n_tokens", "avg_surprisal", "max_surprisal")
         .orderBy("doc_id")
     )
 
@@ -712,24 +726,9 @@ ORDER BY doc_id
 # literally DuckDB's ntile(3).
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokens_col()).alias("term")
-    ).filter(F.col("term") != "")
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    total = vocab.agg(F.sum("freq").cast("double").alias("total"))
-    s = (F.col("total") / F.col("freq").cast("double")).alias("s")
     scored = (
-        toks.join(F.broadcast(vocab), "term")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", "lang", s)
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.sum(F.col("s").cast("decimal(25,10)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_surprisal")
-        )
+        _surprisal_scored(d, with_lang=True)
+        .select("doc_id", "lang", "avg_surprisal")
         .withColumn(
             "sbucket",
             F.floor(

@@ -263,10 +263,14 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tightest such bound reaches the required overlap alpha =
     ceil(t_eff/(1+t_eff)*(na+nb))) -> two-stage verify: (1) a SOUND
     hashed prefilter — array_intersect over xxhash64-coded shingle
-    arrays; identical shingles always hash equal, so the hashed count
-    only ever OVERcounts and no true pair can be dropped — then (2)
-    exact string array_intersect on the survivors only (~output-sized,
-    not candidate-sized; measured 3.7x end-to-end at sf0.1 where
+    arrays. Identical shingles always hash equal, so when neither
+    side's array has an INTERNAL hash collision the hashed count can
+    only OVERcount and no true pair is dropped; docs whose distinct
+    shingles do collide internally (array_intersect dedups, which
+    could undercount) carry an hcol flag and bypass stage 1 entirely —
+    soundness by construction, not by 2^-64 luck. Then (2) exact
+    string array_intersect on the survivors only (~output-sized, not
+    candidate-sized; measured 3.7x end-to-end at sf0.1 where
     string-intersect over all candidates dominated the runtime).
     The `docs` frame is consumed four times (both prefix self-join
     sides + both verify sides); Spark 4.1 AQE recomputes each branch —
@@ -362,8 +366,16 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ub") >= F.col("alpha"))
         .select("doc_a", "doc_b", "na", "nb")
     )
+    # hcol = 1 when two DISTINCT shingles of this doc collide under
+    # xxhash64 (array_intersect dedups, so an internal collision could
+    # UNDERcount the hashed intersection); such docs bypass stage 1.
+    # Without internal collisions each hash appears once per array and
+    # the hashed count can only OVERcount — that case is the theorem.
     docs_h = docs.withColumn(
         "arrh", F.transform("arr", lambda s: F.xxhash64(s))
+    ).withColumn(
+        "hcol",
+        (F.size(F.array_distinct("arrh")) < F.col("n")).cast("int"),
     )
     verify = (
         cands.join(
@@ -371,6 +383,7 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_a"),
                 F.col("arr").alias("arr_a"),
                 F.col("arrh").alias("arrh_a"),
+                F.col("hcol").alias("hcol_a"),
             ),
             "doc_a",
         )
@@ -379,21 +392,30 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id").alias("doc_b"),
                 F.col("arr").alias("arr_b"),
                 F.col("arrh").alias("arrh_b"),
+                F.col("hcol").alias("hcol_b"),
             ),
             "doc_b",
         )
-        # stage 1: hashed prefilter — nch >= n_common always, so the
-        # rounded-J test on nch keeps every true pair (sound); survivors
-        # are output-sized, so the string intersect below runs ~1000x
-        # fewer times than once-per-candidate
+        # stage 1: hashed prefilter. When neither side has an internal
+        # hash collision (hcol flags), every hash appears once per
+        # array, so nch >= n_common and the rounded-J test on nch keeps
+        # every true pair — sound by construction, with the collision
+        # case routed straight to the exact stage instead of assumed
+        # away. Survivors are output-sized, so the string intersect
+        # below runs ~1000x fewer times than once-per-candidate.
         .withColumn(
             "nch", F.size(F.array_intersect("arrh_a", "arrh_b")).cast("bigint")
         )
         .filter(
-            F.round(
-                F.col("nch") / (F.col("na") + F.col("nb") - F.col("nch")), 4
+            (F.col("hcol_a") + F.col("hcol_b") > 0)
+            | (
+                F.round(
+                    F.col("nch")
+                    / (F.col("na") + F.col("nb") - F.col("nch")),
+                    4,
+                )
+                >= t
             )
-            >= t
         )
         # stage 2: exact string intersect on survivors only
         .withColumn(

@@ -153,8 +153,9 @@ ORDER BY doc_id
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_BULLETS = ("•", "-", "*")
 _GOPHER_METRICS = (
-    "n_words", "mean_word_len", "symbol_ratio", "bullet_line_frac",
-    "ellipsis_line_frac", "alpha_word_frac", "n_stop_hits",
+    "n_words", "mean_word_len", "hash_word_ratio", "ellipsis_word_ratio",
+    "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+    "n_stop_hits",
 )
 _GOPHER_RULES = (
     "r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
@@ -186,7 +187,11 @@ def with_gopher_flags(df: DataFrame, text: str = "text") -> DataFrame:
             "mean_word_len": F.round(
                 F.length(F.regexp_replace(text, "\\s+", "")) / n_words, 4
             ),
-            "symbol_ratio": F.round((n_hash + n_ellipsis) / n_words, 4),
+            # Gopher tests the hash and ellipsis ratios SEPARATELY
+            # ("symbol-to-word ratio greater than 0.1 for either the
+            # hash symbol or the ellipsis") — not a combined sum.
+            "hash_word_ratio": F.round(n_hash / n_words, 4),
+            "ellipsis_word_ratio": F.round(n_ellipsis / n_words, 4),
             "bullet_line_frac": F.round(
                 F.size(
                     F.filter(
@@ -231,7 +236,10 @@ def with_gopher_flags(df: DataFrame, text: str = "text") -> DataFrame:
             "r_mean_word_len": (
                 (F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10)
             ).cast("int"),
-            "r_symbol_ratio": (F.col("symbol_ratio") <= 0.1).cast("int"),
+            "r_symbol_ratio": (
+                (F.col("hash_word_ratio") <= 0.1)
+                & (F.col("ellipsis_word_ratio") <= 0.1)
+            ).cast("int"),
             "r_bullet_lines": (F.col("bullet_line_frac") <= 0.9).cast("int"),
             "r_ellipsis_lines": (
                 F.col("ellipsis_line_frac") <= 0.3
@@ -266,9 +274,10 @@ WITH metrics AS (
          len(toks) AS n_words,
          round(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 4)
            AS mean_word_len,
-         round((length(text) - length(replace(text, '#', ''))
-                + (length(text) - length(replace(text, '...', ''))) / 3)
-               / len(toks), 4) AS symbol_ratio,
+         round((length(text) - length(replace(text, '#', '')))
+               / len(toks), 4) AS hash_word_ratio,
+         round(((length(text) - length(replace(text, '...', ''))) / 3)
+               / len(toks), 4) AS ellipsis_word_ratio,
          round(len(list_filter(lines,
                  l -> starts_with(trim(l), '•') OR starts_with(trim(l), '-')
                    OR starts_with(trim(l), '*'))) / len(lines), 4)
@@ -292,7 +301,8 @@ flagged AS (
   SELECT *,
          (n_words BETWEEN 50 AND 100000)::INT              AS r_word_count,
          (mean_word_len BETWEEN 3 AND 10)::INT             AS r_mean_word_len,
-         (symbol_ratio <= 0.1)::INT                        AS r_symbol_ratio,
+         (hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1)::INT
+                                                           AS r_symbol_ratio,
          (bullet_line_frac <= 0.9)::INT                    AS r_bullet_lines,
          (ellipsis_line_frac <= 0.3)::INT                  AS r_ellipsis_lines,
          (alpha_word_frac >= 0.8)::INT                     AS r_alpha_words,
@@ -311,12 +321,15 @@ ORDER BY doc_id
 # C4 heuristic filter battery (Raffel et al. 2020, "Exploring the Limits
 # of Transfer Learning...", §2.2) — the other canonical published
 # curation rule set beside Gopher's. Line rules (terminal punctuation,
-# >= 3 words, no "javascript") are evaluated per line and reported as
+# >= 5 words, no "javascript") are evaluated per line and reported as
 # the kept-line fraction; document rules (>= 3 sentences, no "lorem
-# ipsum", no '{') gate the doc outright. The original's bad-words list
-# is a policy artifact, not an algorithm — omitted here (callers inject
+# ipsum", no '{') gate the doc outright. Sentences are counted as
+# maximal terminal-punctuation RUNS ('[.!?]+'), so an ellipsis is one
+# sentence boundary, not three. The original's bad-words list is a
+# policy artifact, not an algorithm — omitted here (callers inject
 # their own list the same way the line rules compose). All-JVM narrow
 # map, zero shuffles before the output sort.
+_C4_MIN_LINE_WORDS = 5  # the paper's "at least 5 words" line rule
 def with_c4_flags(df: DataFrame, text: str = "text") -> DataFrame:
     """Append the C4 metrics, per-rule 0/1 flags, and `c4_keep` to ANY
     frame carrying a `text` column — the streaming-composable twin of
@@ -330,11 +343,11 @@ def with_c4_flags(df: DataFrame, text: str = "text") -> DataFrame:
             | F.rtrim(l).endswith("?")
             | F.rtrim(l).endswith('"')
         )
-        & (F.size(F.split(F.trim(l), "\\s+")) >= 3)
+        & (F.size(F.split(F.trim(l), "\\s+")) >= _C4_MIN_LINE_WORDS)
         & ~F.lower(l).contains("javascript")
     )
     n_kept = F.size(F.filter(lines, line_ok))
-    n_sentences = F.size(F.split(F.col(text), "[.!?]")) - 1
+    n_sentences = F.regexp_count(F.col(text), F.lit("[.!?]+"))
     df = df.withColumns(
         {
             "n_lines": n_lines,
@@ -387,8 +400,8 @@ FROM (
          len(lines) AS n_lines,
          len(kept)  AS n_kept_lines,
          round(len(kept) / len(lines), 4) AS kept_line_frac,
-         len(regexp_split_to_array(text, '[.!?]')) - 1 AS n_sentences,
-         (len(regexp_split_to_array(text, '[.!?]')) - 1 >= 3)::INT
+         len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+         (len(regexp_extract_all(text, '[.!?]+')) >= 3)::INT
            AS r_min_sentences,
          (NOT contains(lower(text), 'lorem ipsum'))::INT AS r_no_lorem,
          (NOT contains(text, '{'))::INT                  AS r_no_brace
@@ -397,7 +410,7 @@ FROM (
            list_filter(lines,
              l -> (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
                 OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
-              AND len(regexp_split_to_array(trim(l), '\\s+')) >= 3
+              AND len(regexp_split_to_array(trim(l), '\\s+')) >= 5
               AND NOT contains(lower(l), 'javascript')) AS kept
     FROM (SELECT doc_id, text, string_split(text, chr(10)) AS lines
           FROM documents)

@@ -185,6 +185,14 @@ def main() -> None:
     unknown = set(probe_queries) - set(PROBE_QUERIES)
     if unknown:
         raise SystemExit(f"not probe members: {sorted(unknown)}")
+    if args.out == "SCALE_PROBE.json" and (
+        args.queries or args.mults != "1,10"
+    ):
+        raise SystemExit(
+            "refusing to overwrite the canonical full-decade "
+            "SCALE_PROBE.json with a subset/non-decade run — pass --out "
+            "<other-name>.json"
+        )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     probe_root = os.path.join(root, ".scale_probe")
