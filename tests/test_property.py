@@ -102,3 +102,40 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(norm, "doc_a bigint, doc_b bigint")
     got = {r.doc_id: r.label for r in connected_components(df).collect()}
     assert got == _uf_components(norm)
+
+
+# --- prefix-filter theorem: the PPJoin-style exact join must equal the
+# naive inverted-index threshold join on ARBITRARY corpora, not just the
+# fixtures — tiny 4-token vocab + short docs make near-threshold pairs,
+# stop-shingles, empty-shingle docs, and exact duplicates all common.
+_pj_tok = st.sampled_from(["a", "b", "c", "d"])
+_pj_doc = st.lists(_pj_tok, min_size=0, max_size=8)
+_pj_counter = [0]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        # tmp_path is shared across examples by design — each example
+        # writes to its own counter-numbered subdirectory
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(st.lists(_pj_doc, min_size=2, max_size=10))
+def test_prefix_join_equals_naive_on_random_corpora(spark, tmp_path, docs):
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_prefix_join,
+    )
+
+    _pj_counter[0] += 1
+    d = tmp_path / f"corpus{_pj_counter[0]}"
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    naive = dedup_ngram_jaccard(spark, str(d)).collect()
+    pruned = dedup_ngram_prefix_join(spark, str(d)).collect()
+    assert naive == pruned
