@@ -1667,6 +1667,102 @@ FROM counts
 """
 
 
+# --------------------------------------------------------------------------
+# Method-selection report: precision/recall of EVERY near-dup family
+# against the exact word-3-gram Jaccard pairs — the one-table answer to
+# "which dedup method do I run at my scale". Generalizes
+# dedup_recall_report (minhash-only) to a per-method frame; each row
+# composes the same already-verified queries (and the oracle the same
+# already-verified oracles), so the report can never drift from its
+# members. SimHash pairs use hamming similarity rather than Jaccard —
+# its precision against the Jaccard truth is exactly the number a user
+# choosing between the families needs. prefix_join is the exactness
+# control: its row must read precision = recall = 1.
+_METHOD_REPORT_MEMBERS = (
+    ("minhash_lsh", "dedup_minhash_lsh"),
+    ("simhash_capped", "dedup_simhash_capped"),
+    ("ngram_capped", "dedup_ngram_jaccard_capped"),
+    ("prefix_join", "dedup_ngram_prefix_join"),
+)
+
+
+def dedup_method_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fns = {
+        "minhash_lsh": dedup_minhash_lsh,
+        "simhash_capped": dedup_simhash_capped,
+        "ngram_capped": dedup_ngram_jaccard_capped,
+        "prefix_join": dedup_ngram_prefix_join,
+    }
+    # Each pair frame is consumed twice per row (count + semi-join) and
+    # the exact frame once per method — AQE would re-run every member
+    # pipeline per consumer (measured 36 documents scans). The frames
+    # are OUTPUT-sized (near-dup pairs, not corpus), so materialize each
+    # once.
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    rows = None
+    for name, _q in _METHOD_REPORT_MEMBERS:
+        m = (
+            fns[name](spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=False)
+        )
+        hits = exact.join(m, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_pairs")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(name).alias("method"),
+                "n_exact",
+                "n_pairs",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_pairs"), 4
+                ).alias("precision"),
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_exact"), 4
+                ).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("method")
+
+
+def _dedup_method_report_oracle() -> str:
+    oracles = {
+        "minhash_lsh": DEDUP_MINHASH_LSH_ORACLE,
+        "simhash_capped": DEDUP_SIMHASH_CAPPED_ORACLE,
+        "ngram_capped": DEDUP_NGRAM_CAPPED_ORACLE,
+        "prefix_join": DEDUP_NGRAM_JACCARD_ORACLE,
+    }
+    ctes = ",\n".join(
+        f"m_{name} AS ({oracles[name]})" for name, _ in _METHOD_REPORT_MEMBERS
+    )
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS method,
+       (SELECT count(*) FROM exact_r)::BIGINT AS n_exact,
+       (SELECT count(*) FROM m_{name})::BIGINT AS n_pairs,
+       (SELECT count(*) FROM exact_r e
+        WHERE EXISTS (SELECT 1 FROM m_{name} a
+                      WHERE a.doc_a = e.doc_a
+                        AND a.doc_b = e.doc_b))::BIGINT AS n_hits"""
+        for name, _ in _METHOD_REPORT_MEMBERS
+    )
+    return f"""
+WITH exact_r AS ({DEDUP_NGRAM_JACCARD_ORACLE}),
+{ctes}
+SELECT method, n_exact, n_pairs, n_hits,
+       round(n_hits::DOUBLE / n_pairs, 4) AS precision,
+       round(n_hits::DOUBLE / n_exact, 4) AS recall
+FROM ({blocks})
+ORDER BY method
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -1698,6 +1794,11 @@ QUERIES = [
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
               "pairs -> connected components -> per-doc cluster id "
               "(iterative min-label propagation vs recursive-CTE oracle)"),
+    QuerySpec("dedup_method_report", dedup_method_report,
+              _dedup_method_report_oracle(),
+              "per-method precision/recall vs exact Jaccard pairs — the "
+              "method-selection table (prefix_join row = exactness "
+              "control at 1.0/1.0)"),
     QuerySpec("dedup_cluster_representatives",
               dedup_cluster_representatives,
               DEDUP_REPRESENTATIVES_ORACLE,

@@ -241,6 +241,14 @@ _DEMOTED = (
     # adds a second in-window banding rep, and the uncapped twin stays
     # a bench headline + verify_local-covered.
     "dedup_simhash",
+    # One slot for dedup_method_report (new-code rule: the per-method
+    # precision/recall selection table, registered r5). cosine_topk_ivf
+    # rotates out: r3-green, untouched since, its nprobe-pruned
+    # list-scan executes in-window as cosine_topk_ivfpq's stage 1 (same
+    # coarse-centroid assignment and list pruning ahead of the PQ
+    # scoring), it is decade-probe-covered (exponent 0.75 at 30x), and
+    # its own oracle stays verify_local-covered.
+    "cosine_topk_ivf",
     # One slot for corpus_snapshot_diff (new-code rule).
     # email_consumer_pipeline is registered ROWS-ONLY (no SQL oracle for
     # the full composition), so its driver row carries the least signal

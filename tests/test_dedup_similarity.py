@@ -333,3 +333,18 @@ def test_cluster_representatives_pick_best_quality(spark, tmp_path):
     # all three members share the same (in-range) quality -> lowest id
     assert row.rep_doc_id == 1
     assert row.member_tokens == 45 * 3
+
+
+def test_method_report_prefix_row_is_exactness_control(spark, sf_dir):
+    """The report's prefix_join row is the built-in control: it must
+    read precision = recall = 1.0 with n_pairs == n_exact, and every
+    method row shares the same n_exact denominator."""
+    rows = {r.method: r for r in D.dedup_method_report(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "minhash_lsh", "simhash_capped", "ngram_capped", "prefix_join"
+    }
+    pj = rows["prefix_join"]
+    assert pj.precision == 1.0 and pj.recall == 1.0
+    assert pj.n_pairs == pj.n_exact == pj.n_hits
+    n_exact = {r.n_exact for r in rows.values()}
+    assert len(n_exact) == 1 and n_exact.pop() > 0

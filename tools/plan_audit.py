@@ -81,6 +81,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     "bm25_keyword_search": (1, "1-row corpus stats broadcast"),
     # broadcast of 1-row count aggregates composed into the report row
     "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
+    "dedup_method_report": (8, "2 x 1-row count-aggregate crossJoins per "
+                               "method row (4 methods; pair frames "
+                               "checkpointed output-sized)"),
     "ann_recall_report": (2, "brute-force member + 1-row aggregates"),
     "q22_dormant_customers": (1, "1-row avg-balance attach (Q22 shape)"),
     # broadcast of the 1-row train-vocab-size aggregate (constant attach;
