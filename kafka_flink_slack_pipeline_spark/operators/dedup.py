@@ -1415,6 +1415,152 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+# Self-routing exact/near-dup front-end (r5 verdict item 1): the prefix
+# join's cost regime is vocabulary-entropy-dependent — superlinear on
+# low-entropy/templated corpora where no shingle is globally rare
+# (SCALE_PROBE.json measured exponent 1.33-1.36 on the flat 31-word
+# probe vocabulary; Bayardo et al. 2007 §5 derives the same
+# df-dependence) — and the r5 docstring routed around that regime in
+# PROSE only. This operator makes the routing CODE: a one-aggregate
+# corpus-entropy gate over the df distribution of the PREFIX postings
+# (the exact quantity whose density drives the candidate blowup)
+# decides, per corpus, between the zero-recall-trade prefix join and
+# the bounded df-capped path.
+#
+# Gate: fraction of prefix postings (the l(n) = n - ceil(t_eff*n) + 1
+# globally-rarest shingles per doc) whose document frequency exceeds
+# NGRAM_DF_CAP. High-entropy natural text keeps rare shingles in every
+# prefix (measured 0.0000 at sf0.001/0.01/0.1 AND on the probe's m=1
+# corpus); a saturated low-entropy corpus floods them (0.9946 at the
+# probe's m=10 point, where the uncapped exact join blows up). The
+# threshold is 10% compared in INTEGER form (hot * 10 > total) so both
+# engines decide identically with no float compare.
+ROUTE_HOT_NUM = 1
+ROUTE_HOT_DEN = 10
+
+
+def _prefix_hot_gate(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(hot, total) prefix-posting df-cap counts — one extra corpus
+    aggregate at frame-build (the model-fit precedent: eager, driver-
+    collected, O(1) state). Mirrors dedup_ngram_prefix_join's prefix
+    construction exactly: per-doc rank by (df, shingle) against
+    l(n) = n - ceil(t_eff * n) + 1."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    with_df = shingled.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    ranked = with_df.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.col("n") * F.lit(_PREFIX_T_EFF)).cast("int") + 1
+    )
+    row = prefix.agg(
+        F.sum((F.col("df") > NGRAM_DF_CAP).cast("long")).alias("hot"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    return int(row.hot or 0), int(row.total or 0)
+
+
+def dedup_ngram_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-routed near-dup join: the EXACT prefix join on corpora
+    where prefix filtering actually prunes (rare shingles exist), the
+    bounded df-capped join on low-entropy corpora where any exact
+    threshold join is intrinsically superlinear. The `method` column
+    records the decision so downstream consumers know whether the
+    output is exact (`prefix_join`) or a recall-traded lower bound
+    (`ngram_capped`).
+
+    100 TB shape: the gate is one bounded aggregate (two equi-key
+    window passes the routed query's own preamble already pays) and
+    each branch is the already-audited plan of its standalone query.
+    The DuckDB oracle computes the IDENTICAL integer gate and emits
+    the matching branch, so the routing decision itself is under the
+    hash check."""
+    hot, total = _prefix_hot_gate(spark, sf_dir)
+    if hot * ROUTE_HOT_DEN > total * ROUTE_HOT_NUM:
+        routed = capped_jaccard_pairs(spark, sf_dir).select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common_capped").alias("n_common"),
+            F.col("jaccard_lb").alias("jaccard"),
+            F.lit("ngram_capped").alias("method"),
+        )
+    else:
+        routed = dedup_ngram_prefix_join(spark, sf_dir).select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "jaccard",
+            F.lit("prefix_join").alias("method"),
+        )
+    return routed.orderBy("doc_a", "doc_b")
+
+
+def _adaptive_oracle() -> str:
+    return f"""
+WITH shingled_g AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+  WHERE shingle <> ''
+),
+wdf0 AS (
+  SELECT doc_id, shingle,
+         count(*) OVER (PARTITION BY shingle) AS df,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM shingled_g
+),
+wdf AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY df, shingle)
+              AS rk
+  FROM wdf0
+),
+gate AS (
+  SELECT coalesce(sum(CASE WHEN df > {NGRAM_DF_CAP} THEN 1 ELSE 0 END), 0)
+           AS hot,
+         count(*) AS total
+  FROM wdf WHERE rk <= n - ceil(n * {_PREFIX_T_EFF}) + 1
+),
+exact_r AS ({DEDUP_NGRAM_JACCARD_ORACLE}),
+capped_r AS ({DEDUP_NGRAM_CAPPED_ORACLE})
+SELECT * FROM (
+  SELECT doc_a, doc_b, n_common, jaccard, 'prefix_join' AS method
+  FROM exact_r
+  WHERE (SELECT hot * {ROUTE_HOT_DEN} FROM gate)
+        <= (SELECT total * {ROUTE_HOT_NUM} FROM gate)
+  UNION ALL
+  SELECT doc_a, doc_b, n_common_capped AS n_common, jaccard_lb AS jaccard,
+         'ngram_capped' AS method
+  FROM capped_r
+  WHERE (SELECT hot * {ROUTE_HOT_DEN} FROM gate)
+        > (SELECT total * {ROUTE_HOT_NUM} FROM gate)
+)
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_NGRAM_ADAPTIVE_ORACLE = _adaptive_oracle()
+
+
+# --------------------------------------------------------------------------
 # Cluster assignment: near-dup PAIRS → connected components → one canonical
 # cluster id per document. This is the step a real training-data dedup
 # pipeline actually ships (keep one doc per cluster); pairs alone aren't
@@ -1791,6 +1937,12 @@ QUERIES = [
               "prefix-filtered EXACT similarity join (PPJoin family): "
               "rarest-shingle candidates, zero recall trade — oracle IS "
               "the naive threshold join's"),
+    QuerySpec("dedup_ngram_adaptive", dedup_ngram_adaptive,
+              DEDUP_NGRAM_ADAPTIVE_ORACLE,
+              "entropy-routed exact join: prefix join on high-entropy "
+              "corpora, df-capped path on flat-vocab corpora (the r5 "
+              "probe's superlinear regime) — integer gate mirrored by "
+              "the oracle"),
     QuerySpec("dedup_clusters", dedup_clusters, DEDUP_CLUSTERS_ORACLE,
               "pairs -> connected components -> per-doc cluster id "
               "(iterative min-label propagation vs recursive-CTE oracle)"),

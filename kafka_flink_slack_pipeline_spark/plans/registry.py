@@ -330,6 +330,47 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
+    # eigendecomposition) and is demoted on arrival: the in-window
+    # embedding_pca_whiten certificate hash-checks the IDENTICAL
+    # _projected narrow map (any model/projection bug flips an identity
+    # entry), so the rows-only row would carry the least signal in the
+    # window; it exists so bench.py times the production projection
+    # instead of the certificate (r5 verdict item 2).
+    "pca_whiten_vectors",
+    # One slot for dedup_ngram_adaptive (new-code rule: the entropy-
+    # routed exact-join front-end, r5 verdict item 1 — the routing
+    # decision itself is under the oracle's hash). dedup_simhash_wide
+    # rotates out: r5-green, its body untouched this round, the capped
+    # banding plan it shares executes in-window as dedup_simhash_capped
+    # (same kernel, same pigeonhole join, same cap), the 120-bit
+    # capacity geometry stays pinned by its own tests, and its oracle
+    # stays verify_local-covered.
+    "dedup_simhash_wide",
+    # One slot for unigram_learn_vocab (new-code rule: the SentencePiece
+    # EM learner, r5 verdict item 4). bpe_learn_merges rotates out:
+    # r5-green, body untouched this round, and — decisive — the merge
+    # learning executes AT FRAME-BUILD inside in-window
+    # bpe_apply_compression, whose oracle composes the identical
+    # unrolled merge-stage CTEs verbatim (a learner bug breaks that
+    # hash); the learn table itself stays verify_local-covered.
+    "bpe_learn_merges",
+    # One slot for unigram_apply_compression (new-code rule; the apply
+    # half of the unigram story, mirroring bpe_apply_compression).
+    # term_textrank rotates out: r4-green, untouched since, its corpus
+    # pass runs eagerly at frame-build (the reason bench excludes it),
+    # the retrieval family keeps bm25_keyword_search + tfidf signals
+    # in-window, and its unrolled-PageRank oracle stays
+    # verify_local-covered.
+    "term_textrank",
+    # One slot for interdoc_dup_runs_exact (new-code rule: the per-pair
+    # diagonal seed-chain substring dedup, r5 verdict item 5 — exact
+    # Lee-et-al-fidelity runs). interdoc_dup_runs rotates out: r5-green,
+    # body untouched this round, it is the positional-5-gram
+    # APPROXIMATION the exact op supersedes (the r5 verdict's fidelity
+    # gap, now measured by a planted test), and its gaps-and-islands
+    # oracle stays verify_local-covered.
+    "interdoc_dup_runs",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -348,3 +348,50 @@ def test_method_report_prefix_row_is_exactness_control(spark, sf_dir):
     assert pj.n_pairs == pj.n_exact == pj.n_hits
     n_exact = {r.n_exact for r in rows.values()}
     assert len(n_exact) == 1 and n_exact.pop() > 0
+
+
+def test_adaptive_routes_high_entropy_corpus_to_prefix_join(spark, sf_dir):
+    """On natural(-shaped) text the gate measures zero hot prefix
+    postings, so the routed result must be the EXACT prefix join's rows
+    with method='prefix_join'."""
+    hot, total = D._prefix_hot_gate(spark, sf_dir)
+    assert hot * D.ROUTE_HOT_DEN <= total * D.ROUTE_HOT_NUM
+    routed = D.dedup_ngram_adaptive(spark, sf_dir).collect()
+    assert routed and all(r.method == "prefix_join" for r in routed)
+    exact = D.dedup_ngram_prefix_join(spark, sf_dir).collect()
+    assert [(r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in routed] == [
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in exact
+    ]
+
+
+def test_adaptive_routes_flat_vocab_corpus_to_capped_path(spark, tmp_path):
+    """The r5 probe's superlinear regime, now routed in CODE: a corpus
+    whose prefix postings are dominated by over-cap shingles (52
+    identical low-entropy docs) must take the bounded df-capped path —
+    and the pair that path CAN see (two docs sharing rare shingles)
+    must still come out. The DuckDB oracle computes the same integer
+    gate, so the routing decision is cross-engine-checked here too."""
+    import duckdb
+
+    flat = " ".join(f"tok{i % 4}" for i in range(30))
+    rows = [(i, flat) for i in range(1, 53)] + [
+        (100, "alpha beta gamma delta eps zeta eta"),
+        (101, "alpha beta gamma delta eps zeta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    hot, total = D._prefix_hot_gate(spark, str(tmp_path))
+    assert hot * D.ROUTE_HOT_DEN > total * D.ROUTE_HOT_NUM
+    routed = D.dedup_ngram_adaptive(spark, str(tmp_path)).collect()
+    assert routed and all(r.method == "ngram_capped" for r in routed)
+    assert {(r.doc_a, r.doc_b) for r in routed} == {(100, 101)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(D.DEDUP_NGRAM_ADAPTIVE_ORACLE).fetchall()
+    assert [(r[0], r[1], r[4]) for r in oracle] == [
+        (100, 101, "ngram_capped")
+    ]

@@ -114,6 +114,10 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
                                    "verify array sides (docs branch "
                                    "recomputed per consumer under 4.1 AQE; "
                                    "docstring: persist once in production)"),
+    # the routed plan IS one of the two branches above (prefix join on
+    # this corpus, capped join on low-entropy ones) — the gate aggregate
+    # runs eagerly at frame-build and never appears in the audited plan
+    "dedup_ngram_adaptive": (4, "routed branch = prefix join's plan here"),
     "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
     "corpus_export_manifest": (5, "filter + pack composition"),
     # composed reports re-derive their member queries' branches

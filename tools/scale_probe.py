@@ -54,14 +54,21 @@ _FLAG_EXPONENT = 1.3
 
 # The cap-sensitive join family (the reason this probe exists), plus the
 # packing stage whose shard derivation must grow with the corpus.
+# r6 membership change (r5 verdict items 1+3): the two known-superlinear
+# ORACLE-FIDELITY twins (uncapped dedup_simhash, exponent 1.51;
+# dedup_ngram_prefix_join on this flat-vocab corpus, exponent 1.33-1.36 —
+# both documented in the r5 SCALE_PROBE records, which survive in git
+# history) leave the probe set; the production question they answered is
+# now answered by dedup_ngram_adaptive, whose entropy gate must route
+# this corpus' high-mult points onto the bounded df-capped path. The
+# probe set therefore contains only scale-path dedup ops + the router.
 PROBE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_simhash_capped",
     "dedup_simhash_wide",
     "dedup_ngram_jaccard_capped",
-    "dedup_ngram_prefix_join",
+    "dedup_ngram_adaptive",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
