@@ -83,6 +83,10 @@ HEADLINE = [
     # the unigram-LM surprisal score (vocab agg + broadcast re-join) — one
     # per new curation family; shuffle/quantize share these shapes.
     "interdoc_span_dedup",
+    # r6 addition: the exact per-pair substring-run shape (seed
+    # equi-join + diagonal-keyed islands) — a genuinely new execution
+    # shape next to the per-doc approximation's span windows.
+    "interdoc_dup_runs_exact",
     "token_budget_select",
     "doc_unigram_surprisal",
     # r3 addition: lexical retrieval (broadcast query-term semi-filter on

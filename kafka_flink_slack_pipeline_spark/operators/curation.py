@@ -215,6 +215,132 @@ def _word_shingles_keep_pos(toks, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+# --------------------------------------------------------------------------
+# EXACT maximal shared-substring runs, per document PAIR — the
+# suffix-array-fidelity upgrade of interdoc_dup_runs (r5 verdict item 5).
+#
+# interdoc_dup_runs approximates Lee et al. 2022's ExactSubstr with
+# per-DOC positional-5-gram chaining, which deviates from the paper's
+# semantics two ways its own docstring concedes:
+#   (a) duplicated runs shorter than 5 tokens are invisible (no 5-gram
+#       exists inside them), and
+#   (b) chaining is content-blind across PARTNERS: two adjacent runs of
+#       a doc that duplicate into two DIFFERENT documents merge into one
+#       reported run even though that merged string occurs nowhere else
+#       (and near-adjacent runs merge across <=5-token gaps).
+# Lee et al. compute maximal substrings shared between concrete document
+# pairs via a suffix array. The distributed-relational equivalent is the
+# DSA-style sorted-k-mer-prefix pass: grouping suffixes by their k-token
+# prefix IS an equi-join of positional k-grams (the suffix-array bucket
+# boundary), and a shared substring of length L >= k between docs a and
+# b appears as exactly the L-k+1 seed matches with constant DIAGONAL
+# pa - pb and consecutive pa — so gaps-and-islands per (pair, diagonal)
+# reconstructs every MAXIMAL shared run exactly (a run is maximal iff no
+# seed extends the island on its diagonal). k = 3 with a >= 4-token
+# report threshold makes runs of 4 tokens visible — the class (a) loses.
+#
+# Scale notes (100 TB): one positional-k-gram explosion; the seed join
+# is the inverted-index equi-join with the module-standard document-
+# frequency cap bounding per-gram fan-out (an over-cap gram is stop-gram
+# boilerplate — the exact-dedup funnel's job upstream; the cap is
+# mirrored in the oracle so parity holds by construction); everything
+# after is windows/aggregates keyed by (doc_a, doc_b, diag) — equi-key
+# shuffles only. Seeds per pair are bounded by min(len_a, len_b), and
+# diagonals localize the work the per-doc approximation smeared.
+_SEED_K = 3
+_SEED_DF_CAP = 50
+_MIN_RUN_EXACT = 4
+
+
+def interdoc_dup_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col().alias("toks"))
+    seeds = toked.select(
+        "doc_id",
+        F.posexplode(_word_shingles_keep_pos(F.col("toks"), _SEED_K)).alias(
+            "p", "gram"
+        ),
+    )
+    dfreq = Window.partitionBy("gram")
+    capped = seeds.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
+        F.col("df") <= _SEED_DF_CAP
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+        (F.col("a.p") - F.col("b.p")).alias("diag"),
+    )
+    w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    w_run = w_diag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = matches.withColumn(
+        "brk", (F.col("pa") - F.lag("pa", 1, -2).over(w_diag) > 1).cast("long")
+    ).withColumn("run_id", F.sum("brk").over(w_run))
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.max("pa") - F.min("pa") + _SEED_K).cast("long").alias(
+                "run_len"
+            ),
+        )
+        .filter(F.col("run_len") >= _MIN_RUN_EXACT)
+        .select("doc_a", "doc_b", "start_a", "start_b", "run_len")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )
+
+
+_SEED_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_SEED_K))
+INTERDOC_RUNS_EXACT_ORACLE = f"""
+WITH sp AS (
+  SELECT doc_id, i - 1 AS p, {_SEED_GRAM} AS gram
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+       unnest(generate_series(1, greatest(len(toks) - {_SEED_K - 1}, 0)))
+         AS u(i)
+),
+capped AS (
+  SELECT doc_id, p, gram FROM (
+    SELECT doc_id, p, gram, count(*) OVER (PARTITION BY gram) AS df
+    FROM sp)
+  WHERE df <= {_SEED_DF_CAP}
+),
+matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb,
+         a.p - b.p AS diag
+  FROM capped a JOIN capped b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+lagged AS (
+  SELECT *,
+         CASE WHEN pa - coalesce(lag(pa) OVER (
+                PARTITION BY doc_a, doc_b, diag ORDER BY pa), -2) > 1
+              THEN 1 ELSE 0 END AS brk
+  FROM matches
+),
+islands AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM lagged
+),
+runs AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         (max(pa) - min(pa) + {_SEED_K})::BIGINT AS run_len
+  FROM islands GROUP BY doc_a, doc_b, diag, run_id
+)
+SELECT doc_a, doc_b, start_a, start_b, run_len
+FROM runs WHERE run_len >= {_MIN_RUN_EXACT}
+ORDER BY doc_a, doc_b, start_a, start_b
+"""
+
+
 _RUN_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_RUN_N))
 INTERDOC_RUNS_ORACLE = f"""
 WITH sp AS (
@@ -1813,7 +1939,13 @@ QUERIES = [
               INTERDOC_SPAN_ORACLE,
               "C4-style inter-document duplicated-span fraction + scrub"),
     QuerySpec("interdoc_dup_runs", interdoc_dup_runs, INTERDOC_RUNS_ORACLE,
-              "maximal cross-doc duplicated runs (gaps-and-islands)"),
+              "maximal cross-doc duplicated runs (per-doc 5-gram "
+              "approximation; superseded by interdoc_dup_runs_exact)"),
+    QuerySpec("interdoc_dup_runs_exact", interdoc_dup_runs_exact,
+              INTERDOC_RUNS_EXACT_ORACLE,
+              "EXACT maximal shared-substring runs per doc pair "
+              "(DSA-style seed join + diagonal islands; Lee et al. "
+              "fidelity, catches >=4-token runs)"),
     QuerySpec("token_budget_select", token_budget_select,
               TOKEN_BUDGET_ORACLE,
               "fill a token budget best-quality-first (two-phase cumsum)"),

@@ -347,3 +347,61 @@ def test_ngram_novelty_is_a_prefix_monotone_signal(spark, sf_dir):
     assert total_novel == distinct_shingles
     for r in rows:
         assert 0 <= r.n_novel <= r.n_shingles
+
+
+def test_dup_runs_exact_catches_short_run_the_approximation_misses(
+    spark, tmp_path
+):
+    """Fidelity class (a): a 4-token substring shared between two docs
+    has no 5-gram inside it, so interdoc_dup_runs (the per-doc 5-gram
+    approximation) reports NOTHING, while the exact seed-chain op must
+    report exactly one maximal pair run of length 4 at the right
+    positions."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        interdoc_dup_runs,
+        interdoc_dup_runs_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 alpha beta gamma delta u3 u4"),
+            (2, "v1 v2 v3 alpha beta gamma delta v4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    assert interdoc_dup_runs(spark, str(tmp_path)).collect() == []
+    got = interdoc_dup_runs_exact(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len)
+            for r in got] == [(1, 2, 2, 3, 4)]
+
+
+def test_dup_runs_exact_does_not_merge_across_partners(spark, tmp_path):
+    """Fidelity class (b): doc 1 holds two ADJACENT 5-token substrings,
+    one shared with doc 2 and one with doc 3 — the merged 10-token
+    string occurs in NO other document. The per-doc approximation
+    chains them into one bogus 10-token run; the exact op must report
+    two separate maximal 5-token pair runs (Lee et al. semantics)."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        interdoc_dup_runs,
+        interdoc_dup_runs_exact,
+    )
+
+    s1 = "a1 a2 a3 a4 a5"
+    s2 = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),
+            (2, f"x1 x2 {s1} x3 x4"),
+            (3, f"y1 {s2} y2 y3 y4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    approx = {r.doc_id: r for r in
+              interdoc_dup_runs(spark, str(tmp_path)).collect()}
+    # the approximation's documented deviation: one merged 10-token run
+    assert approx[1].longest_run == 10 and approx[1].n_runs == 1
+    got = [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len)
+           for r in interdoc_dup_runs_exact(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 0, 2, 5), (1, 3, 5, 1, 5)]
