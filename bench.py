@@ -117,6 +117,12 @@ HEADLINE = [
     # chain) and the KMV distinct-count sketch (one distinct shuffle +
     # one window pass).
     "bpe_apply_compression",
+    # r6 addition: the unigram-tokenizer apply pass (vocab-scale word
+    # groupBy + in-row JVM Viterbi fold against the literal score map).
+    # unigram_learn_vocab is NOT benched for bpe_learn_merges' reason:
+    # the EM runs eagerly at frame-build, so timing the final count()
+    # of a ~40-row literal frame would measure nothing.
+    "unigram_apply_compression",
     "term_cardinality_kmv",
     # r4 addition: RAG chunking (narrow bounded explode).
     # term_heavy_hitters_cms is NOT benched for dedup_clusters' reason:

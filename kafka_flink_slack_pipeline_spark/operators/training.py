@@ -1274,6 +1274,361 @@ ORDER BY r.lang, r.pick_rank
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer (Kudo 2018, "Subword Regularization"; the
+# SentencePiece `--model_type=unigram` trainer) — the second production
+# tokenizer family beside BPE (r5 verdict item 4): Llama/T5-lineage
+# pipelines train unigram, not BPE. The public algorithm: seed a large
+# candidate vocabulary from corpus substrings, then alternate
+#   E-step: Viterbi-segment every word under the current piece
+#           log-probabilities,
+#   M-step: re-estimate piece probabilities from the segmentation
+#           counts and PRUNE the lowest-value pieces (single characters
+#           are never pruned — they guarantee every word segments).
+#
+# Determinism / cross-engine policy (how an EM full of logs and argmaxes
+# earns an exact DuckDB hash):
+#   - piece scores are INTEGER MICRO log-probs: round(ln(p), 6) * 1e6 as
+#     BIGINT, with p = (count + 1) / (total + |vocab|) (Laplace, so
+#     never-chosen pieces stay finite). round-6 makes driver libm and
+#     DuckDB libm agree (the DSIR precedent), and the micro scaling
+#     makes every Viterbi sum EXACT INTEGER arithmetic — no float adds
+#     anywhere in the DP, on either engine.
+#   - Viterbi ties break to the SHORTEST last piece: the Spark/Python
+#     side scans k ascending keeping strict improvements; the SQL side
+#     takes list_max over {v, -k} structs (max v, then max -k = min k).
+#   - pruning ranks multi-char pieces by (count DESC, piece ASC); all
+#     single-char pieces survive unconditionally.
+#
+# The scale split mirrors bpe_learn_merges exactly: ONE corpus pass
+# builds the word-count table (vocab-scale model input), the EM loop is
+# driver-side model fitting over it (SentencePiece's own structure), and
+# the APPLY pass re-enters the learned vocabulary as an O(vocab) literal
+# map inside a JVM in-row Viterbi fold — a zero-shuffle narrow map over
+# the (lang, word) count table, corpus scanned once. The DuckDB oracle
+# unrolls each EM iteration as recursive-CTE Viterbi stages (forward DP,
+# then a walk-back recursion — DuckDB 1.0's list_reduce mangles struct
+# accumulators, so both passes are recursions) — the bpe_learn_merges
+# unrolled-stage trick applied to dynamic programming.
+_UG_MAX_PIECE = 4     # max piece length (chars); bounds the DP window
+_UG_SEED_MULTI = 32   # multi-char seed candidates (top by count, piece)
+_UG_KEEP = (24, 16)   # multi-char keep sizes after EM iterations 1, 2
+_UG_MISS = -(10**15)  # micro-score sentinel for out-of-vocab pieces
+
+
+def _ug_score_micro(cnt: int, total: int, v: int) -> int:
+    """round(ln((cnt+1)/(total+v)), 6) in exact integer micros."""
+    return int(round(round(math.log((cnt + 1) / (total + v)), 6) * 1e6))
+
+
+def _ug_viterbi(word: str, scores: dict[str, int]) -> list[str]:
+    """Max-score segmentation under integer micro scores; ties at each
+    position break to the shortest last piece (k ascending, strict >).
+    Returned pieces are in WALK-BACK order (last piece first) — the SQL
+    walk recursion emits the same order; counts are order-free."""
+    n = len(word)
+    best = [0] + [None] * n
+    bp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        bv = None
+        for k in range(1, min(_UG_MAX_PIECE, i) + 1):
+            sc = scores.get(word[i - k : i], _UG_MISS)
+            cand = best[i - k] + sc
+            if bv is None or cand > bv:
+                bv, bp[i] = cand, k
+        best[i] = bv
+    pcs: list[str] = []
+    pos = n
+    while pos > 0:
+        k = bp[pos]
+        pcs.append(word[pos - k : pos])
+        pos -= k
+    return pcs
+
+
+def _unigram_em(
+    word_counts: list[tuple[str, int]]
+) -> list[tuple[str, int, int, float]]:
+    """Seed + EM + prune over the collected word-count table (driver
+    model fitting, the _learn_merges_local precedent). Returns the final
+    vocabulary as (piece, is_char, seg_count, score) rows where score is
+    the final M-step round-6 log-prob."""
+    from collections import Counter
+
+    subs: Counter[str] = Counter()
+    for w, c in word_counts:
+        for length in range(1, _UG_MAX_PIECE + 1):
+            for s in range(0, len(w) - length + 1):
+                subs[w[s : s + length]] += c
+    chars = sorted(p for p in subs if len(p) == 1)
+    multi = sorted(
+        (p for p in subs if len(p) > 1), key=lambda p: (-subs[p], p)
+    )[:_UG_SEED_MULTI]
+    vocab = {p: subs[p] for p in chars + multi}
+    total, v = sum(vocab.values()), len(vocab)
+    scores = {p: _ug_score_micro(c, total, v) for p, c in vocab.items()}
+    for keep in _UG_KEEP:
+        cnts: Counter[str] = Counter()
+        for w, c in word_counts:  # E-step
+            for p in _ug_viterbi(w, scores):
+                cnts[p] += c
+        cur_chars = sorted(p for p in scores if len(p) == 1)
+        kept_multi = sorted(
+            (p for p in scores if len(p) > 1),
+            key=lambda p: (-cnts.get(p, 0), p),
+        )[:keep]
+        vocab = {p: cnts.get(p, 0) for p in cur_chars + kept_multi}
+        total, v = sum(vocab.values()), len(vocab)  # M-step
+        scores = {p: _ug_score_micro(c, total, v) for p, c in vocab.items()}
+    return [
+        (p, int(len(p) == 1), cnt, round(math.log((cnt + 1) / (total + v)), 6))
+        for p, cnt in sorted(vocab.items())
+    ]
+
+
+def _unigram_model(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, int, float]]:
+    rows = _word_counts(spark, sf_dir).orderBy("word").collect()
+    return _unigram_em([(r.word, int(r.c)) for r in rows])
+
+
+def unigram_learn_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.createDataFrame(
+        _unigram_model(spark, sf_dir),
+        "piece string, is_char int, seg_count bigint, score double",
+    ).orderBy("piece")
+
+
+def _ug_stage_ctes() -> str:
+    """Shared WITH RECURSIVE prefix: word counts -> substring seed ->
+    unrolled EM stages (forward-Viterbi recursion + walk-back recursion
+    + count/prune/rescore per iteration). m{j} tables hold integer
+    micro scores so every DP addition is exact on both engines."""
+    parts = [
+        f"""
+WITH RECURSIVE wc AS (
+  SELECT word, count(*)::BIGINT AS c FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+scnt AS (
+  SELECT substr(word, s, l) AS piece, sum(c)::BIGINT AS cnt
+  FROM wc,
+       unnest(range(1, {_UG_MAX_PIECE} + 1)) AS L(l),
+       unnest(range(1, length(word) - l + 2)) AS S(s)
+  GROUP BY piece
+),
+seed AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, (length(piece) = 1) AS is_char,
+           row_number() OVER (PARTITION BY (length(piece) = 1)
+                              ORDER BY cnt DESC, piece) AS rk
+    FROM scnt)
+  WHERE is_char OR rk <= {_UG_SEED_MULTI}
+),
+tv0 AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM seed),
+m0 AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln((cnt + 1.0) / (t + v)), 6) * 1000000 AS BIGINT)
+           AS sc
+  FROM seed, tv0)"""
+    ]
+    for j, keep in enumerate(_UG_KEEP, start=1):
+        prev = f"m{j-1}"
+        parts.append(
+            f""",
+vit{j} AS (
+  SELECT word, c, 0 AS i, [CAST(0 AS BIGINT)] AS best, []::INT[] AS bp,
+         (SELECT map(list(piece), list(sc)) FROM {prev}) AS mp
+  FROM wc
+  UNION ALL
+  SELECT word, c, i + 1,
+         list_append(best, cand['v']),
+         list_append(bp, (-cand['negk'])::INT),
+         mp
+  FROM (
+    SELECT *, list_max(list_transform(
+        range(1, least({_UG_MAX_PIECE}, i + 1) + 1),
+        k -> {{'v': best[i - k + 2]
+                 + coalesce(mp[substr(word, i - k + 2, k)][1]::BIGINT,
+                            {_UG_MISS}),
+              'negk': -k}})) AS cand
+    FROM vit{j} WHERE i < length(word))
+),
+walk{j} AS (
+  SELECT word, c, bp, length(word) AS pos, []::VARCHAR[] AS pcs
+  FROM vit{j} WHERE i = length(word)
+  UNION ALL
+  SELECT word, c, bp, pos - bp[pos],
+         list_append(pcs, substr(word, pos - bp[pos] + 1, bp[pos]))
+  FROM walk{j} WHERE pos > 0
+),
+cnt{j} AS MATERIALIZED (
+  SELECT piece, sum(c)::BIGINT AS cnt
+  FROM (SELECT c, pcs FROM walk{j} WHERE pos = 0), unnest(pcs) AS t(piece)
+  GROUP BY piece
+),
+keep{j} AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT v.piece, coalesce(cn.cnt, 0)::BIGINT AS cnt,
+           (length(v.piece) = 1) AS is_char,
+           row_number() OVER (PARTITION BY (length(v.piece) = 1)
+                              ORDER BY coalesce(cn.cnt, 0) DESC, v.piece)
+             AS rk
+    FROM (SELECT piece FROM {prev}) v LEFT JOIN cnt{j} cn USING (piece))
+  WHERE is_char OR rk <= {keep}
+),
+tv{j} AS (SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+          FROM keep{j}),
+m{j} AS MATERIALIZED (
+  SELECT piece,
+         CAST(round(ln((cnt + 1.0) / (t + v)), 6) * 1000000 AS BIGINT)
+           AS sc
+  FROM keep{j}, tv{j}
+)"""
+        )
+    return "".join(parts)
+
+
+_UG_LAST = len(_UG_KEEP)
+
+UNIGRAM_LEARN_ORACLE = _ug_stage_ctes() + f"""
+SELECT piece, (length(piece) = 1)::INT AS is_char, cnt AS seg_count,
+       round(ln((cnt + 1.0) / (t + v)), 6) AS score
+FROM keep{_UG_LAST}, tv{_UG_LAST}
+ORDER BY piece
+"""
+
+
+def unigram_apply_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned unigram vocabulary and report
+    per-language compression (chars per emitted token) — the apply half,
+    mirroring bpe_apply_compression. The learned scores enter as an
+    O(vocab) literal map; token counts come from an in-row JVM Viterbi
+    fold (integer micro arithmetic, array-of-bests accumulator — the
+    token_quantile_histogram fold pattern), so the executed plan is one
+    corpus scan into a vocab-scale groupBy and a narrow map: zero Python,
+    zero extra shuffles."""
+    model = _unigram_model(spark, sf_dir)
+    # rebuild the final micro scores exactly as the learner held them
+    total = sum(cnt for _, _, cnt, _ in model)
+    v = len(model)
+    micro = {p: _ug_score_micro(cnt, total, v) for p, _, cnt, _ in model}
+    lit_map = F.create_map(
+        *[x for p, s in sorted(micro.items()) for x in (F.lit(p), F.lit(s))]
+    )
+    d = table(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word = F.col("word")
+    zero_b = F.lit(0).cast("bigint")
+
+    def step(acc, i):
+        cands = []
+        for k in range(1, _UG_MAX_PIECE + 1):
+            piece = word.substr(i - F.lit(k) + 1, F.lit(k))
+            val = F.element_at(acc["best"], (i - k + 1).cast("int")) + (
+                F.coalesce(
+                    F.try_element_at(lit_map, piece).cast("bigint"),
+                    F.lit(_UG_MISS).cast("bigint"),
+                )
+            )
+            nt = F.element_at(acc["nt"], (i - k + 1).cast("int")) + 1
+            cands.append(
+                F.when(
+                    F.lit(k) <= i,
+                    F.struct(
+                        val.alias("v"),
+                        F.lit(-k).alias("negk"),
+                        nt.alias("nt"),
+                    ),
+                ).otherwise(
+                    F.struct(
+                        F.lit(2 * _UG_MISS).cast("bigint").alias("v"),
+                        F.lit(-(_UG_MAX_PIECE + 1)).alias("negk"),
+                        F.lit(0).cast("bigint").alias("nt"),
+                    )
+                )
+            )
+        best = F.array_max(F.array(*cands))
+        return F.struct(
+            F.concat(acc["best"], F.array(best["v"])).alias("best"),
+            F.concat(acc["nt"], F.array(best["nt"])).alias("nt"),
+        )
+
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.struct(
+            F.array(zero_b).alias("best"),
+            F.array(zero_b).alias("nt"),
+        ),
+        step,
+    )
+    return (
+        wl.withColumn("nt", F.element_at(folded["nt"], -1))
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.length("word")).alias("total_chars"),
+            F.sum(F.col("c") * F.col("nt")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.length("word")).cast("double")
+                / F.sum(F.col("c") * F.col("nt")),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+UNIGRAM_APPLY_ORACLE = _ug_stage_ctes() + f""",
+wla AS (
+  SELECT lang, word, count(*)::BIGINT AS c FROM (
+    SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents)
+  WHERE word <> '' GROUP BY lang, word
+),
+vita AS (
+  SELECT lang, word, c, 0 AS i, [CAST(0 AS BIGINT)] AS best, []::INT[] AS bp,
+         (SELECT map(list(piece), list(sc)) FROM m{_UG_LAST}) AS mp
+  FROM wla
+  UNION ALL
+  SELECT lang, word, c, i + 1,
+         list_append(best, cand['v']),
+         list_append(bp, (-cand['negk'])::INT),
+         mp
+  FROM (
+    SELECT *, list_max(list_transform(
+        range(1, least({_UG_MAX_PIECE}, i + 1) + 1),
+        k -> {{'v': best[i - k + 2]
+                 + coalesce(mp[substr(word, i - k + 2, k)][1]::BIGINT,
+                            {_UG_MISS}),
+              'negk': -k}})) AS cand
+    FROM vita WHERE i < length(word))
+),
+walka AS (
+  SELECT lang, word, c, bp, length(word) AS pos, 0::BIGINT AS nt
+  FROM vita WHERE i = length(word)
+  UNION ALL
+  SELECT lang, word, c, bp, pos - bp[pos], nt + 1
+  FROM walka WHERE pos > 0
+)
+SELECT lang, sum(c)::BIGINT AS n_words,
+       sum(c * length(word))::BIGINT AS total_chars,
+       sum(c * nt)::BIGINT AS total_tokens,
+       round(sum(c * length(word))::DOUBLE / sum(c * nt), 6)
+         AS chars_per_token
+FROM walka WHERE pos = 0
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("dsir_importance_weights", dsir_importance_weights, DSIR_ORACLE,
               "DSIR hashed-ngram importance weights vs target domain"),
@@ -1300,4 +1655,13 @@ QUERIES = [
               TEMPERATURE_RESAMPLE_ORACLE,
               "mT5-style alpha-sampling mixture application (sqrt "
               "temperature, deterministic hash-rank selection)"),
+    QuerySpec("unigram_learn_vocab", unigram_learn_vocab,
+              UNIGRAM_LEARN_ORACLE,
+              "unigram-LM tokenizer EM (SentencePiece-style: substring "
+              "seed -> Viterbi E-step -> prune/rescore M-step), integer "
+              "micro log-probs vs unrolled recursive-CTE oracle"),
+    QuerySpec("unigram_apply_compression", unigram_apply_compression,
+              UNIGRAM_APPLY_ORACLE,
+              "encode corpus with the learned unigram vocab (JVM in-row "
+              "Viterbi fold); per-lang compression"),
 ]

@@ -287,3 +287,138 @@ def test_temperature_resample_upsamples_low_resource(spark, sf_dir):
     hi = max(corpus, key=corpus.get)
     assert got[lo] / picked >= corpus[lo] / total
     assert got[hi] / picked <= corpus[hi] / total
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer
+
+
+def _naive_viterbi(word, scores):
+    """Independent reference segmenter: memoized recursion maximizing the
+    integer micro score with the SAME stated tie rule (shortest LAST
+    piece on equal score, applied at every suffix boundary). Written
+    top-down (the DP in training.py is bottom-up) so a shared indexing
+    bug cannot hide."""
+    from functools import lru_cache
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _UG_MAX_PIECE,
+        _UG_MISS,
+    )
+
+    @lru_cache(maxsize=None)
+    def solve(i):  # best (score, pieces-tuple in walk-back order) of w[:i]
+        if i == 0:
+            return 0, ()
+        best = None
+        for k in range(1, min(_UG_MAX_PIECE, i) + 1):
+            sub_score, sub_pcs = solve(i - k)
+            sc = scores.get(word[i - k : i], _UG_MISS)
+            cand = (sub_score + sc, k)
+            if best is None or cand[0] > best[0][0] or (
+                cand[0] == best[0][0] and k < best[0][1]
+            ):
+                best = (cand, (word[i - k : i],) + sub_pcs)
+        return best[0][0], best[1]
+
+    score, pcs = solve(len(word))
+    # (last_piece,) + sub_pcs above already yields walk-back order —
+    # last piece first, training.py's convention
+    return score, list(pcs)
+
+
+def test_unigram_viterbi_matches_naive_reference():
+    """DP-for-DP equivalence on randomized corpora: same max score AND
+    the same segmentation under the shared tie rule."""
+    import random
+
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        _ug_score_micro,
+        _ug_viterbi,
+    )
+
+    rng = random.Random(6)
+    for _ in range(50):
+        alphabet = "abcd"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(8)
+        ]
+        # random small vocab: all chars + random substrings
+        pieces = set(alphabet)
+        for w in words:
+            for _ in range(3):
+                s = rng.randrange(len(w))
+                length = rng.randint(2, 4)
+                pieces.add(w[s : s + length])
+        total = 100
+        scores = {
+            p: _ug_score_micro(rng.randint(0, 30), total, len(pieces))
+            for p in sorted(pieces)
+            if p
+        }
+        for w in words:
+            got = _ug_viterbi(w, scores)
+            ref_score, ref_pcs = _naive_viterbi(w, scores)
+            assert got == ref_pcs, (w, got, ref_pcs)
+            assert sum(scores.get(p) for p in got) == ref_score
+
+
+def test_unigram_em_reference_equivalence_and_invariants():
+    """Vocab-for-vocab: running the EM with the naive reference
+    segmenter substituted for the DP must give the IDENTICAL final
+    vocabulary, counts, and scores (the bpe driver-vs-distributed
+    equivalence precedent). Plus structural invariants: every corpus
+    character survives, multi-piece count obeys the final keep size."""
+    from kafka_flink_slack_pipeline_spark.operators import training as T
+
+    corpus = [("abab", 5), ("abcab", 3), ("bcbc", 2), ("cab", 4)]
+    expected = T._unigram_em(corpus)
+
+    orig = T._ug_viterbi
+    try:
+        T._ug_viterbi = lambda w, s: _naive_viterbi(w, s)[1]
+        via_naive = T._unigram_em(corpus)
+    finally:
+        T._ug_viterbi = orig
+    assert expected == via_naive
+
+    chars = {ch for w, _ in corpus for ch in w}
+    vocab_chars = {p for p, is_char, _, _ in expected if is_char}
+    assert vocab_chars == chars
+    n_multi = sum(1 for _, is_char, _, _ in expected if not is_char)
+    assert n_multi <= T._UG_KEEP[-1]
+    # scores are log-probs of a (sub-)distribution: negative, finite
+    assert all(s < 0 for *_x, s in expected)
+
+
+def test_unigram_apply_jvm_fold_matches_driver_viterbi(spark, sf_dir):
+    """The distributed JVM Viterbi fold must emit the same token totals
+    the driver-held segmenter computes from the same learned model —
+    the apply path's driver-vs-distributed equivalence."""
+    from kafka_flink_slack_pipeline_spark.operators import training as T
+
+    model = T._unigram_model(spark, sf_dir)
+    total = sum(cnt for _, _, cnt, _ in model)
+    micro = {
+        p: T._ug_score_micro(cnt, total, len(model))
+        for p, _, cnt, _ in model
+    }
+    got = {
+        r.lang: (r.n_words, r.total_chars, r.total_tokens)
+        for r in T.unigram_apply_compression(spark, sf_dir).collect()
+    }
+    d = table(spark, sf_dir, "documents").select("lang", "text").collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in d:
+        for w in r.text.strip().split():
+            if not w:
+                continue
+            a = agg[r.lang]
+            a[0] += 1
+            a[1] += len(w)
+            a[2] += len(T._ug_viterbi(w, micro))
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    for lang, (nw, nc, nt) in got.items():
+        assert nw <= nt <= nc  # >=1 token/word, <=1 token/char
