@@ -17,6 +17,7 @@ from .event_server import (  # noqa: F401
 )
 from .event_time import windowed_event_counts  # noqa: F401
 from .ingest_dedup import (  # noqa: F401
+    crossdup_documents_stream,
     dedup_documents_stream,
     neardup_documents_stream,
 )

@@ -32,6 +32,76 @@ def dedup_documents_stream(
 
 
 # --------------------------------------------------------------------------
+# Stream-stream exact-hash dedup — the streaming face of the EXACT pair
+# family (dedup_exact / the prefix join's output contract), and the one
+# batch dedup shape that had no streaming counterpart before r6:
+# dedup_documents_stream above DROPS duplicates within one stream but
+# never says WHAT they duplicated, and neardup_documents_stream covers
+# minhash only. This operator joins an incoming document stream against
+# the landed-corpus stream on content fingerprint and emits one verdict
+# row per (incoming doc, earlier landed copy) — the evidence record an
+# ingest pipeline stores before dropping.
+#
+# Both sides are watermarked and the join carries an event-time range
+# (landed_ts in [inc_ts - horizon, inc_ts]), which is what lets Spark
+# evict join state: without the time bound a stream-stream inner join
+# keeps every row forever. Each unordered pair is emitted exactly once
+# (earlier-lands-first; doc_id tiebreak on equal timestamps), so a doc
+# never matches itself even when the caller passes the SAME source as
+# both sides (the self-join usage).
+#
+# 100 TB/day: state per side is (16-byte fingerprint, id, ts) rows
+# inside the horizon, shuffled by fingerprint — md5-uniform, no skew;
+# matches are equi-join rows only. Cross-horizon duplicates remain the
+# batch dedup_exact query's job, exactly as for the two faces above.
+
+
+def crossdup_documents_stream(
+    incoming: DataFrame,
+    landed: DataFrame,
+    ts_col: str = "ingest_ts",
+    horizon: str = "24 hours",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Streaming exact-duplicate matches of `incoming` docs against
+    earlier `landed` docs (append mode). Inputs need `doc_id`, `text`,
+    and an event-time column; pass the same stream twice for the
+    self-join face. Output: (doc_id, dup_of, fingerprint, ingest_ts,
+    landed_ts); `select("doc_id").distinct()` is the drop list."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    inc = (
+        incoming.select(
+            "doc_id",
+            F.md5(normalized).alias("fingerprint"),
+            F.col(ts_col).alias("ingest_ts"),
+        )
+        .withWatermark("ingest_ts", watermark)
+    )
+    lnd = (
+        landed.select(
+            F.col("doc_id").alias("dup_of"),
+            F.md5(normalized).alias("l_fingerprint"),
+            F.col(ts_col).alias("landed_ts"),
+        )
+        .withWatermark("landed_ts", watermark)
+    )
+    cond = (
+        (F.col("fingerprint") == F.col("l_fingerprint"))
+        & (F.col("landed_ts") >= F.expr(f"ingest_ts - INTERVAL {horizon}"))
+        & (
+            (F.col("landed_ts") < F.col("ingest_ts"))
+            | (
+                (F.col("landed_ts") == F.col("ingest_ts"))
+                & (F.col("dup_of") < F.col("doc_id"))
+            )
+        )
+    )
+    return inc.join(lnd, cond, "inner").select(
+        "doc_id", "dup_of", "fingerprint", "ingest_ts", "landed_ts"
+    )
+
+
+# --------------------------------------------------------------------------
 # Streaming NEAR-dup flagging — the streaming face of dedup_minhash_lsh
 # (operators/dedup.py), via applyInPandasWithState keyed by LSH band.
 #

@@ -1198,3 +1198,60 @@ def test_quality_gate_stream_parity_and_rejects(spark, tmp_path):
         for r in quality_gate_stream(spark.read.parquet(src)).collect()
     }
     assert batch[0].asDict() == h0.asDict()
+
+
+def test_crossdup_stream_stream_exact_join(spark, tmp_path):
+    """Stream-stream exact-hash dedup (the exact family's streaming
+    face): a later normalized-content copy is matched against the
+    earlier landed doc across micro-batches (checkpointed state), each
+    unordered pair emits exactly once even though both join sides read
+    the SAME source, and a replay over the same checkpoint emits
+    nothing new (exactly-once)."""
+    from kafka_flink_slack_pipeline_spark.streaming import (
+        crossdup_documents_stream,
+    )
+
+    schema = "doc_id bigint, text string, ingest_ts timestamp"
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def run_batch():
+        def save(batch_df, epoch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        inc = spark.readStream.schema(schema).parquet(src)
+        lnd = spark.readStream.schema(schema).parquet(src)
+        q = (
+            crossdup_documents_stream(inc, lnd, horizon="2 hours")
+            .writeStream.foreachBatch(save)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return spark.read.parquet(out_dir).collect()
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text="Hello  World", ingest_ts=t0),
+         Row(doc_id=2, text="different", ingest_ts=t0)],
+        schema,
+    ).write.parquet(src)
+    # distinct contents, and no doc matches itself
+    assert run_batch() == []
+
+    # a case/whitespace variant of doc 1 lands 30 min later: one match,
+    # state carried across micro-batches by the checkpoint
+    spark.createDataFrame(
+        [Row(doc_id=3, text="hello world",
+             ingest_ts=dt.datetime(2024, 1, 1, 0, 30))],
+        schema,
+    ).write.mode("append").parquet(src)
+    rows = run_batch()
+    assert {(r.doc_id, r.dup_of) for r in rows} == {(3, 1)}
+    assert all(r.landed_ts <= r.ingest_ts for r in rows)
+
+    # replay with no new data: exactly-once — nothing re-emitted
+    assert {(r.doc_id, r.dup_of) for r in run_batch()} == {(3, 1)}
