@@ -341,6 +341,119 @@ ORDER BY doc_a, doc_b, start_a, start_b
 """
 
 
+# --------------------------------------------------------------------------
+# Per-document rollup of the exact pair runs — the scrubber input (how
+# many of MY tokens are duplicated somewhere, and where), computed from
+# interdoc_dup_runs_exact's per-pair maximal runs by unioning each doc's
+# intervals across ALL partners (classic interval-union sweep: order by
+# start, break where start exceeds the running max end). Directly
+# comparable to interdoc_dup_runs' per-doc schema, with exact-pair
+# semantics underneath: dup_tokens counts every token covered by some
+# maximal shared run (>= _MIN_RUN_EXACT tokens, df-capped seeds), and
+# touching-or-overlapping intervals merge into one covered REGION (so
+# n_runs counts disjoint duplicated regions, not distinct partners).
+#
+# Scale notes (100 TB): intervals are output-sized (2 rows per pair
+# run); the sweep is one window + one aggregate partitioned by doc_id —
+# equi-key shuffles over the run set, never the corpus. The token-count
+# attach is a narrow map over documents (third scan, budgeted).
+
+
+def interdoc_dup_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = interdoc_dup_runs_exact(spark, sf_dir)
+    # both sides' intervals come from ONE pass over the runs (a union of
+    # two selects would recompute the whole seed-join pipeline per side
+    # under Spark 4.1 AQE's no-reuse planning: measured 5 documents
+    # scans -> 3)
+    ivals = runs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("start_a").alias("s"),
+                    (F.col("start_a") + F.col("run_len")).alias("e"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("start_b").alias("s"),
+                    (F.col("start_b") + F.col("run_len")).alias("e"),
+                ),
+            )
+        ).alias("iv")
+    ).select("iv.doc_id", "iv.s", "iv.e")
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = ivals.withColumn(
+        "brk", (F.col("s") > F.coalesce(prev_max_e, F.lit(-1))).cast("long")
+    ).withColumn("region_id", F.sum("brk").over(w_run))
+    regions = islands.groupBy("doc_id", "region_id").agg(
+        (F.max("e") - F.min("s")).alias("region_len")
+    )
+    d = table(spark, sf_dir, "documents")
+    sizes = d.select("doc_id", F.size(tokens_col()).alias("n_toks"))
+    return (
+        regions.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_regions"),
+            F.sum("region_len").alias("dup_tokens"),
+            F.max("region_len").cast("long").alias("longest_region"),
+        )
+        .join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_regions",
+            "dup_tokens",
+            "longest_region",
+            F.round(F.col("dup_tokens") / F.col("n_toks"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INTERDOC_DOC_REPORT_ORACLE = f"""
+WITH runs AS ({INTERDOC_RUNS_EXACT_ORACLE}),
+ivals AS (
+  SELECT doc_a AS doc_id, start_a AS s, start_a + run_len AS e FROM runs
+  UNION ALL
+  SELECT doc_b, start_b, start_b + run_len FROM runs
+),
+lagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM ivals
+),
+islands AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS region_id
+  FROM lagged
+),
+regions AS (
+  SELECT doc_id, region_id, max(e) - min(s) AS region_len
+  FROM islands GROUP BY doc_id, region_id
+),
+sizes AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+  FROM documents
+)
+SELECT r.doc_id, count(*)::BIGINT AS n_regions,
+       sum(region_len)::BIGINT AS dup_tokens,
+       max(region_len)::BIGINT AS longest_region,
+       round(sum(region_len)::DOUBLE / n_toks, 4) AS dup_frac
+FROM regions r JOIN sizes USING (doc_id)
+GROUP BY r.doc_id, n_toks
+ORDER BY r.doc_id
+"""
+
+
 _RUN_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_RUN_N))
 INTERDOC_RUNS_ORACLE = f"""
 WITH sp AS (
@@ -1946,6 +2059,10 @@ QUERIES = [
               "EXACT maximal shared-substring runs per doc pair "
               "(DSA-style seed join + diagonal islands; Lee et al. "
               "fidelity, catches >=4-token runs)"),
+    QuerySpec("interdoc_dup_doc_report", interdoc_dup_doc_report,
+              INTERDOC_DOC_REPORT_ORACLE,
+              "per-doc duplicated-region rollup of the exact pair runs "
+              "(interval-union sweep) — the scrubber input"),
     QuerySpec("token_budget_select", token_budget_select,
               TOKEN_BUDGET_ORACLE,
               "fill a token budget best-quality-first (two-phase cumsum)"),

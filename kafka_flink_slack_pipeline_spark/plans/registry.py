@@ -371,6 +371,17 @@ _DEMOTED = (
     # gap, now measured by a planted test), and its gaps-and-islands
     # oracle stays verify_local-covered.
     "interdoc_dup_runs",
+    # One slot for interdoc_dup_doc_report (new-code rule: the per-doc
+    # interval-union rollup of the exact pair runs — the scrubber
+    # input). dedup_method_report rotates out on the ann_recall_report
+    # precedent: it is an EVALUATION COMPOSITION whose four members
+    # (minhash_lsh, simhash_capped, ngram_capped, prefix_join) each
+    # keep their own in-window hash-checked rows, its body is untouched
+    # this round, its 1.0/1.0 prefix-row control stays pinned by a
+    # dedicated test, and its composed oracle stays
+    # verify_local-covered. This keeps user_history_window (the W1
+    # reference-parity row) in-window, where it has been every round.
+    "dedup_method_report",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -405,3 +405,32 @@ def test_dup_runs_exact_does_not_merge_across_partners(spark, tmp_path):
     got = [(r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len)
            for r in interdoc_dup_runs_exact(spark, str(tmp_path)).collect()]
     assert got == [(1, 2, 0, 2, 5), (1, 3, 5, 1, 5)]
+
+
+def test_dup_doc_report_unions_intervals_across_partners(spark, tmp_path):
+    """The per-doc rollup of the exact pair runs: doc 1's two touching
+    5-token runs (shared with DIFFERENT partners) merge into one
+    10-token covered region (interval union), giving dup_frac 1.0;
+    each partner doc reports its own 5-token region."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        interdoc_dup_doc_report,
+    )
+
+    s1 = "a1 a2 a3 a4 a5"
+    s2 = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),
+            (2, f"x1 x2 {s1} x3 x4"),
+            (3, f"y1 {s2} y2 y3 y4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           interdoc_dup_doc_report(spark, str(tmp_path)).collect()}
+    assert got[1].n_regions == 1 and got[1].dup_tokens == 10
+    assert got[1].longest_region == 10 and got[1].dup_frac == 1.0
+    assert got[2].n_regions == 1 and got[2].dup_tokens == 5
+    assert got[2].dup_frac == 0.5556  # 5 of 9 tokens
+    assert got[3].n_regions == 1 and got[3].dup_tokens == 5

@@ -118,6 +118,8 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     # this corpus, capped join on low-entropy ones) — the gate aggregate
     # runs eagerly at frame-build and never appears in the audited plan
     "dedup_ngram_adaptive": (4, "routed branch = prefix join's plan here"),
+    # exact-pair seed self-join sides + the token-count narrow attach
+    "interdoc_dup_doc_report": (3, "seed join sides + sizes attach"),
     "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
     "corpus_export_manifest": (5, "filter + pack composition"),
     # composed reports re-derive their member queries' branches
