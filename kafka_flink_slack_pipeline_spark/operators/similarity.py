@@ -559,7 +559,7 @@ def _assign_cid(model: list[tuple[int, list[float]]], sims_col):
 
 
 def _ivf_index(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, probes) shared by the IVF and IVF-PQ searchers:
     inverted lists keyed by nearest centroid, and each query's NPROBE
@@ -592,7 +592,7 @@ def _ivf_index(
             )
         ),
         1,
-        IVF_NPROBE,
+        nprobe,
     )
     probes = (
         emb.filter(F.col("vec_id") < 10)
@@ -613,7 +613,13 @@ def _ivf_index(
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via IVF: nearest-centroid
     inverted lists, nprobe=3 probe, exact re-rank inside probed lists."""
-    cand, probes = _ivf_index(spark, sf_dir)
+    return _ivf_topk(spark, sf_dir, IVF_NPROBE)
+
+
+def _ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int
+) -> DataFrame:
+    cand, probes = _ivf_index(spark, sf_dir, nprobe)
     rescored = (
         cand.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -842,7 +848,10 @@ ORDER BY query_id, rank
 """
 
 
-COSINE_TOPK_IVF_ORACLE = f"""
+def _ivf_oracle_at(nprobe: int) -> str:
+    """The IVF oracle parameterized by nprobe (feeds both the standalone
+    query's oracle and the nprobe-sweep report's per-row CTEs)."""
+    return f"""
 WITH exploded AS (
   SELECT vec_id, label, u.x, u.pos
   FROM embeddings,
@@ -867,7 +876,7 @@ ranked AS (
 ),
 assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
 probes AS (SELECT vec_id AS query_id, cid FROM ranked
-           WHERE rk <= {IVF_NPROBE} AND vec_id < 10),
+           WHERE rk <= {nprobe} AND vec_id < 10),
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
 FROM (
@@ -885,6 +894,9 @@ FROM (
 WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+COSINE_TOPK_IVF_ORACLE = _ivf_oracle_at(IVF_NPROBE)
 
 
 # --------------------------------------------------------------------------
@@ -987,6 +999,138 @@ LEFT JOIN lsh_h ON k.query_id = lsh_h.query_id
 LEFT JOIN ivf_h ON k.query_id = ivf_h.query_id
 LEFT JOIN ivfpq_h ON k.query_id = ivfpq_h.query_id
 ORDER BY k.query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF nprobe tuning curve — recall@5 as a function of nprobe, the knob an
+# IVF deployment actually turns (FAISS's `nprobe`; more probed Voronoi
+# cells = more candidates = higher recall at linearly higher scan cost).
+# ann_recall_report grades each index at its deployed setting; this
+# report answers the NEXT question — what does another probe buy — with
+# a corpus-level (micro-averaged) recall row per nprobe, plus the
+# candidate workload that paid for it. Recall is monotone non-decreasing
+# in nprobe BY CONSTRUCTION (probing more lists only adds candidates to
+# an exact re-rank), which the test pins.
+#
+# 100 TB shape: each member pipeline is the audited IVF plan at a
+# different literal slice length; pair frames are localCheckpoint-
+# materialized OUTPUT-sized (10 queries x 5 rows), so the per-row count
+# aggregates and 1-row crossJoins touch no corpus data (the
+# dedup_method_report composition pattern).
+_NPROBE_SWEEP = (1, 2, 3, 5)
+
+
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    rows = None
+    for nprobe in _NPROBE_SWEEP:
+        cand, probes = _ivf_index(spark, sf_dir, nprobe)
+        # candidate-sized (queries x probed-list members), materialized
+        # once so the workload count and the top-k ranking share ONE
+        # pipeline run instead of two AQE recomputes
+        scored = (
+            cand.join(F.broadcast(probes), "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "neighbor_id", cosine(F.col("qe"), F.col("ne")).alias("sim")
+            )
+            .localCheckpoint(eager=False)
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = exact.join(topk, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(scored.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                "n_exact",
+                "n_candidates",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_exact"), 4
+                ).alias("recall_at_5"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("nprobe")
+
+
+def _ivf_assign_prefix() -> str:
+    """The shared coarse-quantizer assignment CTE text (no WITH header),
+    reused by the per-nprobe sweep CTEs."""
+    return """
+exploded AS (
+  SELECT vec_id, label, u.x, u.pos
+  FROM embeddings,
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
+),
+centroid AS (
+  SELECT label AS cid, pos,
+         sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
+  FROM exploded GROUP BY label, pos
+),
+csims AS (
+  SELECT e.vec_id, c.cid,
+         sum(e.x * c.cx) / (sqrt(sum(e.x * e.x)) * sqrt(sum(c.cx * c.cx))) AS csim
+  FROM exploded e JOIN centroid c ON e.pos = c.pos
+  GROUP BY e.vec_id, c.cid
+),
+ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid ASC) AS rk
+  FROM csims
+),
+assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1)"""
+
+
+def _nprobe_sweep_oracle() -> str:
+    cand_ctes = ",\n".join(
+        f"""cand_{n} AS (
+  WITH {_ivf_assign_prefix()},
+  probes AS (SELECT vec_id AS query_id, cid FROM ranked
+             WHERE rk <= {n} AND vec_id < 10)
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a
+    ON a.cid = p.cid AND a.vec_id <> p.query_id
+)"""
+        for n in _NPROBE_SWEEP
+    )
+    ivf_ctes = ",\n".join(
+        f"ivf_{n} AS ({_ivf_oracle_at(n)})" for n in _NPROBE_SWEEP
+    )
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT {n} AS nprobe,
+       (SELECT count(*) FROM exact_r)::BIGINT AS n_exact,
+       (SELECT count(*) FROM cand_{n})::BIGINT AS n_candidates,
+       (SELECT count(*) FROM exact_r e
+        WHERE EXISTS (SELECT 1 FROM ivf_{n} a
+                      WHERE a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id))::BIGINT
+         AS n_hits"""
+        for n in _NPROBE_SWEEP
+    )
+    return f"""
+WITH exact_r AS ({COSINE_TOPK_ORACLE}),
+{cand_ctes},
+{ivf_ctes}
+SELECT nprobe, n_exact, n_candidates, n_hits,
+       round(n_hits::DOUBLE / n_exact, 4) AS recall_at_5
+FROM ({blocks})
+ORDER BY nprobe
 """
 
 
@@ -1339,6 +1483,10 @@ QUERIES = [
               "IVF ANN: centroid inverted lists, nprobe probe, exact re-rank"),
     QuerySpec("ann_recall_report", ann_recall_report, ANN_RECALL_ORACLE,
               "per-query LSH/IVF recall vs exact top-k (composed oracle)"),
+    QuerySpec("ivf_nprobe_recall_curve", ivf_nprobe_recall_curve,
+              _nprobe_sweep_oracle(),
+              "IVF recall@5 + candidate workload per nprobe (the tuning "
+              "curve; monotone in nprobe by construction)"),
     QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE,
               "SemDeDup: centroid-clustered embedding near-dup pruning"),
     QuerySpec("cosine_topk_ivfpq", cosine_topk_ivfpq, _ivfpq_oracle(),

@@ -330,6 +330,14 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: ivf_nprobe_recall_curve is demoted on arrival, on the same
+    # evaluation-harness precedent as ann_recall_report (r4) and
+    # dedup_method_report (this round): it is a tuning-curve COMPOSITION
+    # whose member pipeline (the IVF index/searcher) keeps in-window
+    # hash coverage via cosine_topk_ivfpq's stage 1 (same assignment
+    # expressions), its monotone-recall contract is pinned by a
+    # dedicated test, and its composed oracle is verify_local-covered.
+    "ivf_nprobe_recall_curve",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

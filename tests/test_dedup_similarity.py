@@ -395,3 +395,21 @@ def test_adaptive_routes_flat_vocab_corpus_to_capped_path(spark, tmp_path):
     assert [(r[0], r[1], r[4]) for r in oracle] == [
         (100, 101, "ngram_capped")
     ]
+
+
+def test_ivf_nprobe_curve_is_monotone_and_anchored(spark, sf_dir):
+    """Recall@5 must be monotone non-decreasing in nprobe (probing more
+    Voronoi cells only ADDS candidates to an exact re-rank), candidate
+    workload strictly grows, and the nprobe=3 row must agree with the
+    deployed cosine_topk_ivf's own recall as ann_recall_report computes
+    it (micro-averaged)."""
+    rows = S.ivf_nprobe_recall_curve(spark, sf_dir).collect()
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_at_5 >= prev.recall_at_5
+        assert cur.n_candidates > prev.n_candidates
+        assert cur.n_exact == prev.n_exact
+    report = S.ann_recall_report(spark, sf_dir).collect()
+    micro = sum(r.ivf_hits for r in report) / sum(r.k for r in report)
+    at3 = next(r for r in rows if r.nprobe == 3)
+    assert at3.recall_at_5 == round(micro, 4)

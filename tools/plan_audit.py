@@ -85,6 +85,10 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
                                "method row (4 methods; pair frames "
                                "checkpointed output-sized)"),
     "ann_recall_report": (2, "brute-force member + 1-row aggregates"),
+    # brute-force member (1) + per-nprobe 2x 1-row count-aggregate
+    # crossJoins (4 sweep points; pair/candidate frames checkpointed
+    # output-sized — the dedup_method_report composition allowance)
+    "ivf_nprobe_recall_curve": (9, "brute member + 4x 1-row crossJoins"),
     "q22_dormant_customers": (1, "1-row avg-balance attach (Q22 shape)"),
     # broadcast of the 1-row train-vocab-size aggregate (constant attach;
     # derived from the localCheckpoint-ed bigram model, not a corpus scan)
