@@ -454,6 +454,108 @@ ORDER BY r.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Substring-scrub APPLY — the step that actually produces the
+# deduplicated corpus (Lee et al. 2022 §4 remove the duplicated spans;
+# the reports above only MEASURE them). Keep-first-occurrence policy:
+# every exact pair run keeps its doc_a copy (pairs are emitted with
+# doc_a < doc_b) and scrubs the doc_b-side interval, so exactly one
+# occurrence of every duplicated string survives per pair chain. A
+# document's scrub set is the union of its b-side intervals; tokens at
+# covered positions are dropped and the survivors reassemble in
+# position order. Fully-scrubbed docs come out with empty text rather
+# than vanishing (the LEFT join from the corpus).
+#
+# Scale notes (100 TB): covered positions explode from the OUTPUT-sized
+# run set (run_len rows per interval, bounded by doc length); the token
+# explosion is one narrow posexplode of the corpus; the anti-join and
+# the re-aggregation are doc_id/pos equi-key shuffles. No fan-out joins
+# beyond the audited runs pipeline itself.
+
+
+def interdoc_scrub_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    runs = interdoc_dup_runs_exact(spark, sf_dir)
+    ivals = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("run_len")).alias("e"),
+    )
+    cov = ivals.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("e") - 1)).alias("pos"),
+    ).distinct()
+    d = table(spark, sf_dir, "documents")
+    tokpos = d.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "tok")
+    )
+    kept = tokpos.join(cov, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_after"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("scrubbed_text"),
+    )
+    sizes = d.select("doc_id", F.size(tokens_col()).alias("n_tokens_before"))
+    return (
+        sizes.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_before",
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+            (
+                F.col("n_tokens_before")
+                - F.coalesce("n_tokens_after", F.lit(0))
+            ).alias("n_scrubbed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+INTERDOC_SCRUB_ORACLE = f"""
+WITH runs AS ({INTERDOC_RUNS_EXACT_ORACLE}),
+ivals AS (
+  SELECT doc_b AS doc_id, start_b AS s, start_b + run_len AS e FROM runs
+),
+cov AS (
+  SELECT DISTINCT doc_id, u.pos
+  FROM ivals, unnest(generate_series(s, e - 1)) AS u(pos)
+),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+       unnest(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens_after,
+         string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+),
+sizes AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+           AS n_tokens_before
+  FROM documents
+)
+SELECT s.doc_id, s.n_tokens_before,
+       coalesce(r.n_tokens_after, 0)::BIGINT AS n_tokens_after,
+       (s.n_tokens_before - coalesce(r.n_tokens_after, 0))::BIGINT
+         AS n_scrubbed,
+       coalesce(r.scrubbed_text, '') AS scrubbed_text
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 _RUN_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_RUN_N))
 INTERDOC_RUNS_ORACLE = f"""
 WITH sp AS (
@@ -2063,6 +2165,10 @@ QUERIES = [
               INTERDOC_DOC_REPORT_ORACLE,
               "per-doc duplicated-region rollup of the exact pair runs "
               "(interval-union sweep) — the scrubber input"),
+    QuerySpec("interdoc_scrub_apply", interdoc_scrub_apply,
+              INTERDOC_SCRUB_ORACLE,
+              "substring-scrub APPLY: keep-first-occurrence, cut b-side "
+              "run intervals, reassemble surviving tokens in order"),
     QuerySpec("token_budget_select", token_budget_select,
               TOKEN_BUDGET_ORACLE,
               "fill a token budget best-quality-first (two-phase cumsum)"),

@@ -330,6 +330,16 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: interdoc_scrub_apply is demoted on arrival under window
+    # pressure, with its verification stack stated: the runs pipeline
+    # it applies is hash-checked in-window TWICE (interdoc_dup_runs_
+    # exact itself + the doc_report rollup of the same runs), its
+    # keep-first/interval-cut semantics are pinned by a planted test
+    # with hand-computed scrubbed text, and its own composed oracle is
+    # verify_local-covered. The window keeps the exact-runs family's
+    # two hash rows; the apply step's marginal driver signal is the
+    # smallest of the three.
+    "interdoc_scrub_apply",
     # r6: ivf_nprobe_recall_curve is demoted on arrival, on the same
     # evaluation-harness precedent as ann_recall_report (r4) and
     # dedup_method_report (this round): it is a tuning-curve COMPOSITION

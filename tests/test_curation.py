@@ -434,3 +434,48 @@ def test_dup_doc_report_unions_intervals_across_partners(spark, tmp_path):
     assert got[2].n_regions == 1 and got[2].dup_tokens == 5
     assert got[2].dup_frac == 0.5556  # 5 of 9 tokens
     assert got[3].n_regions == 1 and got[3].dup_tokens == 5
+
+
+def test_scrub_apply_keeps_first_occurrence(spark, tmp_path):
+    """The APPLY step: doc 1 (the doc_a side of both pairs) keeps its
+    full text; docs 2 and 3 lose exactly their shared 5-token runs and
+    reassemble their surviving tokens in order."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        interdoc_scrub_apply,
+    )
+
+    s1 = "a1 a2 a3 a4 a5"
+    s2 = "b1 b2 b3 b4 b5"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),
+            (2, f"x1 x2 {s1} x3 x4"),
+            (3, f"y1 {s2} y2 y3 y4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           interdoc_scrub_apply(spark, str(tmp_path)).collect()}
+    assert got[1].scrubbed_text == f"{s1} {s2}" and got[1].n_scrubbed == 0
+    assert got[2].scrubbed_text == "x1 x2 x3 x4" and got[2].n_scrubbed == 5
+    assert got[3].scrubbed_text == "y1 y2 y3 y4" and got[3].n_scrubbed == 5
+
+
+def test_scrub_apply_fully_covered_doc_empties(spark, tmp_path):
+    """A later doc that is entirely one shared run scrubs to the empty
+    string instead of vanishing from the output."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        interdoc_scrub_apply,
+    )
+
+    s = "c1 c2 c3 c4 c5 c6"
+    docs = spark.createDataFrame(
+        [(1, f"pre1 {s} post1"), (2, s)],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           interdoc_scrub_apply(spark, str(tmp_path)).collect()}
+    assert got[1].n_scrubbed == 0
+    assert got[2].scrubbed_text == "" and got[2].n_tokens_after == 0

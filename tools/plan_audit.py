@@ -124,6 +124,8 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "dedup_ngram_adaptive": (4, "routed branch = prefix join's plan here"),
     # exact-pair seed self-join sides + the token-count narrow attach
     "interdoc_dup_doc_report": (3, "seed join sides + sizes attach"),
+    # seed join sides + token posexplode + sizes attach
+    "interdoc_scrub_apply": (4, "runs sides + token explode + sizes"),
     "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
     "corpus_export_manifest": (5, "filter + pack composition"),
     # composed reports re-derive their member queries' branches
