@@ -365,6 +365,31 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via multi-probe, multi-table
     hyperplane LSH: candidates share a bucket (within hamming<=2 probes) in
     ANY of the 4 tables; exact cosine re-ranks the deduped candidates."""
+    cand = _lsh_candidates(spark, sf_dir, ANN_PROBE_HAMMING)
+    return _lsh_rank(cand)
+
+
+def _lsh_rank(cand: DataFrame) -> DataFrame:
+    scored = cand.withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str, radius: int
+) -> DataFrame:
+    """Deduped (query, neighbor, qe, ne) LSH candidates at the given
+    multi-probe radius — the production bucket-join plan, radius only
+    changing the probe-mask expansion."""
     planes = _hyperplanes()
     emb = _emb(spark, sf_dir)
     tables = [planes[t * ANN_NBITS : (t + 1) * ANN_NBITS] for t in range(ANN_TABLES)]
@@ -392,7 +417,7 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tb"),
     ).select("neighbor_id", "ne", "tb.t", "tb.bucket")
     # query side: one row per (query, table, probe bucket)
-    masks = _probe_masks(ANN_NBITS, ANN_PROBE_HAMMING)
+    masks = _probe_masks(ANN_NBITS, radius)
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qe"),
@@ -411,19 +436,11 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tb"),
     ).select("query_id", "qe", "tb.t", "tb.bucket")
-    cand = (
+    return (
         c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("qe").alias("qe"), F.first("ne").alias("ne"))
-    )
-    scored = cand.withColumn("sim", cosine(F.col("qe"), F.col("ne")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-        .orderBy("query_id", "rank")
     )
 
 
@@ -1135,6 +1152,121 @@ ORDER BY nprobe
 
 
 # --------------------------------------------------------------------------
+# LSH multi-probe radius tuning curve — recall@5 vs candidate workload
+# per probe radius, the hyperplane-LSH twin of ivf_nprobe_recall_curve
+# (the knob here is how many perturbed buckets each query probes:
+# radius r expands to sum_{i<=r} C(NBITS, i) masks per table). Recall is
+# monotone non-decreasing in radius by construction (a larger radius
+# probes a SUPERSET of buckets, so candidates only accumulate ahead of
+# an exact re-rank) — pinned by test.
+#
+# Spark members run the production bucket-join plan per radius; the
+# oracle exploits the equivalence "candidate at radius r <=> min over
+# tables of bucket-hamming <= r" to compute ONE per-pair min-hamming
+# CTE and slice every radius from it — same candidate sets, one
+# bucketed scan instead of eight.
+_LSH_RADIUS_SWEEP = (0, 1, 2, 3)
+
+
+def lsh_radius_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    rows = None
+    for radius in _LSH_RADIUS_SWEEP:
+        cand = (
+            _lsh_candidates(spark, sf_dir, radius)
+            .localCheckpoint(eager=False)
+        )
+        topk = _lsh_rank(cand).select("query_id", "neighbor_id")
+        hits = exact.join(topk, ["query_id", "neighbor_id"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(radius).alias("radius"),
+                "n_exact",
+                "n_candidates",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_exact"), 4
+                ).alias("recall_at_5"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("radius")
+
+
+def _lsh_sweep_oracle() -> str:
+    planes = _hyperplanes()
+
+    def bucket_sql(t: int) -> str:
+        return " + ".join(
+            "(CASE WHEN ("
+            + " + ".join(
+                f"emb[{j + 1}] * ({planes[t * ANN_NBITS + p][j]!r})"
+                for j in range(ANN_DIM)
+            )
+            + f") > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(ANN_NBITS)
+        )
+
+    buckets = ",\n       ".join(
+        f"{bucket_sql(t)} AS bucket{t}" for t in range(ANN_TABLES)
+    )
+    minham = "least(" + ", ".join(
+        f"bit_count(xor(q.bucket{t}::BIGINT, c.bucket{t}::BIGINT))"
+        for t in range(ANN_TABLES)
+    ) + ")"
+    radius_ctes = ",\n".join(
+        f"""r_{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM pairs WHERE minham <= {r})
+  WHERE rank <= 5
+)"""
+        for r in _LSH_RADIUS_SWEEP
+    )
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS radius,
+       (SELECT count(*) FROM exact_r)::BIGINT AS n_exact,
+       (SELECT count(*) FROM pairs WHERE minham <= {r})::BIGINT
+         AS n_candidates,
+       (SELECT count(*) FROM exact_r e
+        WHERE EXISTS (SELECT 1 FROM r_{r} a
+                      WHERE a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id))::BIGINT
+         AS n_hits"""
+        for r in _LSH_RADIUS_SWEEP
+    )
+    return f"""
+WITH exact_r AS ({COSINE_TOPK_ORACLE}),
+bucketed AS (
+  SELECT vec_id, emb,
+       {buckets}
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {minham} AS minham,
+         list_cosine_similarity(q.emb, c.emb) AS sim
+  FROM (SELECT * FROM bucketed WHERE vec_id < 10) q
+  JOIN bucketed c ON q.vec_id <> c.vec_id
+),
+{radius_ctes}
+SELECT radius, n_exact, n_candidates, n_hits,
+       round(n_hits::DOUBLE / n_exact, 4) AS recall_at_5
+FROM ({blocks})
+ORDER BY radius
+"""
+
+
+# --------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style, Abbas et al. 2023): cluster the embedding
 # space with a coarse quantizer, then near-dup-prune WITHIN each cluster,
 # keeping the lowest id of every near-dup pair. The cluster step is what
@@ -1487,6 +1619,10 @@ QUERIES = [
               _nprobe_sweep_oracle(),
               "IVF recall@5 + candidate workload per nprobe (the tuning "
               "curve; monotone in nprobe by construction)"),
+    QuerySpec("lsh_radius_recall_curve", lsh_radius_recall_curve,
+              _lsh_sweep_oracle(),
+              "LSH recall@5 + candidate workload per multi-probe radius "
+              "(the hyperplane twin of the nprobe curve)"),
     QuerySpec("semantic_dedup", semantic_dedup, SEMANTIC_DEDUP_ORACLE,
               "SemDeDup: centroid-clustered embedding near-dup pruning"),
     QuerySpec("cosine_topk_ivfpq", cosine_topk_ivfpq, _ivfpq_oracle(),

@@ -348,6 +348,11 @@ _DEMOTED = (
     # expressions), its monotone-recall contract is pinned by a
     # dedicated test, and its composed oracle is verify_local-covered.
     "ivf_nprobe_recall_curve",
+    # r6: lsh_radius_recall_curve — identical reasoning to its IVF twin
+    # directly above (tuning-curve composition; the LSH member pipeline
+    # keeps its own in-window hash row via cosine_topk_lsh; monotone
+    # contract test-pinned; composed oracle verify_local-covered).
+    "lsh_radius_recall_curve",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

@@ -413,3 +413,21 @@ def test_ivf_nprobe_curve_is_monotone_and_anchored(spark, sf_dir):
     micro = sum(r.ivf_hits for r in report) / sum(r.k for r in report)
     at3 = next(r for r in rows if r.nprobe == 3)
     assert at3.recall_at_5 == round(micro, 4)
+
+
+def test_lsh_radius_curve_is_monotone_and_anchored(spark, sf_dir):
+    """Recall@5 must be monotone non-decreasing in probe radius (a
+    larger radius probes a superset of buckets), candidate workload
+    non-decreasing, and the deployed radius-2 row must reproduce
+    cosine_topk_lsh's own recall against brute force."""
+    rows = S.lsh_radius_recall_curve(spark, sf_dir).collect()
+    assert [r.radius for r in rows] == [0, 1, 2, 3]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.recall_at_5 >= prev.recall_at_5
+        assert cur.n_candidates >= prev.n_candidates
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk_bruteforce(spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in S.cosine_topk_lsh(spark, sf_dir).collect()}
+    at2 = next(r for r in rows if r.radius == 2)
+    assert at2.recall_at_5 == round(len(exact & approx) / len(exact), 4)
