@@ -1909,6 +1909,175 @@ ORDER BY method
 """
 
 
+# --------------------------------------------------------------------------
+# MinHash banding tradeoff — the (bands x rows) S-curve design table
+# (Leskovec/Rajaraman/Ullman, MMDS ch.3): splitting the SAME 16-component
+# signature as 2x8 / 4x4 / 8x2 moves the candidate threshold
+# s ~ (1/b)^(1/r) from strict (high precision) to loose (high recall).
+# One row per config with precision/recall against the exact Jaccard
+# pairs — beside dedup_method_report (which selects BETWEEN families)
+# this selects WITHIN the minhash family's geometry.
+#
+# The candidate sets are NESTED by construction: an agreeing 8-row band
+# splits into two agreeing 4-row bands, which split into agreeing 2-row
+# bands — so recall and pair counts are monotone along 2x8 -> 4x4 -> 8x2
+# (modulo the shared bucket cap; test-pinned on the testdata where no
+# bucket nears it). 100 TB shape per member: the single-pass
+# groupBy(band, bkey) + capped collect_list + pair explosion of
+# dedup_minhash_lsh, at a different literal banding layout.
+_BANDING_CONFIGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows); b*r = K
+
+
+def _minhash_band_pairs(
+    spark: SparkSession, sf_dir: str, n_bands: int, n_rows: int
+) -> DataFrame:
+    """Distinct candidate pairs sharing >= 1 of `n_bands` bands of
+    `n_rows` consecutive signature components (bucket-capped)."""
+    sigs = _minhash_sigs(_minhash_sig_input(spark, sf_dir))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{b * n_rows + r}")
+                                for r in range(n_rows)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bkey")
+    w = Window.partitionBy("band", "bkey")
+    buckets = (
+        bands.withColumn("bsize", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("bsize") >= 2) & (F.col("bsize") <= MINHASH_BUCKET_CAP)
+        )
+        .groupBy("band", "bkey")
+        .agg(F.collect_list("doc_id").alias("ms"))
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    rows = None
+    for b, r in _BANDING_CONFIGS:
+        m = _minhash_band_pairs(spark, sf_dir, b, r).localCheckpoint(
+            eager=False
+        )
+        hits = exact.join(m, ["doc_a", "doc_b"], "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(m.agg(F.count(F.lit(1)).alias("n_pairs")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(f"{b}x{r}").alias("config"),
+                "n_exact",
+                "n_pairs",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_pairs"), 4
+                ).alias("precision"),
+                F.round(
+                    F.col("n_hits").cast("double") / F.col("n_exact"), 4
+                ).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("config")
+
+
+def _banding_tradeoff_oracle() -> str:
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs())
+    )
+    cfg_ctes = []
+    for b, r in _BANDING_CONFIGS:
+        band_selects = "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {band} AS band, {key} AS bkey FROM sigs".format(
+                band=band,
+                key=" || ',' || ".join(
+                    f"h{band * r + i}" for i in range(r)
+                ),
+            )
+            for band in range(b)
+        )
+        cfg_ctes.append(
+            f"""p_{b}x{r} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, band, bkey FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsize
+          FROM ({band_selects}))
+        WHERE bsize BETWEEN 2 AND {MINHASH_BUCKET_CAP}) a
+  JOIN (SELECT doc_id, band, bkey FROM (
+          SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsize
+          FROM ({band_selects}))
+        WHERE bsize BETWEEN 2 AND {MINHASH_BUCKET_CAP}) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)"""
+        )
+    blocks = "\nUNION ALL\n".join(
+        f"""SELECT '{b}x{r}' AS config,
+       (SELECT count(*) FROM exact_r)::BIGINT AS n_exact,
+       (SELECT count(*) FROM p_{b}x{r})::BIGINT AS n_pairs,
+       (SELECT count(*) FROM exact_r e
+        WHERE EXISTS (SELECT 1 FROM p_{b}x{r} a
+                      WHERE a.doc_a = e.doc_a
+                        AND a.doc_b = e.doc_b))::BIGINT AS n_hits"""
+        for b, r in _BANDING_CONFIGS
+    )
+    return f"""
+WITH exact_r AS ({DEDUP_NGRAM_JACCARD_ORACLE}),
+shingled_m AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 0)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           )) AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+  )
+  WHERE shingle <> ''
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM shingled_m
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+{",".join(cfg_ctes)}
+SELECT config, n_exact, n_pairs, n_hits,
+       round(n_hits::DOUBLE / n_pairs, 4) AS precision,
+       round(n_hits::DOUBLE / n_exact, 4) AS recall
+FROM ({blocks})
+ORDER BY config
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", dedup_exact, DEDUP_EXACT_ORACLE,
               "exact dedup: hash-groupBy, canonical id + group size"),
@@ -1962,4 +2131,8 @@ QUERIES = [
     QuerySpec("dedup_recall_report", dedup_recall_report,
               _dedup_recall_oracle(),
               "minhash-LSH precision/recall vs exact Jaccard (composed)"),
+    QuerySpec("minhash_banding_tradeoff", minhash_banding_tradeoff,
+              _banding_tradeoff_oracle(),
+              "precision/recall per (bands x rows) split of the same "
+              "16-component signature — the MMDS S-curve design table"),
 ]

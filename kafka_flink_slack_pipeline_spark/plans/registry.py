@@ -330,6 +330,13 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: minhash_banding_tradeoff — the tuning-curve precedent again
+    # (ann_recall_report r4, the two r6 curves): an evaluation
+    # composition whose member pipeline (signatures + banded buckets)
+    # keeps its in-window hash row via dedup_minhash_lsh, whose nesting
+    # contract (2x8 ⊆ 4x4 ⊆ 8x2 candidates) is test-pinned, and whose
+    # composed oracle is verify_local-covered.
+    "minhash_banding_tradeoff",
     # r6: interdoc_scrub_apply is demoted on arrival under window
     # pressure, with its verification stack stated: the runs pipeline
     # it applies is hash-checked in-window TWICE (interdoc_dup_runs_

@@ -431,3 +431,22 @@ def test_lsh_radius_curve_is_monotone_and_anchored(spark, sf_dir):
               for r in S.cosine_topk_lsh(spark, sf_dir).collect()}
     at2 = next(r for r in rows if r.radius == 2)
     assert at2.recall_at_5 == round(len(exact & approx) / len(exact), 4)
+
+
+def test_banding_tradeoff_candidates_are_nested(spark, sf_dir):
+    """The S-curve geometry: an agreeing 8-row band contains two
+    agreeing 4-row bands, so candidate sets nest 2x8 ⊆ 4x4 ⊆ 8x2 (no
+    bucket nears the shared cap on this corpus), making recall and
+    pair counts monotone along the loosening configs; the loosest
+    config pays in precision on this corpus (it admits candidates the
+    strict bands reject)."""
+    p = {}
+    for b, r in D._BANDING_CONFIGS:
+        p[(b, r)] = {(x.doc_a, x.doc_b)
+                     for x in D._minhash_band_pairs(spark, sf_dir, b, r).collect()}
+    assert p[(2, 8)] <= p[(4, 4)] <= p[(8, 2)]
+    rows = D.minhash_banding_tradeoff(spark, sf_dir).collect()
+    by_cfg = {r.config: r for r in rows}
+    assert by_cfg["2x8"].recall <= by_cfg["4x4"].recall <= by_cfg["8x2"].recall
+    assert by_cfg["2x8"].n_pairs <= by_cfg["4x4"].n_pairs <= by_cfg["8x2"].n_pairs
+    assert by_cfg["8x2"].precision <= by_cfg["4x4"].precision

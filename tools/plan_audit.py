@@ -90,6 +90,8 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # output-sized — the dedup_method_report composition allowance)
     "ivf_nprobe_recall_curve": (9, "brute member + 4x 1-row crossJoins"),
     "lsh_radius_recall_curve": (9, "brute member + 4x 1-row crossJoins"),
+    # exact-jaccard member's self-join + 3x 2x 1-row count crossJoins
+    "minhash_banding_tradeoff": (8, "exact member + 3x 1-row crossJoins"),
     "q22_dormant_customers": (1, "1-row avg-balance attach (Q22 shape)"),
     # broadcast of the 1-row train-vocab-size aggregate (constant attach;
     # derived from the localCheckpoint-ed bigram model, not a corpus scan)
