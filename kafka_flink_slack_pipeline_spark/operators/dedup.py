@@ -835,6 +835,13 @@ def _simhash_fps(d: DataFrame) -> DataFrame:
             F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
+    return _simhash_agg(toks)
+
+
+def _simhash_agg(toks: DataFrame) -> DataFrame:
+    """(doc_id, tok) frame -> (doc_id, fp): the packed-counter 60-bit
+    simhash aggregation (shared by the text fingerprints above and the
+    binary-payload fingerprints in operators/multimodal.py)."""
     th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     n_packed = SIMHASH_BITS // SIMHASH_PACK
     packed_exprs = [
@@ -1002,7 +1009,13 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle; over-cap buckets die at the aggregate before any
     pair explosion."""
     d = table(spark, sf_dir, "documents")
-    fps = _simhash_fps(d)
+    return _simhash_capped_pairs(_simhash_fps(d))
+
+
+def _simhash_capped_pairs(fps: DataFrame) -> DataFrame:
+    """(doc_id, fp) -> capped banded hamming<=3 pairs (the production
+    single-pass plan; shared with the binary-payload near-dup in
+    operators/multimodal.py)."""
     bands = fps.select(
         "doc_id",
         "fp",
@@ -1044,7 +1057,11 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_capped_oracle() -> str:
+def _simhash_capped_oracle(toks_sql: str | None = None) -> str:
+    """Capped banded-simhash oracle; `toks_sql` overrides the (doc_id,
+    tok) source CTE body (default: distinct lowercase text tokens —
+    the binary-payload variant in operators/multimodal.py passes hex
+    byte-shingles instead)."""
     th = "('0x' || substr(md5(tok), 1, 15))::BIGINT"
     sums = ",\n         ".join(
         f"sum(((({th} >> {j}) & 1) * 2 - 1)::BIGINT) AS s{j}"
@@ -1058,14 +1075,15 @@ def _simhash_capped_oracle() -> str:
         f"((fp >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1})"
         for b in range(SIMHASH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    toks_body = toks_sql or """
   SELECT DISTINCT doc_id, tok FROM (
     SELECT doc_id,
            unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
     FROM documents)
   WHERE tok <> ''
-),
+"""
+    return f"""
+WITH toks AS ({toks_body}),
 sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id),
 fps AS (SELECT doc_id, {fp} AS fp FROM sums),
 bands AS (

@@ -305,6 +305,58 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Binary-payload near-dup detection WITHOUT decoding — the multimodal
+# face of the dedup family. Re-encoded media won't byte-match, but the
+# duplication a crawler actually ingests (same file fetched twice,
+# padded/truncated copies, metadata-stripped re-uploads) shares most raw
+# byte windows, which a simhash over BYTE 4-GRAMS catches with no codec
+# in the loop. Tokens are the payload's hex string sliced in 8-hex-char
+# windows at byte stride (each token = 4 aligned bytes), fingerprinted
+# and banded by the EXACT kernel the text dedup family uses
+# (operators/dedup.py: packed-counter 60-bit simhash, 4x15-bit
+# pigeonhole bands, bucket cap) — one audited plan, two modalities.
+#
+# 100 TB shape: hex+slice is a narrow map off the payload column; the
+# fingerprint is one groupBy(doc_id); pairs come from the capped
+# single-pass band-bucket plan. Payload bytes never leave the JVM.
+_MEDIA_SHINGLE_BYTES = 4
+
+
+def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _simhash_agg, _simhash_capped_pairs
+
+    mm = multimodal_view(spark, sf_dir)
+    hexs = F.hex("payload")
+    width = 2 * _MEDIA_SHINGLE_BYTES
+    shingles = F.when(
+        F.length(hexs) >= width,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(hexs) - width + 1, F.lit(2)),
+                lambda i: F.substring(hexs, i, width),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    toks = mm.select(
+        "doc_id", F.explode(shingles).alias("tok")
+    )
+    return _simhash_capped_pairs(_simhash_agg(toks))
+
+
+def _media_neardup_oracle() -> str:
+    from .dedup import _simhash_capped_oracle
+
+    width = 2 * _MEDIA_SHINGLE_BYTES
+    return _simhash_capped_oracle(
+        toks_sql=f"""
+  SELECT DISTINCT doc_id, substr(h, i, {width}) AS tok
+  FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+       unnest(generate_series(1, length(h) - {width} + 1, 2)) AS u(i)
+"""
+    )
+
+
 QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
               MULTIMODAL_BYTE_STATS_ORACLE,
@@ -318,4 +370,9 @@ QUERIES = [
     QuerySpec("audio_frame_rms", audio_frame_rms, AUDIO_FRAME_RMS_ORACLE,
               "mapInPandas frame-windowed RMS over audio payloads "
               "(integer kernel + IEEE sqrt, codec stubbed)"),
+    QuerySpec("media_neardup_simhash", media_neardup_simhash,
+              _media_neardup_oracle(),
+              "binary-payload near-dup pairs without decoding: 60-bit "
+              "simhash over byte 4-grams, capped pigeonhole bands (the "
+              "text kernel, second modality)"),
 ]

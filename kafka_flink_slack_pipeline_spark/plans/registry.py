@@ -330,6 +330,15 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: one slot for media_neardup_simhash (new-code rule: the
+    # binary-payload dedup face — byte-shingle simhash through the
+    # shared text kernel). audio_frame_rms rotates out WITHIN the same
+    # family: r5-green, untouched this round, its Arrow integer
+    # mapInPandas kernel is the exact execution shape in-window
+    # image_byte_histogram hash-checks, and its own oracle stays
+    # verify_local-covered; the multimodal driver reps become
+    # image_byte_histogram + media_neardup_simhash.
+    "audio_frame_rms",
     # r6: minhash_banding_tradeoff — the tuning-curve precedent again
     # (ann_recall_report r4, the two r6 curves): an evaluation
     # composition whose member pipeline (signatures + banded buckets)

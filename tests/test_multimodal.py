@@ -92,3 +92,38 @@ def test_audio_frame_rms_partitions_payload(spark, sf_dir):
                    for f in frames[:-1])
         # byte "samples" bound the RMS
         assert all(0.0 <= f.rms <= 255.0 for f in frames)
+
+
+def test_media_neardup_finds_padded_copies_without_decoding(spark, tmp_path):
+    """Byte-level near-dup: an exact byte copy pairs at hamming 0, a
+    tail-padded copy (the re-upload/truncation case) pairs within the
+    hamming threshold, and unrelated payloads do not pair — all without
+    any codec in the loop."""
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        media_neardup_simhash,
+    )
+
+    import hashlib
+
+    # high-entropy payload (~1 KiB): a 2-byte pad then perturbs only a
+    # handful of the ~500 distinct byte shingles, the regime simhash is
+    # built for (a periodic payload with 8 distinct shingles would flip
+    # most majority votes on any edit)
+    base = "".join(
+        hashlib.md5(f"payload:{i}".encode()).hexdigest() for i in range(32)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact byte copy
+            (3, base + "zz"),               # padded copy
+            (4, "0123456789abcdef" * 20),   # unrelated bytes
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in media_neardup_simhash(spark, str(tmp_path)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert all(b != 4 and a != 4 for a, b in pairs)
