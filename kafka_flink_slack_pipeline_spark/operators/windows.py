@@ -551,6 +551,202 @@ ORDER BY e.event_type
 """
 
 
+# --------------------------------------------------------------------------
+# LTTB downsampling (Steinarsson 2013, "Downsampling Time Series for
+# Visual Representation" — the Largest-Triangle-Three-Buckets algorithm
+# Grafana/Timescale ship for chart rendering): reduce each series to
+# ~NB+2 points keeping the visually dominant ones. The classic algorithm
+# is SEQUENTIAL (each bucket's pick anchors on the PREVIOUS pick); this
+# is the standard parallel variant that anchors every bucket on its
+# NEIGHBOR BUCKETS' MEAN POINTS instead — embarrassingly parallel, the
+# form a distributed engine can actually run, at slightly different (not
+# worse-looking) picks. First/last points are always kept.
+#
+# Determinism: bucket assignment is floor((rn-2)*NB/(n-2)) on exact
+# small-int doubles; bucket means accumulate in DECIMAL (order-free
+# sums) before one double division; the triangle area is one fixed
+# IEEE expression of identical inputs on both engines, rounded to 6
+# BEFORE ranking so a last-ulp disagreement cannot flip an argmax
+# (ties then break on (ts, event_id)). Timestamps ride as unix micros
+# (the nanos->micros ingestion lesson, events_ohlc_rollup).
+#
+# Scale shape: one window pass per series for (rn, n), a bounded
+# (series x NB) mean aggregate re-entered via broadcast joins, and a
+# per-(series, bucket) argmax window — equi-key shuffles only; the
+# bounded means frame is localCheckpoint-ed because the left/right
+# anchor shifts consume it twice (AQE no-reuse).
+_LTTB_NB = 16
+
+
+def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type")
+    pts = e.select(
+        "event_type",
+        "x",
+        "y",
+        "event_id",
+        F.row_number().over(w.orderBy("x", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    interior = pts.filter(
+        (F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 1)
+    ).withColumn(
+        "b",
+        F.floor(
+            ((F.col("rn") - 2) * _LTTB_NB) / (F.col("n") - 2)
+        ).cast("int"),
+    )
+    means = (
+        interior.groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mx"),
+            (
+                F.sum(F.col("y").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("my"),
+        )
+        .localCheckpoint(eager=False)  # bounded: series x NB rows
+    )
+    endpoints = pts.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("rn") == 1, F.col("y"))).alias("y1"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("x"))).alias("xn"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("y"))).alias("yn"),
+    )
+    left = means.select(
+        "event_type", (F.col("b") + 1).alias("b"),
+        F.col("mx").alias("lmx"), F.col("my").alias("lmy"),
+    )
+    right = means.select(
+        "event_type", (F.col("b") - 1).alias("b"),
+        F.col("mx").alias("rmx"), F.col("my").alias("rmy"),
+    )
+    # x-coordinates enter the area in SECONDS: at micro scale the areas
+    # sit at ~1e13 where one ulp is ~0.008 and DuckDB's FMA-contracted
+    # mul-sub disagrees with the JVM's by that ulp (measured); at second
+    # scale the round-4 guard band is ~1e7 ulps wide, so both engines
+    # round to the identical double and a sub-1e-4 near-tie breaks on
+    # (x, event_id) instead of on FMA noise.
+    ax = F.coalesce("lmx", F.col("x1").cast("double")) / 1e6
+    ay = F.coalesce("lmy", "y1")
+    cx = F.coalesce("rmx", F.col("xn").cast("double")) / 1e6
+    cy = F.coalesce("rmy", "yn")
+    xs = F.col("x").cast("double") / 1e6
+    area = F.round(
+        F.abs((cx - ax) * (F.col("y") - ay) - (xs - ax) * (cy - ay)),
+        4,
+    )
+    wb = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("area"), F.asc("x"), F.asc("event_id")
+    )
+    picks = (
+        interior.join(F.broadcast(endpoints), "event_type")
+        .join(F.broadcast(left), ["event_type", "b"], "left")
+        .join(F.broadcast(right), ["event_type", "b"], "left")
+        .withColumn("area", area)
+        .withColumn("pick", F.row_number().over(wb))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            (F.col("b") + 1).alias("sel_pos"),
+            "x",
+            "y",
+            "area",
+        )
+    )
+    ends_out = pts.filter(
+        (F.col("rn") == 1) | (F.col("rn") == F.col("n"))
+    ).select(
+        "event_type",
+        F.when(F.col("rn") == 1, F.lit(0))
+        .otherwise(F.lit(_LTTB_NB + 1))
+        .alias("sel_pos"),
+        "x",
+        "y",
+        F.lit(None).cast("double").alias("area"),
+    )
+    return (
+        picks.unionByName(ends_out)
+        .select(
+            "event_type", "sel_pos", F.col("x").alias("ts_us"), "y", "area"
+        )
+        .orderBy("event_type", "sel_pos")
+    )
+
+
+EVENTS_LTTB_ORACLE = f"""
+WITH pts AS (
+  SELECT event_type,
+         epoch_us(date_trunc('microsecond', ts))::BIGINT AS x,
+         value AS y, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY date_trunc('microsecond', ts), event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+interior AS (
+  SELECT *, floor(((rn - 2) * {_LTTB_NB}) / (n - 2))::INT AS b
+  FROM pts WHERE rn >= 2 AND rn <= n - 1
+),
+means AS (
+  SELECT event_type, b,
+         sum(x::DECIMAL(25,0))::DOUBLE / count(*) AS mx,
+         sum(y::DECIMAL(25,10))::DOUBLE / count(*) AS my
+  FROM interior GROUP BY event_type, b
+),
+endpoints AS (
+  SELECT event_type,
+         max(CASE WHEN rn = 1 THEN x END) AS x1,
+         max(CASE WHEN rn = 1 THEN y END) AS y1,
+         max(CASE WHEN rn = n THEN x END) AS xn,
+         max(CASE WHEN rn = n THEN y END) AS yn
+  FROM pts WHERE rn = 1 OR rn = n GROUP BY event_type
+),
+scored AS (
+  SELECT i.event_type, i.b, i.x, i.y, i.event_id,
+         round(abs(
+           (coalesce(r.mx, ep.xn::DOUBLE) / 1000000.0
+              - coalesce(l.mx, ep.x1::DOUBLE) / 1000000.0)
+             * (i.y - coalesce(l.my, ep.y1))
+           - (i.x::DOUBLE / 1000000.0
+              - coalesce(l.mx, ep.x1::DOUBLE) / 1000000.0)
+             * (coalesce(r.my, ep.yn) - coalesce(l.my, ep.y1))
+         ), 4) AS area
+  FROM interior i
+  JOIN endpoints ep ON ep.event_type = i.event_type
+  LEFT JOIN means l ON l.event_type = i.event_type AND l.b = i.b - 1
+  LEFT JOIN means r ON r.event_type = i.event_type AND r.b = i.b + 1
+),
+picks AS (
+  SELECT event_type, b + 1 AS sel_pos, x, y, area
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY event_type, b ORDER BY area DESC, x, event_id) AS pick
+    FROM scored)
+  WHERE pick = 1
+)
+SELECT event_type, sel_pos, x AS ts_us, y, area FROM picks
+UNION ALL
+SELECT event_type,
+       CASE WHEN rn = 1 THEN 0 ELSE {_LTTB_NB + 1} END AS sel_pos,
+       x AS ts_us, y, NULL::DOUBLE AS area
+FROM pts WHERE rn = 1 OR rn = n
+ORDER BY event_type, sel_pos
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
@@ -559,6 +755,10 @@ QUERIES = [
     QuerySpec("events_value_winsorize", events_value_winsorize,
               EVENTS_WINSOR_ORACLE,
               "winsorized robust stats (p05/p95 clamp, decimal means)"),
+    QuerySpec("events_downsample_lttb", events_downsample_lttb,
+              EVENTS_LTTB_ORACLE,
+              "LTTB chart downsampling (parallel bucket-mean-anchor "
+              "variant; round-6 area argmax per bucket)"),
     QuerySpec("events_sliding_counts", events_sliding_counts, EVENTS_SLIDING_ORACLE,
               "sliding event-time window (ST5)"),
     QuerySpec("events_sessions_per_user", events_sessions_per_user,

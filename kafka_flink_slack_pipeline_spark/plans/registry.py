@@ -330,6 +330,15 @@ _DEMOTED = (
     # verbatim. Nothing about fuzzy decontamination leaves the driver's
     # sight by this rotation.
     "decontaminate_fuzzy",
+    # r6: one slot for events_downsample_lttb (new-code rule: the LTTB
+    # chart-downsampling shape — bucket argmax against neighbor-mean
+    # anchors). events_value_winsorize rotates out WITHIN the
+    # time-series family: r4-green and hash-green every round since,
+    # body untouched; its bounded-percentile broadcast-clamp shape has
+    # no remaining novelty next to the in-window ohlc + lttb window
+    # shapes, the percentile-determinism contract is pinned in its
+    # docstring + tests, and its oracle stays verify_local-covered.
+    "events_value_winsorize",
     # r6: one slot for media_neardup_simhash (new-code rule: the
     # binary-payload dedup face — byte-shingle simhash through the
     # shared text kernel). audio_frame_rms rotates out WITHIN the same

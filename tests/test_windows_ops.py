@@ -86,3 +86,39 @@ def test_winsorize_clamps_and_shrinks_spread(spark, sf_dir):
         assert r.n_clip_hi <= r.n * 0.06 + 1
         # winsorized mean lies inside the clamp bounds
         assert r.p05 - 1e-4 <= r.mean_winsorized <= r.p95 + 1e-4
+
+
+def test_lttb_downsample_structure(spark, sf_dir):
+    """LTTB invariants: every series reduces to exactly NB+2 points with
+    one pick per position, the endpoints are the series' true first/last
+    points, and every selected point exists in the source series."""
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        _LTTB_NB,
+        events_downsample_lttb,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = events_downsample_lttb(spark, sf_dir).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    src = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("x"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    pts = {}
+    for s in src:
+        pts.setdefault(s.event_type, set()).add((s.x, s.y))
+    for et, rs in by_series.items():
+        assert sorted(r.sel_pos for r in rs) == list(range(_LTTB_NB + 2))
+        xs = sorted(x for x, _ in pts[et])
+        first = next(r for r in rs if r.sel_pos == 0)
+        last = next(r for r in rs if r.sel_pos == _LTTB_NB + 1)
+        assert first.ts_us == xs[0] and last.ts_us == xs[-1]
+        assert all((r.ts_us, r.y) in pts[et] for r in rs)

@@ -129,6 +129,10 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "interdoc_dup_doc_report": (3, "seed join sides + sizes attach"),
     # seed join sides + token posexplode + sizes attach
     "interdoc_scrub_apply": (4, "runs sides + token explode + sizes"),
+    # candidate pass + bounded bucket-mean build + endpoint aggregate
+    # (the means frame itself is checkpointed against the double
+    # left/right anchor-shift consumption)
+    "events_downsample_lttb": (3, "candidates + means build + endpoints"),
     "corpus_filter_report": (5, "signal branch + capped-jaccard core"),
     "corpus_export_manifest": (5, "filter + pack composition"),
     # composed reports re-derive their member queries' branches
