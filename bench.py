@@ -59,6 +59,10 @@ HEADLINE = [
     "dedup_ngram_adaptive",
     "cosine_topk_lsh",
     "image_byte_histogram",
+    # r6 addition: the binary-payload dedup face (hex byte-shingle
+    # narrow map + the shared capped banding plan — the multimodal
+    # family's first join-shaped member).
+    "media_neardup_simhash",
     "email_clean_chain",
     "email_chunk_blocks",
     # r2 addition: vocabulary building (two reused shuffles + window top-k).
@@ -163,7 +167,12 @@ HEADLINE = [
     # temperature_resample's per-lang hash-rank window is the shape
     # last_events_per_user already times.
     "events_ohlc_rollup",
-    "audio_frame_rms",
+    # r6 swap: audio_frame_rms leaves with its window rotation — its
+    # Arrow integer kernel is the mapInPandas shape image_byte_histogram
+    # already times; events_downsample_lttb enters as the round's new
+    # time-series window shape (rank pass + bounded mean broadcast +
+    # per-bucket argmax).
+    "events_downsample_lttb",
     "corpus_snapshot_diff",
 ]
 
