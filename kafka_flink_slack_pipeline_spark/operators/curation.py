@@ -365,6 +365,15 @@ def interdoc_dup_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two selects would recompute the whole seed-join pipeline per side
     # under Spark 4.1 AQE's no-reuse planning: measured 5 documents
     # scans -> 3)
+    # DISTINCT is load-bearing beyond cost: duplicate identical
+    # intervals (the same [s, e) shared with several partners) add
+    # nothing to a union but would TIE the sweep window's (s, e) sort —
+    # and a ROWS frame over tied rows is the one place an engine's
+    # parallel window scheduling can pick different (equally "correct")
+    # frames per run. Deduping makes (s, e) unique per doc, the order
+    # total, and both engines' sweeps bit-stable (an intermittent
+    # cross-engine flip on exactly such tied rows was observed under
+    # CPU contention before this).
     ivals = runs.select(
         F.explode(
             F.array(
@@ -380,7 +389,7 @@ def interdoc_dup_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("iv")
-    ).select("iv.doc_id", "iv.s", "iv.e")
+    ).select("iv.doc_id", "iv.s", "iv.e").distinct()
     w = Window.partitionBy("doc_id").orderBy("s", "e")
     prev_max_e = F.max("e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -418,9 +427,13 @@ def interdoc_dup_doc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERDOC_DOC_REPORT_ORACLE = f"""
 WITH runs AS ({INTERDOC_RUNS_EXACT_ORACLE}),
 ivals AS (
-  SELECT doc_a AS doc_id, start_a AS s, start_a + run_len AS e FROM runs
-  UNION ALL
-  SELECT doc_b, start_b, start_b + run_len FROM runs
+  -- DISTINCT mirrors the Spark side: unique (s, e) per doc keeps the
+  -- sweep window's ordering total (see the operator comment)
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + run_len AS e FROM runs
+    UNION ALL
+    SELECT doc_b, start_b, start_b + run_len FROM runs
+  )
 ),
 lagged AS (
   SELECT doc_id, s, e,
