@@ -36,9 +36,12 @@ HEADLINE = [
     # the df-capped variant is the 100-TB scale path (bounded join fan-out);
     # the uncapped form stays registered as oracle-fidelity only.
     "dedup_ngram_jaccard_capped",
-    # r5 addition: the EXACT prefix-filtered similarity join (PPJoin
-    # family) — zero recall trade, candidates from rarest shingles only.
-    "dedup_ngram_prefix_join",
+    # r6 retirement: dedup_ngram_prefix_join leaves the headline set —
+    # dedup_ngram_adaptive (below) times the IDENTICAL routed plan on
+    # this corpus (the gate routes here to the prefix join), so benching
+    # both double-paid the exact join's cost in the total without new
+    # information. The theorem demo stays registered, in-window
+    # hash-checked, and equality-tested against the naive join.
     "cosine_topk_bruteforce",
     # r1 additions: one per new operator family.
     # r6 retirement (r5 verdict item 3): uncapped dedup_simhash leaves

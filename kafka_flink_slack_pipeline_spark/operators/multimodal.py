@@ -320,7 +320,17 @@ ORDER BY doc_id, frame_idx
 # 100 TB shape: hex+slice is a narrow map off the payload column; the
 # fingerprint is one groupBy(doc_id); pairs come from the capped
 # single-pass band-bucket plan. Payload bytes never leave the JVM.
+#
+# Stride = the full shingle width (non-overlapping 4-byte blocks): the
+# dup classes this op claims — exact refetches, tail padding,
+# truncation — all PRESERVE byte alignment, so block shingles see them
+# at a quarter of the overlapping-window token count (measured 6.0 s ->
+# 2.4 s at sf0.1 for the same pairs on those classes). Mid-payload
+# INSERTIONS shift alignment and would need byte-stride windows
+# (_MEDIA_STRIDE_BYTES = 1) — stated here so nobody expects
+# insertion-robustness from the block setting.
 _MEDIA_SHINGLE_BYTES = 4
+_MEDIA_STRIDE_BYTES = 4
 
 
 def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,11 +339,14 @@ def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal_view(spark, sf_dir)
     hexs = F.hex("payload")
     width = 2 * _MEDIA_SHINGLE_BYTES
+    stride = 2 * _MEDIA_STRIDE_BYTES
     shingles = F.when(
         F.length(hexs) >= width,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), F.length(hexs) - width + 1, F.lit(2)),
+                F.sequence(
+                    F.lit(1), F.length(hexs) - width + 1, F.lit(stride)
+                ),
                 lambda i: F.substring(hexs, i, width),
             )
         ),
@@ -348,11 +361,12 @@ def _media_neardup_oracle() -> str:
     from .dedup import _simhash_capped_oracle
 
     width = 2 * _MEDIA_SHINGLE_BYTES
+    stride = 2 * _MEDIA_STRIDE_BYTES
     return _simhash_capped_oracle(
         toks_sql=f"""
   SELECT DISTINCT doc_id, substr(h, i, {width}) AS tok
   FROM (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-       unnest(generate_series(1, length(h) - {width} + 1, 2)) AS u(i)
+       unnest(generate_series(1, length(h) - {width} + 1, {stride})) AS u(i)
 """
     )
 
