@@ -69,6 +69,12 @@ PROBE_QUERIES = [
     "dedup_simhash_wide",
     "dedup_ngram_jaccard_capped",
     "dedup_ngram_adaptive",
+    # r6 additions: the exact substring-run join (df-capped seeds — on
+    # this saturating vocabulary the cap progressively removes seeds as
+    # dfs cross it, so the exponent can legitimately run BELOW linear)
+    # and the binary-payload simhash (block shingles, capped bands).
+    "interdoc_dup_runs_exact",
+    "media_neardup_simhash",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
