@@ -247,7 +247,29 @@ PREFIX_JOIN_T = 0.5  # same threshold as the jaccard twins
 _PREFIX_T_EFF = PREFIX_JOIN_T - 5e-5
 
 
-def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_with_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle, df): each document's distinct word-3-grams
+    annotated with corpus document frequency — the shared preamble of
+    the whole exact-join family (prefix join, df-capped join, the
+    adaptive router's gate). One explode + one shingle-keyed count
+    window; `dedup_ngram_adaptive` localCheckpoints this frame once so
+    its gate and routed branch stop paying the pass twice (r6 verdict
+    item 1)."""
+    d = table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    )
+    shingled = toked.select(
+        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
+    ).filter(F.col("shingle") != "")
+    return shingled.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+
+
+def dedup_ngram_prefix_join(
+    spark: SparkSession, sf_dir: str, with_df: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard >= t pairs via prefix filtering — the scalable form
     of the EXACT join (dedup_ngram_jaccard is the naive fidelity twin;
     dedup_ngram_jaccard_capped trades recall for its bound, this trades
@@ -300,15 +322,8 @@ def dedup_ngram_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out by trading recall."""
     t = PREFIX_JOIN_T
     t_eff = _PREFIX_T_EFF
-    d = table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
-    )
-    shingled = toked.select(
-        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
-    ).filter(F.col("shingle") != "")
-    dfreq = Window.partitionBy("shingle")
-    with_df = shingled.withColumn("df", F.count(F.lit(1)).over(dfreq))
+    if with_df is None:
+        with_df = _shingles_with_df(spark, sf_dir)
     docs = (
         with_df.groupBy("doc_id")
         .agg(
@@ -1302,7 +1317,9 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def capped_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, with_df: DataFrame | None = None
+) -> DataFrame:
     """Unordered df-capped jaccard pairs — the reusable core of
     `dedup_ngram_jaccard_capped` (also feeds `corpus_filter_report`,
     which must not inherit a useless sort before its join).
@@ -1351,13 +1368,9 @@ def capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.filter(arr, lambda x: x != "")).alias("n"),
     )
-    shingled = toked.select(
-        "doc_id", F.explode(arr).alias("shingle")
-    ).filter(F.col("shingle") != "")
-    dfreq = Window.partitionBy("shingle")
-    capped = shingled.withColumn("df", F.count(F.lit(1)).over(dfreq)).filter(
-        F.col("df") <= NGRAM_DF_CAP
-    )
+    if with_df is None:
+        with_df = _shingles_with_df(spark, sf_dir)
+    capped = with_df.filter(F.col("df") <= NGRAM_DF_CAP)
     common = (
         capped.alias("a")
         .join(
@@ -1457,22 +1470,20 @@ ROUTE_HOT_NUM = 1
 ROUTE_HOT_DEN = 10
 
 
-def _prefix_hot_gate(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+def _prefix_hot_gate(
+    spark: SparkSession, sf_dir: str, with_df: DataFrame | None = None
+) -> tuple[int, int]:
     """(hot, total) prefix-posting df-cap counts — one extra corpus
     aggregate at frame-build (the model-fit precedent: eager, driver-
     collected, O(1) state). Mirrors dedup_ngram_prefix_join's prefix
     construction exactly: per-doc rank by (df, shingle) against
-    l(n) = n - ceil(t_eff * n) + 1."""
-    d = table(spark, sf_dir, "documents")
-    toked = d.select(
-        "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
+    l(n) = n - ceil(t_eff * n) + 1. Consumes the shared
+    `_shingles_with_df` frame when the caller already paid for it."""
+    if with_df is None:
+        with_df = _shingles_with_df(spark, sf_dir)
+    with_df = with_df.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    shingled = toked.select(
-        "doc_id", F.explode(_word_shingles(F.col("toks"), 3)).alias("shingle")
-    ).filter(F.col("shingle") != "")
-    with_df = shingled.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     ranked = with_df.withColumn(
         "rk",
         F.row_number().over(
@@ -1499,15 +1510,20 @@ def dedup_ngram_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is exact (`prefix_join`) or a recall-traded lower bound
     (`ngram_capped`).
 
-    100 TB shape: the gate is one bounded aggregate (two equi-key
-    window passes the routed query's own preamble already pays) and
-    each branch is the already-audited plan of its standalone query.
-    The DuckDB oracle computes the IDENTICAL integer gate and emits
-    the matching branch, so the routing decision itself is under the
-    hash check."""
-    hot, total = _prefix_hot_gate(spark, sf_dir)
+    100 TB shape: the shingle explosion + shingle-df count window — the
+    preamble BOTH the gate and either routed branch need — is computed
+    ONCE and localCheckpointed (the vocab_typo_pairs shared-consumer
+    precedent; r6 verdict item 1 — the r6 form recomputed it per
+    consumer, a full extra corpus scan+shuffle). The gate is then one
+    bounded aggregate over the materialized frame (O(1) driver state),
+    and the routed branch reuses the same frame, so exactly one shingle
+    explosion executes end to end. The DuckDB oracle computes the
+    IDENTICAL integer gate and emits the matching branch, so the
+    routing decision itself is under the hash check."""
+    with_df = _shingles_with_df(spark, sf_dir).localCheckpoint(eager=True)
+    hot, total = _prefix_hot_gate(spark, sf_dir, with_df=with_df)
     if hot * ROUTE_HOT_DEN > total * ROUTE_HOT_NUM:
-        routed = capped_jaccard_pairs(spark, sf_dir).select(
+        routed = capped_jaccard_pairs(spark, sf_dir, with_df=with_df).select(
             "doc_a",
             "doc_b",
             F.col("n_common_capped").alias("n_common"),
@@ -1515,7 +1531,9 @@ def dedup_ngram_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ngram_capped").alias("method"),
         )
     else:
-        routed = dedup_ngram_prefix_join(spark, sf_dir).select(
+        routed = dedup_ngram_prefix_join(
+            spark, sf_dir, with_df=with_df
+        ).select(
             "doc_a",
             "doc_b",
             "n_common",
