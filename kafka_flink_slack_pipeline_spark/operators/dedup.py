@@ -1022,7 +1022,16 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: identical single-pass groupBy+collect_list+explode shape as
     dedup_simhash — the cap filter rides the same hash partitioning, so
     no extra shuffle; over-cap buckets die at the aggregate before any
-    pair explosion."""
+    pair explosion.
+
+    r7 A/B (the r6 verdict's watch item — 1.20 s -> 1.56 s after the
+    kernel was factored into _simhash_agg/_simhash_capped_pairs for the
+    media variant): the exprId-normalized OPTIMIZED PLANS of the r6
+    factored form and an inline reconstruction of the r5 fused form are
+    byte-identical, and a 6-run interleaved ABAB at sf0.1 measured
+    r6 {3.69, 2.98, 2.82} vs r5-fused {3.23, 2.90, 3.22} — fully
+    overlapping. The bench delta was host drift; the factoring costs
+    nothing by construction (Python helper extraction, same plan)."""
     d = table(spark, sf_dir, "documents")
     return _simhash_capped_pairs(_simhash_fps(d))
 
