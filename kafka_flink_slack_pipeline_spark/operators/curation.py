@@ -878,10 +878,22 @@ _FUZZY_MIN_CONTAIN = 0.25
 
 
 def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _word_shingles
-
     d = table(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens_col().alias("toks"))
+    bench_sh, bench_sizes = fuzzy_bench_frames(toked)
+    return fuzzy_contamination(toked, bench_sh, bench_sizes).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+def fuzzy_bench_frames(toked: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(bench_sh, bench_sizes): the synthetic perturbed-excerpt benchmark
+    set derived from a (doc_id, toks) frame — the STATIC side of fuzzy
+    decontamination. Factored out so the streaming curation funnel can
+    build it once (eval benchmarks are fixed inputs in production) and
+    pass it to fuzzy_contamination per micro-batch."""
+    from .dedup import _word_shingles
+
     excerpt = F.slice(F.col("toks"), *_FUZZY_SLICE)
     # guarded: sequence(1, 0) would run DESCENDING on an empty excerpt
     # (Spark auto-negates the step) where DuckDB's generate_series is empty
@@ -910,6 +922,19 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_sizes = bench_sh.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("n_bench")
     )
+    return bench_sh, bench_sizes
+
+
+def fuzzy_contamination(
+    toked: DataFrame, bench_sh: DataFrame, bench_sizes: DataFrame
+) -> DataFrame:
+    """Per-doc fuzzy contamination hits of a (doc_id, toks) frame against
+    a static benchmark shingle set (unordered; the batch query sorts).
+    The decision is per-document — independent of every other corpus row
+    — which is what lets the streaming funnel apply it per micro-batch
+    with exact batch parity."""
+    from .dedup import _word_shingles
+
     corpus_sh = (
         toked.select(
             "doc_id",
@@ -928,7 +953,6 @@ def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_shared") / F.col("n_bench") >= _FUZZY_MIN_CONTAIN)
         .select("doc_id", "bench_id", "n_shared", "containment")
-        .orderBy("doc_id", "bench_id")
     )
 
 

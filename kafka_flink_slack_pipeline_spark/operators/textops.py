@@ -1226,8 +1226,20 @@ def quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined, every element_at in the bigram lambda re-splits the text
     # (measured: a keep==1 filter over this report went 0.7 s -> 5 s at
     # sf0.1 before this projection).
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", tokens_col().alias("toks")
+    return quality_signals_of(table(spark, sf_dir, "documents"))
+
+
+def quality_signals_of(
+    docs: DataFrame, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Frame-based core of quality_signal_frame: same signals over any
+    (doc_id, text, lang) frame — batch table or micro-batch (the
+    streaming curation funnel applies the IDENTICAL expressions, which
+    is what makes its stage-1 counts hash-comparable to the batch
+    funnel's). `keep` names extra input columns to carry through (the
+    stream keeps text + event time)."""
+    d = docs.select(
+        "doc_id", "text", "lang", tokens_col().alias("toks"), *keep
     )
     toks = F.col("toks")
     n_tokens = F.size(toks)
@@ -1261,6 +1273,7 @@ def quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.cast("long").alias("n_tokens"),
         F.round(quality, 1).alias("quality_score"),
         dup_bigram.alias("dup_bigram_frac"),
+        *keep,
     )
 
 

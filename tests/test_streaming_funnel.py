@@ -1,0 +1,132 @@
+"""Stream/batch parity for the composed streaming curation funnel.
+
+The contract (streaming/curation_funnel.py): on the same drop, with
+ingest order following doc_id order, the accumulated per-stage survivor
+counts equal the batch corpus_curation_funnel rows exactly — across a
+checkpoint restart that adds a second drop file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from kafka_flink_slack_pipeline_spark.operators.curation import (
+    corpus_curation_funnel,
+    fuzzy_bench_frames,
+)
+from kafka_flink_slack_pipeline_spark.operators.textops import tokens_col
+from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+    curation_funnel_stream,
+    curation_funnel_stream_report,
+)
+
+
+def _write_drop(sf_dir: str, path: str, lo: int, hi: int) -> None:
+    """One single-file JSONL drop of documents with doc_id in [lo, hi),
+    rows in doc_id order, ingest_ts monotone in doc_id (the monotone
+    ingest-sequence assumption the parity contract states)."""
+    rows = duckdb.sql(
+        f"""
+        SELECT doc_id, text, lang
+        FROM read_parquet('{sf_dir}/documents.parquet')
+        WHERE doc_id >= {lo} AND doc_id < {hi}
+        ORDER BY doc_id
+        """
+    ).fetchall()
+    with open(path, "w") as f:
+        for doc_id, text, lang in rows:
+            ts = f"2025-01-01T00:{doc_id // 60:02d}:{doc_id % 60:02d}.000Z"
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": lang,
+                        "ingest_ts": ts,
+                    }
+                )
+                + "\n"
+            )
+
+
+@pytest.fixture(scope="module")
+def funnel_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("funnel")
+    d = {
+        "drop": str(base / "drop"),
+        "out": str(base / "out"),
+        "state": str(base / "state"),
+        "ckpt": str(base / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    return d
+
+
+def _run(spark, sf_dir, dirs):
+    toked = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokens_col().alias("toks"))
+    )
+    bench_sh, bench_sizes = fuzzy_bench_frames(toked)
+    return curation_funnel_stream(
+        spark,
+        dirs["drop"],
+        dirs["out"],
+        dirs["state"],
+        dirs["ckpt"],
+        bench_sh,
+        bench_sizes,
+        ttl="2 hours",
+    )
+
+
+def test_funnel_stream_batch_parity_across_restart(spark, sf_dir, funnel_dirs):
+    # first drop: the lower half of the corpus; run to completion
+    _write_drop(sf_dir, f"{funnel_dirs['drop']}/part1.jsonl", 0, 250)
+    _run(spark, sf_dir, funnel_dirs)
+
+    mid = {
+        r["stage"]: r
+        for r in curation_funnel_stream_report(
+            spark, funnel_dirs["state"]
+        ).collect()
+    }
+    assert mid["raw"]["n_docs"] == 250
+
+    # second drop lands; RESUME from the same checkpoint — only the new
+    # file processes (raw count would exceed 500 if part1 re-ran)
+    _write_drop(sf_dir, f"{funnel_dirs['drop']}/part2.jsonl", 250, 10**9)
+    _run(spark, sf_dir, funnel_dirs)
+
+    got = {
+        (r["stage_ord"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in curation_funnel_stream_report(
+            spark, funnel_dirs["state"]
+        ).collect()
+    }
+    want = {
+        (r["stage_ord"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in corpus_curation_funnel(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_funnel_stream_lands_final_survivors(spark, sf_dir, funnel_dirs):
+    # runs after the parity test (module-scoped dirs): landed docs must
+    # equal the batch funnel's final-stage count and be lang-partitioned
+    landed = spark.read.option("basePath", funnel_dirs["out"]).parquet(
+        funnel_dirs["out"]
+    )
+    final = [
+        r["n_docs"]
+        for r in corpus_curation_funnel(spark, sf_dir).collect()
+        if r["stage"] == "decontaminated"
+    ][0]
+    assert landed.count() == final
+    assert "lang" in landed.columns and "batch_id" in landed.columns
+    # partition pruning works on the landed layout
+    assert landed.filter("lang = 'en'").count() > 0
