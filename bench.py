@@ -66,6 +66,10 @@ HEADLINE = [
     # narrow map + the shared capped banding plan — the multimodal
     # family's first join-shaped member).
     "media_neardup_simhash",
+    # r7 addition: the insertion-robust CDC variant (content-defined
+    # chunk boundaries + the shared df-capped Jaccard kernel) — the
+    # class the block-stride op provably misses (planted test).
+    "media_neardup_cdc",
     "email_clean_chain",
     "email_chunk_blocks",
     # r2 addition: vocabulary building (two reused shuffles + window top-k).

@@ -1379,7 +1379,26 @@ def capped_jaccard_pairs(
     )
     if with_df is None:
         with_df = _shingles_with_df(spark, sf_dir)
-    capped = with_df.filter(F.col("df") <= NGRAM_DF_CAP)
+    return capped_jaccard_pairs_from(
+        sizes, with_df, common_name="n_common_capped", j_name="jaccard_lb"
+    )
+
+
+def capped_jaccard_pairs_from(
+    sizes: DataFrame,
+    with_df: DataFrame,
+    cap: int = NGRAM_DF_CAP,
+    threshold: float = 0.5,
+    common_name: str = "n_common",
+    j_name: str = "jaccard",
+) -> DataFrame:
+    """The df-capped Jaccard join kernel over any token source:
+    `sizes` = (doc_id, n) full per-doc distinct-token counts (narrow
+    map), `with_df` = (doc_id, shingle, df) exploded distinct tokens
+    with document frequency. Shared by the text 3-gram family above and
+    the content-defined-chunk media near-dup (operators/multimodal.py)
+    — one audited plan shape, any tokenization."""
+    capped = with_df.filter(F.col("df") <= cap)
     common = (
         capped.alias("a")
         .join(
@@ -1390,7 +1409,7 @@ def capped_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common_capped"))
+        .agg(F.count(F.lit(1)).alias(common_name))
     )
     return (
         common.join(
@@ -1402,15 +1421,15 @@ def capped_jaccard_pairs(
             "doc_b",
         )
         .withColumn(
-            "jaccard_lb",
+            j_name,
             F.round(
-                F.col("n_common_capped")
-                / (F.col("na") + F.col("nb") - F.col("n_common_capped")),
+                F.col(common_name)
+                / (F.col("na") + F.col("nb") - F.col(common_name)),
                 4,
             ),
         )
-        .filter(F.col("jaccard_lb") >= 0.5)
-        .select("doc_a", "doc_b", "n_common_capped", "jaccard_lb")
+        .filter(F.col(j_name) >= threshold)
+        .select("doc_a", "doc_b", common_name, j_name)
     )
 
 

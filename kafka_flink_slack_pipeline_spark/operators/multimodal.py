@@ -371,6 +371,178 @@ def _media_neardup_oracle() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# INSERTION-ROBUST binary near-dup via content-defined chunking (the r6
+# verdict's missing class). media_neardup_simhash's aligned block
+# shingles catch exact refetches and padded/truncated copies, but a
+# MID-PAYLOAD INSERTION (an EXIF block spliced into a re-upload) shifts
+# every downstream block boundary and defeats it. The standard public
+# fix (Muthitacharoen et al. LBFS SOSP'01; FastCDC ATC'16) is to cut
+# chunk boundaries where a ROLLING HASH of the last W bytes hits a
+# divisor condition: boundaries are functions of LOCAL CONTENT, not of
+# absolute offsets, so an insertion perturbs only the chunks it touches
+# and every other chunk re-emerges byte-identical. Near-dup is then
+# Jaccard over the distinct chunk set — the df-capped join kernel the
+# text family uses (dedup.capped_jaccard_pairs_from), fourth consumer
+# of one audited plan shape.
+#
+# The boundary hash is a UNIVERSAL multiplicative hash of the 4-byte
+# window VALUE — ((A*v + B) mod P) mod D == 0 — pure int64 arithmetic
+# both engines compute bit-identically (A < 2^24 and v < 2^32 keep the
+# product < 2^56; the md5-derived-literals policy of _minhash_coeffs),
+# and, unlike the text family's md5-per-token, costs no hashing: the
+# window value IS the hex slice re-parsed. Expected chunk length is
+# _CDC_DIVISOR bytes; min length 1 (degenerate, fine at these payload
+# sizes — FastCDC's normalized chunking matters for MB-scale blobs).
+#
+# 100 TB shape: chunking is a narrow map off the payload column (one
+# substr+conv per byte, all JVM); sizes are a narrow map; the pair join
+# is the bounded df-capped equi-join. Payload bytes never leave the JVM.
+_CDC_WINDOW_BYTES = 4
+_CDC_DIVISOR = 32
+_CDC_P = (1 << 31) - 1
+
+
+def _cdc_coeffs() -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(b"cdc:a").hexdigest()[:6], 16) | 1
+    b = int(hashlib.md5(b"cdc:b").hexdigest()[:7], 16)
+    return a, b
+
+
+def _cdc_toked(mm: DataFrame) -> DataFrame:
+    """(doc_id, chunks): distinct content-defined chunk tokens (hex) of
+    the `payload` column.
+
+    STAGED PROJECTIONS, deliberately: lambda bodies do not participate
+    in codegen subexpression elimination (the repo's tokens-projection
+    rule), so referencing the hex(payload) EXPRESSION inside the
+    per-byte boundary lambda re-hexes the whole payload once per byte —
+    O(L²) per document (measured 50 s -> 1.4 s at sf0.01 for this exact
+    fix). `h`, `nb`, and `cuts` are each materialized as real columns
+    before any lambda touches them."""
+    w = _CDC_WINDOW_BYTES
+    a, b = _cdc_coeffs()
+    hexed = mm.select(
+        "doc_id",
+        F.hex("payload").alias("h"),
+        F.octet_length("payload").alias("nb"),
+    )
+    h, nb = F.col("h"), F.col("nb")
+
+    def is_boundary(i):
+        v = F.conv(F.substring(h, 2 * i - (2 * w - 1), 2 * w), 16, 10).cast(
+            "long"
+        )
+        return ((F.lit(a) * v + F.lit(b)) % F.lit(_CDC_P)) % F.lit(
+            _CDC_DIVISOR
+        ) == 0
+
+    # guarded: sequence(w, nb) runs DESCENDING when nb < w
+    bs = F.when(
+        nb >= w, F.filter(F.sequence(F.lit(w), nb), is_boundary)
+    ).otherwise(F.array().cast("array<int>"))
+    cutsed = hexed.select(
+        "doc_id", "h",
+        F.concat(F.array(F.lit(0)), bs, F.array(nb)).alias("cuts"),
+    )
+    cuts = F.col("cuts")
+    chunks = F.transform(
+        F.sequence(F.lit(2), F.size(cuts)),
+        lambda k: F.substring(
+            F.col("h"),
+            F.element_at(cuts, k - 1) * 2 + 1,
+            (F.element_at(cuts, k) - F.element_at(cuts, k - 1)) * 2,
+        ),
+    )
+    return cutsed.select(
+        "doc_id",
+        F.array_distinct(F.filter(chunks, lambda c: c != "")).alias("chunks"),
+    )
+
+
+def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .dedup import capped_jaccard_pairs_from
+
+    # repartition BEFORE the per-byte boundary scan: the chunk map is
+    # compute-bound and a small local parquet arrives as ONE split (one
+    # task eats the whole corpus); on a cluster the scan's own splits
+    # provide this parallelism and the exchange is one pass of the
+    # input bytes. The partition count is EXPLICIT — AQE's byte-based
+    # coalescing folds a ~2 MB shuffle back to one partition, which is
+    # wrong for a compute-bound map (measured 4.5 s -> 1.9 s for the
+    # chunk stage). The chunked frame is then localCheckpointed: it
+    # feeds FOUR consumers (join sides a/b + sizes a/b), and Spark 4.1
+    # AQE recomputes self-join branches — 209 s -> ~4 s at sf0.1 for
+    # checkpoint+repartition together.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    docs = multimodal_view(spark, sf_dir).repartition(n_part, "doc_id")
+    toked = _cdc_toked(docs).localCheckpoint(eager=True)
+    sizes = toked.select("doc_id", F.size("chunks").alias("n"))
+    shingled = toked.select(
+        "doc_id", F.explode("chunks").alias("shingle")
+    ).withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    return capped_jaccard_pairs_from(sizes, shingled).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _media_cdc_oracle() -> str:
+    from .dedup import NGRAM_DF_CAP
+
+    w = _CDC_WINDOW_BYTES
+    a, b = _cdc_coeffs()
+    return f"""
+WITH hexed AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text))::INT AS nb
+  FROM documents
+),
+cutsed AS (
+  SELECT doc_id, h,
+         [0] || list_filter(
+           generate_series({w}, nb),
+           i -> ((({a} * ('0x' || substr(h, 2*i - {2 * w - 1}, {2 * w}))::BIGINT
+                   + {b}) % {_CDC_P}) % {_CDC_DIVISOR}) = 0
+         ) || [nb] AS cuts
+  FROM hexed
+),
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(2, len(cuts)),
+             k -> substr(h, cuts[k-1]*2 + 1, (cuts[k] - cuts[k-1])*2)
+           )) AS tok
+    FROM cutsed)
+  WHERE tok <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM toks
+  ) WHERE df <= {NGRAM_DF_CAP}
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM pair_common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
               MULTIMODAL_BYTE_STATS_ORACLE,
@@ -389,4 +561,9 @@ QUERIES = [
               "binary-payload near-dup pairs without decoding: 60-bit "
               "simhash over byte 4-grams, capped pigeonhole bands (the "
               "text kernel, second modality)"),
+    QuerySpec("media_neardup_cdc", media_neardup_cdc, _media_cdc_oracle(),
+              "insertion-robust binary near-dup: content-defined "
+              "chunking (rolling-window divisor boundaries) + df-capped "
+              "chunk-set Jaccard — catches the EXIF-insertion class the "
+              "block-stride simhash provably misses (planted test)"),
 ]

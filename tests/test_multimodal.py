@@ -127,3 +127,52 @@ def test_media_neardup_finds_padded_copies_without_decoding(spark, tmp_path):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert all(b != 4 and a != 4 for a, b in pairs)
+
+
+def test_cdc_catches_insertion_the_block_simhash_misses(spark, tmp_path):
+    """The planted fidelity split for the two binary near-dup ops: a
+    mid-payload insertion at a non-aligned offset (the EXIF-splice
+    class) shifts every downstream 4-byte block, so the block-stride
+    simhash must NOT pair it — while content-defined chunk boundaries
+    re-synchronize right after the splice, so the CDC op must pair it
+    with high chunk-set Jaccard. Tail-padding stays caught by BOTH."""
+    import hashlib
+
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        media_neardup_cdc,
+        media_neardup_simhash,
+    )
+
+    base = "".join(
+        hashlib.md5(f"cdc:{i}".encode()).hexdigest() for i in range(64)
+    )  # 2048 high-entropy ASCII bytes
+    spliced = base[:501] + "EXIFBLOCK2026" + base[501:]  # 13 B at offset 501
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, spliced),
+            (3, base + "zz"),  # tail-padded copy
+            (4, "0123456789abcdef" * 128),  # unrelated
+        ],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    block = {
+        (r.doc_a, r.doc_b)
+        for r in media_neardup_simhash(spark, str(tmp_path)).collect()
+    }
+    cdc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in media_neardup_cdc(spark, str(tmp_path)).collect()
+    }
+
+    # the insertion class: block misses, CDC catches
+    assert (1, 2) not in block
+    assert (1, 2) in cdc and cdc[(1, 2)] >= 0.5
+    # the alignment-preserving pad class: both catch
+    assert (1, 3) in block
+    assert (1, 3) in cdc and cdc[(1, 3)] >= 0.5
+    # no false pairs against unrelated bytes
+    assert all(4 not in p for p in block)
+    assert all(4 not in p for p in cdc)
