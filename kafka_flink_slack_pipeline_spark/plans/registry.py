@@ -355,29 +355,41 @@ _DEMOTED = (
     # contract (2x8 ⊆ 4x4 ⊆ 8x2 candidates) is test-pinned, and whose
     # composed oracle is verify_local-covered.
     "minhash_banding_tradeoff",
-    # r6: interdoc_scrub_apply is demoted on arrival under window
-    # pressure, with its verification stack stated: the runs pipeline
-    # it applies is hash-checked in-window TWICE (interdoc_dup_runs_
-    # exact itself + the doc_report rollup of the same runs), its
-    # keep-first/interval-cut semantics are pinned by a planted test
-    # with hand-computed scrubbed text, and its own composed oracle is
-    # verify_local-covered. The window keeps the exact-runs family's
-    # two hash rows; the apply step's marginal driver signal is the
-    # smallest of the three.
-    "interdoc_scrub_apply",
-    # r6: ivf_nprobe_recall_curve is demoted on arrival, on the same
-    # evaluation-harness precedent as ann_recall_report (r4) and
-    # dedup_method_report (this round): it is a tuning-curve COMPOSITION
-    # whose member pipeline (the IVF index/searcher) keeps in-window
-    # hash coverage via cosine_topk_ivfpq's stage 1 (same assignment
-    # expressions), its monotone-recall contract is pinned by a
-    # dedicated test, and its composed oracle is verify_local-covered.
-    "ivf_nprobe_recall_curve",
-    # r6: lsh_radius_recall_curve — identical reasoning to its IVF twin
-    # directly above (tuning-curve composition; the LSH member pipeline
-    # keeps its own in-window hash row via cosine_topk_lsh; monotone
-    # contract test-pinned; composed oracle verify_local-covered).
-    "lsh_radius_recall_curve",
+    # r7: the three r6 demote-on-arrival entries (interdoc_scrub_apply,
+    # ivf_nprobe_recall_curve, lsh_radius_recall_curve) are ROTATED IN,
+    # per the r6 verdict (item 6): demote-on-arrival weakened the
+    # new-code-gets-the-driver rule, so they take their driver rows
+    # this round. The four slots come from the demotions below.
+    #
+    # r7: dedup_ngram_prefix_join rotates out — decisive: its ENTIRE
+    # body (including this round's shared-preamble rework) executes AND
+    # hash-checks in-window as dedup_ngram_adaptive's routed branch
+    # (the gate measures 0.0 hot fraction on this corpus and routes
+    # here; the adaptive oracle composes the identical exact-join SQL),
+    # so nothing about the prefix join leaves the driver's sight. The
+    # theorem demo also stays pinned by its equality test against the
+    # naive join and by verify_local.
+    "dedup_ngram_prefix_join",
+    # r7: dedup_cluster_representatives rotates out (r5-green, body
+    # untouched since): it is the consolidation APPLY step whose member
+    # pipeline (minhash pairs -> connected clusters) keeps in-window
+    # hash coverage via dedup_minhash_lsh, its keep-lowest-id contract
+    # is pinned by a dedicated test, and its oracle stays
+    # verify_local-covered.
+    "dedup_cluster_representatives",
+    # r7: cosine_topk_mmr rotates out (r4-green, body untouched since):
+    # its stage-1 scoring is the exact in-window cosine_topk_bruteforce
+    # shape, the greedy diversification order is pinned by its
+    # unrolled-greedy oracle in verify_local plus a dedicated test, and
+    # the similarity family keeps four in-window hash rows
+    # (bruteforce/LSH/IVF-PQ + the two recall curves arriving).
+    "cosine_topk_mmr",
+    # r7: embedding_covariance rotates out (r3-green, body untouched
+    # since): the covariance Gram kernel EXECUTES AT FRAME-BUILD inside
+    # in-window embedding_pca_whiten (the eigendecomposition's input —
+    # a covariance bug flips the whiten certificate's identity
+    # entries), and its own oracle stays verify_local-covered.
+    "embedding_covariance",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

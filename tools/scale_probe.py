@@ -75,6 +75,9 @@ PROBE_QUERIES = [
     # and the binary-payload simhash (block shingles, capped bands).
     "interdoc_dup_runs_exact",
     "media_neardup_simhash",
+    # r7 addition: the insertion-robust CDC twin (content-defined chunk
+    # boundaries + the shared df-capped Jaccard kernel).
+    "media_neardup_cdc",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
