@@ -2186,7 +2186,112 @@ ORDER BY s.stage_ord
 """
 
 
+# --------------------------------------------------------------------------
+# Source-level curation (the domain-filtering stage of C4/RefinedWeb/
+# FineWeb pipelines: quality lives at the SOURCE, not only the document
+# — a spam domain's individually-passable pages still get dropped
+# together). Per-source roll-up of the row-local quality signals, then
+# a RELATIVE rule: the bottom quarter of sources by mean quality is
+# flagged for exclusion ("drop the worst domains", the form such rules
+# actually take — absolute thresholds rot as the corpus mix shifts).
+#
+# Determinism: means accumulate in DECIMAL (order-free) and divide as
+# doubles; the rank orders by (rounded mean quality, source) — total
+# order, no float ties; the keep decision is the INTEGER comparison
+# rank * DEN > n_sources (rank > n/4 with the division cleared), so
+# both engines flag identical sources.
+#
+# 100 TB shape: one narrow signal pass + one groupBy(source); the
+# source table is bounded (domains, not documents), so the rank window
+# runs over a bounded frame (the audit's bounded-key class).
+_SRC_DROP_NUM = 1
+_SRC_DROP_DEN = 4
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import quality_signals_of
+
+    sig = quality_signals_of(
+        table(spark, sf_dir, "documents"), keep=("source",)
+    )
+    per = sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_quality"),
+        F.round(
+            F.sum(F.col("dup_bigram_frac").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_dup_bigram"),
+    )
+    ranked = per.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("mean_quality", "source"))
+        .alias("q_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_docs",
+            "mean_quality",
+            "mean_dup_bigram",
+            "q_rank",
+            (
+                F.col("q_rank") * _SRC_DROP_DEN
+                > F.col("n_sources") * _SRC_DROP_NUM
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_ORACLE = f"""
+WITH sig AS ({{sig}}),
+with_src AS (
+  SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         round(sum(CAST(quality_score AS DECIMAL(18,6)))::DOUBLE
+               / count(*), 4) AS mean_quality,
+         round(sum(CAST(dup_bigram_frac AS DECIMAL(18,6)))::DOUBLE
+               / count(*), 4) AS mean_dup_bigram
+  FROM with_src GROUP BY source
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY mean_quality, source) AS q_rank,
+         count(*) OVER () AS n_sources
+  FROM per
+)
+SELECT source, n_docs, mean_quality, mean_dup_bigram, q_rank,
+       CASE WHEN q_rank * {_SRC_DROP_DEN} > n_sources * {_SRC_DROP_NUM}
+            THEN 1 ELSE 0 END AS kept
+FROM ranked ORDER BY source
+"""
+
+
+def _source_quality_oracle() -> str:
+    from .textops import QUALITY_SIG_SQL
+
+    return SOURCE_QUALITY_ORACLE.format(sig=QUALITY_SIG_SQL)
+
+
 QUERIES = [
+    QuerySpec("source_quality_report", source_quality_report,
+              _source_quality_oracle(),
+              "source/domain-level curation: per-source quality rollup "
+              "+ bottom-quartile exclusion flags (integer-exact rank "
+              "rule)"),
     QuerySpec("interdoc_span_dedup", interdoc_span_dedup,
               INTERDOC_SPAN_ORACLE,
               "C4-style inter-document duplicated-span fraction + scrub"),

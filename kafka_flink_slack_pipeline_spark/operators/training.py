@@ -812,6 +812,145 @@ FROM est ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter membership sketch (Bloom 1970; the pre-join/pre-lookup
+# filter every large pipeline ships — Spark itself injects runtime bloom
+# filters for join pruning). m=1024 bits, k=4 md5-seeded universal
+# hashes over the corpus' distinct terms; the report probes a
+# deterministic mix of PRESENT terms (28-bit term hash ≡ 0 mod 37) and
+# ABSENT synthetic terms, recording ground truth next to the sketch's
+# answer — the no-false-negative guarantee and the measured
+# false-positive rate are the two numbers a consumer needs before
+# trusting the filter at scale. m is sized to the TEST vocabulary (31
+# flat synthetic terms) so the false-positive phenomenon is MEASURABLE
+# — the CMS visible-overestimate precedent; a production filter sizes
+# m at ~10 bits per expected key (the 1%-FPR point) and the math is
+# identical.
+#
+# Cross-engine exactness: bit positions are ((A_i*h + B_i) mod P) mod m
+# over the 28-bit md5 term hash (pure int64; A_i < 2^28 keeps products
+# < 2^59 — the _minhash_coeffs policy). A probe hits iff ALL k of its
+# positions are set, counted through an equi-join against the bit
+# table.
+#
+# 100 TB shape: O(m)=1024-row state at any corpus size (the definition
+# of a sketch); building it is one distinct-term pass + a bounded
+# explode; probes join BROADCAST against the bit table. In production
+# the bit table compiles to a bitmask pushed into scans; here the
+# table form keeps the oracle exact.
+_BLOOM_M = 128
+_BLOOM_K = 4
+_BLOOM_P = (1 << 31) - 1
+_BLOOM_PROBE_MOD = 3
+_BLOOM_ABSENT = 50
+
+
+def _bloom_coeffs() -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(_BLOOM_K):
+        a = int(hashlib.md5(f"bloom:a:{i}".encode()).hexdigest()[:7], 16)
+        b = int(hashlib.md5(f"bloom:b:{i}".encode()).hexdigest()[:7], 16)
+        out.append((a % (_BLOOM_P - 1) + 1, b % _BLOOM_P))
+    return out
+
+
+def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h28 = F.conv(F.substring(F.md5("term"), 1, 7), 16, 10).cast("long")
+    positions = F.array(
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_BLOOM_P))
+            % F.lit(_BLOOM_M)
+            for a, b in _bloom_coeffs()
+        ]
+    )
+    d = table(spark, sf_dir, "documents")
+    terms = (
+        d.select(F.explode(tokens_col()).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+        .withColumn("h", h28)
+    )
+    bits = (
+        terms.select(F.explode(positions).alias("pos")).distinct()
+    )
+    present_probes = terms.filter(
+        F.col("h") % _BLOOM_PROBE_MOD == 0
+    ).select("term")
+    absent_probes = spark.range(_BLOOM_ABSENT).select(
+        F.concat(F.lit("zzabsent"), F.col("id").cast("string")).alias("term")
+    )
+    probes = (
+        present_probes.unionByName(absent_probes)
+        .withColumn("h", h28)
+        # ground truth computed, not assumed: a synthetic probe that
+        # happened to exist in the corpus would be labeled present
+        .join(
+            terms.select(F.col("term"), F.lit(1).alias("present")),
+            ["term"],
+            "left",
+        )
+        .withColumn("present", F.coalesce(F.col("present"), F.lit(0)))
+    )
+    hits = (
+        probes.select("term", "present", F.explode(positions).alias("pos"))
+        .join(F.broadcast(bits.withColumn("set", F.lit(1))), "pos", "left")
+        .groupBy("term", "present")
+        .agg(F.sum(F.coalesce(F.col("set"), F.lit(0))).alias("n_set"))
+    )
+    return (
+        hits.select(
+            "term",
+            "present",
+            (F.col("n_set") == _BLOOM_K).cast("int").alias("bloom_hit"),
+        )
+        .orderBy("term")
+    )
+
+
+def _bloom_oracle() -> str:
+    pos_exprs = ", ".join(
+        f"(({a} * h + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
+        for a, b in _bloom_coeffs()
+    )
+    return f"""
+WITH terms AS (
+  SELECT term, ('0x' || substr(md5(term), 1, 7))::BIGINT AS h FROM (
+    SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+    FROM documents)
+  WHERE term <> ''
+),
+bits AS (
+  SELECT DISTINCT unnest([{pos_exprs}]) AS pos FROM terms
+),
+probes0 AS (
+  SELECT term FROM terms WHERE h % {_BLOOM_PROBE_MOD} = 0
+  UNION ALL
+  SELECT 'zzabsent' || i::VARCHAR FROM range({_BLOOM_ABSENT}) t(i)
+),
+probes AS (
+  SELECT p.term,
+         ('0x' || substr(md5(p.term), 1, 7))::BIGINT AS h,
+         CASE WHEN t.term IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM probes0 p LEFT JOIN terms t ON t.term = p.term
+),
+hits AS (
+  SELECT term, present,
+         sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+  FROM (SELECT term, present, unnest([{pos_exprs}]) AS pos FROM probes) pp
+  LEFT JOIN bits b USING (pos)
+  GROUP BY term, present
+)
+SELECT term, present,
+       CASE WHEN n_set = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit
+FROM hits ORDER BY term
+"""
+
+
+BLOOM_ORACLE = _bloom_oracle()
+
+
+# --------------------------------------------------------------------------
 # Sliding-window token chunking — context-window preparation for
 # retrieval/embedding pipelines (the RAG complement to sequence_pack's
 # training-sequence packing): fixed-size token windows with overlap so no
@@ -1644,6 +1783,10 @@ QUERIES = [
               "encode corpus with learned BPE merges; per-lang compression"),
     QuerySpec("term_cardinality_kmv", term_cardinality_kmv, KMV_ORACLE,
               "KMV distinct-count sketch vs exact, per language"),
+    QuerySpec("bloom_membership_report", bloom_membership_report,
+              BLOOM_ORACLE,
+              "Bloom-filter membership sketch (m=128, k=4): probe set "
+              "with ground truth — no false negatives + measured FPR"),
     QuerySpec("doc_chunk_sliding", doc_chunk_sliding, CHUNK_SLIDING_ORACLE,
               "sliding token-window chunking with overlap (RAG prep)"),
     QuerySpec("term_heavy_hitters_cms", term_heavy_hitters_cms, CMS_ORACLE,

@@ -747,9 +747,114 @@ ORDER BY event_type, sel_pos
 """
 
 
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection (the z-score monitor every metrics
+# pipeline ships — TimescaleDB/Grafana alerting shape): each event is
+# scored against the 20 PRECEDING events of its type; |z| > 3 flags it.
+#
+# Cross-engine exactness: event values are exact 2-dp doubles (TESTDATA
+# contract), so ALL decision arithmetic runs in INTEGER CENTS —
+# n·x - S and n·Q - S² are int64 (bounds: dev² <= 1.4e12, 9·den <=
+# 1.2e13 at the max observed value), and the flag test
+# (n·x - S)² > 9·(n·Q - S²) is the |z| > 3 test with every division
+# cleared — no decimal-widening rules, no float sum order, no FMA (the
+# LTTB lesson). The DISPLAYED zscore is dev/sqrt(den) on doubles
+# converted from identical integers: one division + one sqrt, both
+# IEEE-correctly-rounded single ops, so the rounded display cannot
+# diverge either.
+#
+# 100 TB shape: one equi-key (event_type) window pass with a bounded
+# 20-row frame — the same bounded-frame class as user_history_window;
+# no joins, no unbounded state. Warm-up rows (fewer than 20
+# predecessors) are not scored, stated in the output contract.
+_ANOM_LOOKBACK = 20
+_ANOM_Z = 3
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_LOOKBACK, -1)
+    )
+    n = F.lit(_ANOM_LOOKBACK)
+    w = e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        "vc",
+        F.count(F.lit(1)).over(fr).alias("nf"),
+        F.sum("vc").over(fr).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(fr).alias("q"),
+    ).filter(F.col("nf") == _ANOM_LOOKBACK)
+    dev = n * F.col("vc") - F.col("s")
+    den = n * F.col("q") - F.col("s") * F.col("s")
+    # den == 0 is a ZERO-VARIANCE history: any deviation from it is an
+    # infinite z — the spike-after-flatline case a monitor must flag;
+    # its zscore displays as NULL (no finite value exists)
+    anomalous = ((den > 0) & (dev * dev > F.lit(_ANOM_Z * _ANOM_Z) * den)) | (
+        (den == 0) & (dev != 0)
+    )
+    return (
+        w.filter(anomalous)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            "value",
+            F.when(
+                den > 0,
+                F.round(dev.cast("double") / F.sqrt(den.cast("double")), 4),
+            ).alias("zscore"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+EVENTS_ANOMALY_ORACLE = f"""
+WITH w AS (
+  SELECT event_id, ts, event_type, value,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         count(*) OVER fr AS nf,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER fr AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) OVER fr AS q
+  FROM events
+  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN {_ANOM_LOOKBACK} PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT *,
+         {_ANOM_LOOKBACK} * vc - s AS dev,
+         {_ANOM_LOOKBACK} * q - s * s AS den
+  FROM w WHERE nf = {_ANOM_LOOKBACK}
+)
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str, event_type,
+       value,
+       CASE WHEN den > 0
+            THEN round(dev::DOUBLE / sqrt(den::DOUBLE), 4) END AS zscore
+FROM scored
+WHERE (den > 0 AND dev * dev > {_ANOM_Z * _ANOM_Z} * den)
+   OR (den = 0 AND dev <> 0)
+ORDER BY event_type, event_id
+"""
+
+
 QUERIES = [
     QuerySpec("events_hourly_counts", events_hourly_counts, EVENTS_HOURLY_ORACLE,
               "tumbling event-time window (ST5)"),
+    QuerySpec("events_anomaly_zscore", events_anomaly_zscore,
+              EVENTS_ANOMALY_ORACLE,
+              "trailing-window z-score anomaly flags (integer-cents "
+              "exact decision, bounded 20-row frame)"),
     QuerySpec("events_ohlc_rollup", events_ohlc_rollup, EVENTS_OHLC_ORACLE,
               "hypertable-style OHLC continuous-aggregate rollup"),
     QuerySpec("events_value_winsorize", events_value_winsorize,

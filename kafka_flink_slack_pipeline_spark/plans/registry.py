@@ -390,6 +390,29 @@ _DEMOTED = (
     # a covariance bug flips the whiten certificate's identity
     # entries), and its own oracle stays verify_local-covered.
     "embedding_covariance",
+    # r7: one slot for events_anomaly_zscore (new-code rule: the
+    # trailing-window z-score monitor, integer-cents exact decision).
+    # events_ohlc_rollup rotates out WITHIN the time-series family:
+    # r6-green, body untouched this round, its min_by/max_by pick-struct
+    # semantics are pinned by the stream/batch parity test
+    # (ohlc_rollup_stream) plus its verify_local oracle, and the family
+    # keeps two in-window reps (events_downsample_lttb + the anomaly
+    # monitor arriving).
+    "events_ohlc_rollup",
+    # r7: one slot for source_quality_report (new-code rule: the
+    # domain-level curation stage). corpus_drift_report rotates out
+    # WITHIN the monitoring family: r4-green, body untouched since, its
+    # bucket TV/chi-square pass is pinned by the streaming drift parity
+    # test (tv_drift_against_reference) plus verify_local, and the
+    # family keeps corpus_snapshot_diff + the source report in-window.
+    "corpus_drift_report",
+    # r7: one slot for bloom_membership_report (new-code rule: the
+    # membership sketch completing the sketch family). KMV rotates out
+    # WITHIN that family: r4-green, untouched since, it stays a bench
+    # headline (bench membership is window-independent), the family
+    # keeps token_quantile_histogram + the Bloom report in-window, and
+    # its dyadic-rational estimator stays verify_local-covered.
+    "term_cardinality_kmv",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL
