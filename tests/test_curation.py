@@ -479,3 +479,21 @@ def test_scrub_apply_fully_covered_doc_empties(spark, tmp_path):
            interdoc_scrub_apply(spark, str(tmp_path)).collect()}
     assert got[1].n_scrubbed == 0
     assert got[2].scrubbed_text == "" and got[2].n_tokens_after == 0
+
+
+def test_source_quality_report_rank_rule(spark, sf_dir):
+    """The relative drop rule, pinned: ranks are a permutation of
+    1..n_sources, exactly floor(n/4) sources are dropped, and the
+    dropped ones are precisely the lowest-ranked quarter."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        source_quality_report,
+    )
+
+    rows = source_quality_report(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.q_rank for r in rows) == list(range(1, n + 1))
+    dropped = {r.source for r in rows if r.kept == 0}
+    assert len(dropped) == n // 4
+    assert dropped == {
+        r.source for r in rows if r.q_rank <= n // 4
+    }

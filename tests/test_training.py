@@ -422,3 +422,22 @@ def test_unigram_apply_jvm_fold_matches_driver_viterbi(spark, sf_dir):
     assert got == {k: tuple(v) for k, v in agg.items()}
     for lang, (nw, nc, nt) in got.items():
         assert nw <= nt <= nc  # >=1 token/word, <=1 token/char
+
+
+def test_bloom_no_false_negatives_and_visible_fpr(spark, sf_dir):
+    """The two Bloom guarantees, measured: every present probe hits (no
+    false negatives — the structural guarantee), and at the test vocab
+    (m sized down so collisions are observable, the CMS
+    visible-overestimate precedent) at least one absent probe false-
+    positives while at least one is correctly rejected."""
+    from kafka_flink_slack_pipeline_spark.operators.training import (
+        bloom_membership_report,
+    )
+
+    rows = bloom_membership_report(spark, sf_dir).collect()
+    present = [r for r in rows if r.present == 1]
+    absent = [r for r in rows if r.present == 0]
+    assert present and absent
+    assert all(r.bloom_hit == 1 for r in present)
+    assert any(r.bloom_hit == 1 for r in absent)   # visible FPR
+    assert any(r.bloom_hit == 0 for r in absent)   # filter still filters

@@ -122,3 +122,41 @@ def test_lttb_downsample_structure(spark, sf_dir):
         last = next(r for r in rs if r.sel_pos == _LTTB_NB + 1)
         assert first.ts_us == xs[0] and last.ts_us == xs[-1]
         assert all((r.ts_us, r.y) in pts[et] for r in rs)
+
+
+def test_anomaly_zscore_flags_spike_and_skips_warmup(spark, tmp_path, sf_dir):
+    """Planted contract: a spike after 20 identical values is the
+    zero-variance case (infinite z, NULL zscore display); warm-up rows
+    (fewer than 20 predecessors) are never scored; every finite flagged
+    zscore has |z| >= 3 on the real corpus."""
+    import datetime as dt
+
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_anomaly_zscore,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i), "flat", 10.0)
+        for i in range(20)
+    ]
+    rows.append((20, t0 + dt.timedelta(seconds=20), "flat", 99.99))  # spike
+    # a second type with a within-warmup outlier that must NOT be scored
+    rows += [
+        (100 + i, t0 + dt.timedelta(seconds=i), "warm", v)
+        for i, v in enumerate([1.0] * 5 + [500.0] + [1.0] * 5)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = events_anomaly_zscore(spark, str(tmp_path)).collect()
+    assert [(r.event_id, r.event_type, r.zscore) for r in got] == [
+        (20, "flat", None)
+    ]
+
+    # real-corpus property: every finite flagged z has magnitude >= 3
+    real = events_anomaly_zscore(spark, sf_dir).collect()
+    assert real and all(
+        r.zscore is None or abs(r.zscore) >= 3 for r in real
+    )
