@@ -181,6 +181,13 @@ HEADLINE = [
     # per-bucket argmax).
     "events_downsample_lttb",
     "corpus_snapshot_diff",
+    # r7 additions: the trailing-frame anomaly monitor (a NEW window
+    # shape — bounded preceding-rows frame with integer-exact decision)
+    # and the domain-level curation rollup (signal pass + bounded-key
+    # rank). bloom_membership_report is NOT benched: its bit table and
+    # probe set are bounded, so a timed pass would measure constants.
+    "events_anomaly_zscore",
+    "source_quality_report",
 ]
 
 

@@ -865,11 +865,15 @@ def bloom_membership_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     d = table(spark, sf_dir, "documents")
+    # vocab-scale, bounded state; THREE consumers (bit build, present
+    # probes, ground-truth join) — checkpoint so the corpus scans once
+    # (the vocab_typo_pairs shared-consumer pattern)
     terms = (
         d.select(F.explode(tokens_col()).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
         .withColumn("h", h28)
+        .localCheckpoint(eager=False)
     )
     bits = (
         terms.select(F.explode(positions).alias("pos")).distinct()
