@@ -1255,3 +1255,77 @@ def test_crossdup_stream_stream_exact_join(spark, tmp_path):
 
     # replay with no new data: exactly-once — nothing re-emitted
     assert {(r.doc_id, r.dup_of) for r in run_batch()} == {(3, 1)}
+
+
+def test_anomaly_stream_batch_parity_and_state_carryover(spark, tmp_path, sf_dir):
+    """Stream/batch parity for the z-score monitor: one availableNow run
+    over the whole events table (each key's rows sorted in-batch) must
+    flag exactly the batch operator's rows with identical zscores; then
+    a planted flatline+spike split across TWO runs pins that the ring
+    buffer survives in the state store."""
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_anomaly_zscore,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.anomaly import (
+        anomaly_events_stream,
+    )
+
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    ).coalesce(1).write.parquet(src)
+    q = (
+        anomaly_events_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("anom_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.zscore)
+        for r in spark.sql("SELECT * FROM anom_parity").collect()
+    }
+    want = {
+        (r.event_id, r.zscore)
+        for r in events_anomaly_zscore(spark, sf_dir).collect()
+    }
+    assert got == want and want
+
+    # planted carryover: 20 flat values in run 1, the spike in run 2
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    src2 = str(tmp_path / "events_src2")
+    ckpt2 = str(tmp_path / "ckpt2")
+    flat = [(i, t0 + dt.timedelta(seconds=i), "flat", 10.0) for i in range(20)]
+    spark.createDataFrame(flat, schema).write.parquet(src2)
+
+    out2 = str(tmp_path / "anom_out")
+
+    def run2():
+        q2 = (
+            anomaly_events_stream(
+                spark.readStream.schema(schema).parquet(src2)
+            )
+            .writeStream.foreachBatch(
+                lambda b, _i: b.write.mode("append").parquet(out2)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+    run2()
+    assert spark.read.parquet(out2).count() == 0
+    spike = [(20, t0 + dt.timedelta(seconds=20), "flat", 99.99)]
+    spark.createDataFrame(spike, schema).write.mode("append").parquet(src2)
+    run2()
+    rows = spark.read.parquet(out2).collect()
+    assert [(r.event_id, r.zscore) for r in rows] == [(20, None)]
