@@ -413,6 +413,17 @@ _DEMOTED = (
     # keeps token_quantile_histogram + the Bloom report in-window, and
     # its dyadic-rational estimator stays verify_local-covered.
     "term_cardinality_kmv",
+    # r7: one slot for events_above_p95_salted_join (new-code rule: the
+    # salted-JOIN skew pattern, plan-pinned replicated-dim equi-join;
+    # the skew family's other member, token_frequencies_salted, already
+    # sits outside the window — listed further up — so the slot comes
+    # from doc_ngram_novelty instead). doc_ngram_novelty rotates out:
+    # r6-green, body untouched this round, its exploded positional-
+    # shingle window shape executes in-window via interdoc_dup_runs_
+    # exact's seed construction (same positional 3-gram explode +
+    # equi-key windows), the first-occurrence curve contract is pinned
+    # by its own test, and its oracle stays verify_local-covered.
+    "doc_ngram_novelty",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

@@ -98,7 +98,11 @@ def test_window_keeps_parity_representatives():
         "events_sessions_per_user",          # ST5
         "user_history_window",               # W1
         "last_events_per_user",              # W4
-        "events_ohlc_rollup",                # time-series rollup
+        # r7: the time-series canary follows the family's narrated swap
+        # (events_ohlc_rollup -> lttb + anomaly; ohlc stays pinned by
+        # the ohlc_rollup_stream parity test + verify_local)
+        "events_downsample_lttb",            # time-series window family
+        "events_anomaly_zscore",             # time-series monitor
         "slack_llm_enrichment",              # U1 through the Arrow UDF
     ]
     missing = [q for q in required if q not in window]

@@ -172,3 +172,41 @@ def test_customer_deciles_matches_ntile_window(spark, sf_dir):
     }
     for r in ref:
         assert got[r.decile] == (r.n_customers, r.min_acctbal, r.max_acctbal)
+
+
+def test_salted_join_plan_and_equality(spark, sf_dir):
+    """The salted-join contract, both halves: the executed plan actually
+    partitions on (event_type, salt) — each hot key spread across S
+    reducers — and the result equals the plain unsalted join."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.skew import (
+        events_above_p95_salted_join,
+    )
+    from kafka_flink_slack_pipeline_spark.tables import table
+
+    df = events_above_p95_salted_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan)
+
+    e = table(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95")
+    )
+    plain = (
+        e.join(pct, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > F.col("p95")).cast("long")).alias(
+                "n_above_p95"
+            ),
+            F.round(F.min("p95"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
