@@ -197,6 +197,91 @@ ORDER BY doc_id, bin
 
 
 # --------------------------------------------------------------------------
+# Image RESIZE — the remaining multimodal verb (decode / feature-extract
+# / RESIZE / frame-sample). The deterministic fake decode views the
+# payload as a 32-column row-major grayscale grid (H = ceil(nb/32) rows,
+# no padding); the "resize" is 8x8 block-mean downsampling — each pixel
+# maps to thumbnail cell (row*8 // H, col // 4) and cells average their
+# pixels with FLOOR division, so the whole kernel is integer-exact on
+# both engines. A real deployment swaps the grid view for the codec
+# decode (the module's stub policy) and keeps the identical
+# block-reduce, batch shape, and long-format output.
+#
+# 100 TB shape: one Arrow mapInPandas pass, zero row amplification (64
+# cells out per image regardless of size), aggregation inside the
+# kernel — no shuffle until the final sort.
+_THUMB_W = 32
+_THUMB_CELLS = 8
+
+
+def image_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("image/")
+        & (F.octet_length("payload") > 0)
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "cell_row": [], "cell_col": [],
+                   "n_px": [], "mean_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nb = arr.shape[0]
+                h = -(-nb // _THUMB_W)  # ceil
+                idx = np.arange(nb)
+                row, col = idx // _THUMB_W, idx % _THUMB_W
+                cell = (row * _THUMB_CELLS // h) * _THUMB_CELLS + (
+                    col // (_THUMB_W // _THUMB_CELLS)
+                )
+                n_cells = _THUMB_CELLS * _THUMB_CELLS
+                counts = np.bincount(cell, minlength=n_cells)
+                sums = np.bincount(
+                    cell, weights=arr.astype(np.int64), minlength=n_cells
+                )
+                for c in np.nonzero(counts)[0]:
+                    out["doc_id"].append(doc_id)
+                    out["cell_row"].append(int(c) // _THUMB_CELLS)
+                    out["cell_col"].append(int(c) % _THUMB_CELLS)
+                    out["n_px"].append(int(counts[c]))
+                    # sums are exact in float64 below 2^53 — floor div
+                    out["mean_byte"].append(int(sums[c]) // int(counts[c]))
+            yield pd.DataFrame(out)
+
+    return (
+        mm.select("doc_id", "payload")
+        .mapInPandas(
+            resize,
+            "doc_id bigint, cell_row int, cell_col int, "
+            "n_px bigint, mean_byte bigint",
+        )
+        .orderBy("doc_id", "cell_row", "cell_col")
+    )
+
+
+IMAGE_THUMBNAIL_ORACLE = f"""
+SELECT doc_id,
+       ((((i - 1) // {_THUMB_W}) * {_THUMB_CELLS}) // gh)::INT AS cell_row,
+       (((i - 1) % {_THUMB_W}) // {_THUMB_W // _THUMB_CELLS})::INT AS cell_col,
+       count(*)::BIGINT AS n_px,
+       (sum(code) // count(*))::BIGINT AS mean_byte
+FROM (
+  SELECT doc_id, gh, ('0x' || substr(h, 2*i - 1, 2))::BIGINT AS code, i
+  FROM (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS nb,
+           (octet_length(encode(text)) + {_THUMB_W - 1}) // {_THUMB_W} AS gh
+    FROM documents
+    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+  ), unnest(range(1, nb + 1)) t(i)
+)
+GROUP BY doc_id, cell_row, cell_col
+ORDER BY doc_id, cell_row, cell_col
+"""
+
+
+# --------------------------------------------------------------------------
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video-typed payloads (fake codec: 1 frame/kB,
     25 fps timestamps, md5 frame signature). Pure column expressions — the
@@ -566,4 +651,9 @@ QUERIES = [
               "chunking (rolling-window divisor boundaries) + df-capped "
               "chunk-set Jaccard — catches the EXIF-insertion class the "
               "block-stride simhash provably misses (planted test)"),
+    QuerySpec("image_thumbnail_grid", image_thumbnail_grid,
+              IMAGE_THUMBNAIL_ORACLE,
+              "image RESIZE: 8x8 block-mean thumbnail over the grid "
+              "view of the payload (Arrow mapInPandas, integer-exact "
+              "floor means, decode stubbed per policy)"),
 ]

@@ -413,6 +413,15 @@ _DEMOTED = (
     # keeps token_quantile_histogram + the Bloom report in-window, and
     # its dyadic-rational estimator stays verify_local-covered.
     "term_cardinality_kmv",
+    # r7: one slot for image_thumbnail_grid (new-code rule: the RESIZE
+    # verb of the multimodal quartet, Arrow block-mean kernel).
+    # corpus_snapshot_diff rotates out WITHIN the monitoring family:
+    # r6-green, body untouched this round, its full-outer hash
+    # reconciliation is a bounded 4-key aggregate pinned by its own
+    # added/removed/changed planted test, the family keeps
+    # source_quality_report in-window, and its oracle stays
+    # verify_local-covered.
+    "corpus_snapshot_diff",
     # r7: one slot for events_above_p95_salted_join (new-code rule: the
     # salted-JOIN skew pattern, plan-pinned replicated-dim equi-join;
     # the skew family's other member, token_frequencies_salted, already

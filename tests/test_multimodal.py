@@ -176,3 +176,28 @@ def test_cdc_catches_insertion_the_block_simhash_misses(spark, tmp_path):
     # no false pairs against unrelated bytes
     assert all(4 not in p for p in block)
     assert all(4 not in p for p in cdc)
+
+
+def test_thumbnail_grid_hand_computed(spark, tmp_path):
+    """Hand-computed resize: a 64-byte payload is a 2-row x 32-col grid
+    (gh=2), so cell_row = row*8//2 ∈ {0, 4} and cell_col = col//4; each
+    cell averages exactly 4 bytes with floor division."""
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        image_thumbnail_grid,
+    )
+
+    # doc_id must be ≡ 0 (mod 3) for the image slot; bytes 'A'=65..
+    payload = "".join(chr(65 + i) for i in range(64))  # 65..128
+    spark.createDataFrame(
+        [(3, payload)], "doc_id bigint, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = image_thumbnail_grid(spark, str(tmp_path)).collect()
+    # 2 occupied cell rows x 8 cell cols
+    assert len(rows) == 16
+    got = {(r.cell_row, r.cell_col): (r.n_px, r.mean_byte) for r in rows}
+    # row 0 (bytes 65..96): cell (0, c) = mean of 65+4c .. 68+4c
+    for c in range(8):
+        base = 65 + 4 * c
+        assert got[(0, c)] == (4, (base * 4 + 6) // 4)
+        base2 = 97 + 4 * c
+        assert got[(4, c)] == (4, (base2 * 4 + 6) // 4)
