@@ -186,8 +186,9 @@ def test_thumbnail_grid_hand_computed(spark, tmp_path):
         image_thumbnail_grid,
     )
 
-    # doc_id must be ≡ 0 (mod 3) for the image slot; bytes 'A'=65..
-    payload = "".join(chr(65 + i) for i in range(64))  # 65..128
+    # doc_id must be ≡ 0 (mod 3) for the image slot; bytes 48..111
+    # ('0'..'o') stay single-byte ASCII so payload length is exactly 64
+    payload = "".join(chr(48 + i) for i in range(64))
     spark.createDataFrame(
         [(3, payload)], "doc_id bigint, text string"
     ).write.parquet(str(tmp_path / "documents.parquet"))
@@ -195,9 +196,9 @@ def test_thumbnail_grid_hand_computed(spark, tmp_path):
     # 2 occupied cell rows x 8 cell cols
     assert len(rows) == 16
     got = {(r.cell_row, r.cell_col): (r.n_px, r.mean_byte) for r in rows}
-    # row 0 (bytes 65..96): cell (0, c) = mean of 65+4c .. 68+4c
+    # row 0 (bytes 48..79): cell (0, c) = floor mean of 48+4c .. 51+4c
     for c in range(8):
-        base = 65 + 4 * c
+        base = 48 + 4 * c
         assert got[(0, c)] == (4, (base * 4 + 6) // 4)
-        base2 = 97 + 4 * c
+        base2 = 80 + 4 * c
         assert got[(4, c)] == (4, (base2 * 4 + 6) // 4)
