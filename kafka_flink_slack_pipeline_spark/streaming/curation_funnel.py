@@ -283,13 +283,31 @@ def curation_funnel_stream_report(
 ) -> DataFrame:
     """Accumulated per-stage funnel table over every processed batch —
     the same (stage_ord, stage, n_docs, n_tokens) rows as the batch
-    corpus_curation_funnel (the parity test compares them directly)."""
+    corpus_curation_funnel (the parity test compares them directly).
+
+    Consistency gate: stage-2/3/4 counts are written INSIDE foreachBatch
+    (replay-safe — a crashed batch re-runs and overwrites), but the
+    stage-0/1 observed metrics persist AFTER query termination, so a
+    crash in that window loses them for already-committed batches. The
+    report refuses to silently undercount: it raises when counts/ holds
+    a batch_id that ingest/ lacks, naming the batches to re-reconcile."""
     ing = spark.read.option("basePath", f"{state_dir}/ingest").parquet(
         f"{state_dir}/ingest"
     )
     cnt = spark.read.option("basePath", f"{state_dir}/counts").parquet(
         f"{state_dir}/counts"
     )
+    have = {r.batch_id for r in ing.select("batch_id").distinct().collect()}
+    need = {r.batch_id for r in cnt.select("batch_id").distinct().collect()}
+    missing = sorted(need - have)
+    if missing:
+        raise ValueError(
+            "funnel ingest metrics missing for batches "
+            f"{missing}: the run crashed between checkpoint commit and "
+            "metrics persistence — stage-0/1 counts for those batches "
+            "were only observable during that run. Re-land the affected "
+            "drops or record the gap before trusting stage-0/1 totals."
+        )
     i = ing.agg(
         F.sum("n_raw").alias("d0"),
         F.sum("tok_raw").alias("t0"),
