@@ -421,7 +421,12 @@ _MEDIA_STRIDE_BYTES = 4
 def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _simhash_agg, _simhash_capped_pairs
 
-    mm = multimodal_view(spark, sf_dir)
+    # same single-split fix as media_neardup_cdc below: the hex-slice
+    # shingle map is compute-bound and a small local parquet is ONE
+    # split; explicit count because AQE's byte-based coalescing would
+    # fold the tiny shuffle back to one partition (measured there)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mm = multimodal_view(spark, sf_dir).repartition(n_part, "doc_id")
     hexs = F.hex("payload")
     width = 2 * _MEDIA_SHINGLE_BYTES
     stride = 2 * _MEDIA_STRIDE_BYTES
