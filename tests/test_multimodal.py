@@ -202,3 +202,39 @@ def test_thumbnail_grid_hand_computed(spark, tmp_path):
         assert got[(0, c)] == (4, (base * 4 + 6) // 4)
         base2 = 80 + 4 * c
         assert got[(4, c)] == (4, (base2 * 4 + 6) // 4)
+
+
+def test_cdc_insertion_locality_batched(spark, tmp_path):
+    """CDC's defining property over 20 seeded random payload pairs in
+    ONE run: a mid-payload insertion leaves every chunk outside the
+    spliced neighborhood byte-identical, so each (base, spliced) pair
+    meets the 0.5 chunk-Jaccard threshold; unrelated payloads never
+    pair."""
+    import hashlib
+
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        media_neardup_cdc,
+    )
+
+    rows = []
+    for k in range(20):
+        base = "".join(
+            hashlib.md5(f"loc:{k}:{i}".encode()).hexdigest()
+            for i in range(24)  # 768 ASCII bytes
+        )
+        pos = 101 + 29 * k  # varied non-aligned splice offsets
+        ins = hashlib.md5(f"ins:{k}".encode()).hexdigest()[: 7 + (k % 9)]
+        rows.append((2 * k, base))
+        rows.append((2 * k + 1, base[:pos] + ins + base[pos:]))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in media_neardup_cdc(spark, str(tmp_path)).collect()
+    }
+    for k in range(20):
+        assert (2 * k, 2 * k + 1) in pairs, f"pair {k} missed"
+        assert pairs[(2 * k, 2 * k + 1)] >= 0.5
+    # no cross-pair false positives (independent md5 streams)
+    assert all(b == a + 1 and a % 2 == 0 for a, b in pairs)

@@ -130,3 +130,26 @@ def test_funnel_stream_lands_final_survivors(spark, sf_dir, funnel_dirs):
     assert "lang" in landed.columns and "batch_id" in landed.columns
     # partition pruning works on the landed layout
     assert landed.filter("lang = 'en'").count() > 0
+
+
+def test_funnel_report_refuses_missing_ingest_metrics(spark, funnel_dirs):
+    """The crash-window consistency gate: counts/ holding a batch_id
+    that ingest/ lacks must raise, not silently undercount stage 0/1.
+    (Runs after the parity test — module-scoped dirs have real state.)"""
+    import shutil
+
+    import pytest as _pytest
+
+    ingest = os.path.join(funnel_dirs["state"], "ingest")
+    victim = sorted(
+        e for e in os.listdir(ingest) if e.startswith("batch_id=")
+    )[0]
+    backup = os.path.join(funnel_dirs["state"], "_backup_" + victim)
+    shutil.move(os.path.join(ingest, victim), backup)
+    try:
+        with _pytest.raises(ValueError, match="ingest metrics missing"):
+            curation_funnel_stream_report(spark, funnel_dirs["state"])
+    finally:
+        shutil.move(backup, os.path.join(ingest, victim))
+    # restored state reports cleanly again
+    assert curation_funnel_stream_report(spark, funnel_dirs["state"]).count() == 5
