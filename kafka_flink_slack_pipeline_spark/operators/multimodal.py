@@ -418,15 +418,34 @@ _MEDIA_SHINGLE_BYTES = 4
 _MEDIA_STRIDE_BYTES = 4
 
 
+def _spread_small_scan(
+    spark: SparkSession, df: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Repartition a compute-bound narrow map's input ONLY when the
+    backing scan cannot parallelize by itself: a single sub-split-size
+    parquet FILE (the local testdata shape — one row group, one task
+    eats the whole corpus). At scale `documents` is a directory of many
+    files, the scan's own splits provide the parallelism, and this is a
+    no-op — no redundant exchange of the input bytes. The partition
+    count is explicit because AQE's byte-based coalescing folds a tiny
+    shuffle back to one partition, which is wrong for a compute-bound
+    map (measured 4.5 s -> 1.9 s on the CDC chunk stage; ~35% end to
+    end on the block simhash)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path) and os.path.getsize(path) < (128 << 20):
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return df.repartition(n, "doc_id")
+    return df
+
+
 def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _simhash_agg, _simhash_capped_pairs
 
-    # same single-split fix as media_neardup_cdc below: the hex-slice
-    # shingle map is compute-bound and a small local parquet is ONE
-    # split; explicit count because AQE's byte-based coalescing would
-    # fold the tiny shuffle back to one partition (measured there)
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    mm = multimodal_view(spark, sf_dir).repartition(n_part, "doc_id")
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    )
     hexs = F.hex("payload")
     width = 2 * _MEDIA_SHINGLE_BYTES
     stride = 2 * _MEDIA_STRIDE_BYTES
@@ -557,19 +576,13 @@ def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .dedup import capped_jaccard_pairs_from
 
-    # repartition BEFORE the per-byte boundary scan: the chunk map is
-    # compute-bound and a small local parquet arrives as ONE split (one
-    # task eats the whole corpus); on a cluster the scan's own splits
-    # provide this parallelism and the exchange is one pass of the
-    # input bytes. The partition count is EXPLICIT — AQE's byte-based
-    # coalescing folds a ~2 MB shuffle back to one partition, which is
-    # wrong for a compute-bound map (measured 4.5 s -> 1.9 s for the
-    # chunk stage). The chunked frame is then localCheckpointed: it
-    # feeds FOUR consumers (join sides a/b + sizes a/b), and Spark 4.1
-    # AQE recomputes self-join branches — 209 s -> ~4 s at sf0.1 for
-    # checkpoint+repartition together.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = multimodal_view(spark, sf_dir).repartition(n_part, "doc_id")
+    # spread the per-byte boundary scan when the local single-file scan
+    # can't parallelize itself (see _spread_small_scan — a no-op on a
+    # multi-file corpus at scale). The chunked frame is then
+    # localCheckpointed: it feeds FOUR consumers (join sides a/b +
+    # sizes a/b), and Spark 4.1 AQE recomputes self-join branches —
+    # 209 s -> ~4 s at sf0.1 for checkpoint+spread together.
+    docs = _spread_small_scan(spark, multimodal_view(spark, sf_dir), sf_dir)
     toked = _cdc_toked(docs).localCheckpoint(eager=True)
     sizes = toked.select("doc_id", F.size("chunks").alias("n"))
     shingled = toked.select(

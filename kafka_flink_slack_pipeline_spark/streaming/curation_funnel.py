@@ -182,9 +182,20 @@ def curation_funnel_stream(
 
             # near-dup: banded pairs of (store ∪ this batch) vs this
             # batch's survivors, doc_id order, the batch op's estimator
+            # AND its bucket cap (a bucket over MINHASH_BUCKET_CAP as of
+            # this batch contributes no pairs — filtering the a-side
+            # kills the whole bucket since both pair members share it)
+            from pyspark.sql import Window
+
+            from ..operators.dedup import MINHASH_BUCKET_CAP
+
             store = _read_sig_store(spark, sigs_dir, batch_id)
             all_sigs = sigs if store is None else store.unionByName(sigs)
             bands_a = _minhash_sig_bands(all_sigs)
+            bands_a = bands_a.withColumn(
+                "bsize",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")),
+            ).filter(F.col("bsize") <= MINHASH_BUCKET_CAP)
             bands_b = _minhash_sig_bands(sigs).join(
                 surv2.select("doc_id"), "doc_id", "semi"
             )
