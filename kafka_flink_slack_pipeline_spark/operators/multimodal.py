@@ -411,9 +411,10 @@ ORDER BY doc_id, frame_idx
 # truncation — all PRESERVE byte alignment, so block shingles see them
 # at a quarter of the overlapping-window token count (measured 6.0 s ->
 # 2.4 s at sf0.1 for the same pairs on those classes). Mid-payload
-# INSERTIONS shift alignment and would need byte-stride windows
-# (_MEDIA_STRIDE_BYTES = 1) — stated here so nobody expects
-# insertion-robustness from the block setting.
+# INSERTIONS shift alignment and defeat the block setting — that class
+# belongs to media_neardup_cdc below (content-defined chunk boundaries
+# re-synchronize after a splice; the planted test splits the two ops
+# on exactly this case).
 _MEDIA_SHINGLE_BYTES = 4
 _MEDIA_STRIDE_BYTES = 4
 
