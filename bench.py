@@ -4,11 +4,20 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed three times: a warmup pass (JIT + parquet footer
-cache) is NOT counted, then two timed passes of which the MIN is reported —
-single-sample timings on a shared box are too noisy for round-over-round
-comparison. Results are consumed via count() so the full plan executes
-without driver-side collection overhead.
+Each query is executed four times: a warmup pass (JIT + parquet footer
+cache) is NOT counted, then three timed passes of which the MIN is
+reported — single-sample timings on a shared box are too noisy for
+round-over-round comparison (r6 and r7 both burned investigation effort
+proving apparent regressions were host drift). Results are consumed via
+count() so the full plan executes without driver-side collection
+overhead.
+
+Drift attribution: the JSON line also carries `r1_anchor_ratio` — the
+total of this run's timings over the 13 queries shared with
+BENCH_r01.json, divided by the recorded r1 totals for those queries
+(pinned below as _R1_ANCHOR). A round-over-round comparison should
+divide per-query deltas by this ratio before calling anything a
+regression: if the ratio itself moved, the box moved.
 """
 
 from __future__ import annotations
@@ -191,6 +200,27 @@ HEADLINE = [
 ]
 
 
+# BENCH_r01.json per-query timings for the queries still in the headline
+# set, verbatim — the drift anchor. The sum of the CURRENT run over these
+# names divided by the sum below is the box's speed relative to the r1
+# run; per-query deltas should be read against it.
+_R1_ANCHOR = {
+    "q1_pricing_summary": 0.364,
+    "q3_shipping_priority": 0.637,
+    "q5_local_supplier_volume": 0.459,
+    "top_orders_per_customer": 0.422,
+    "events_sessions_per_user": 0.138,
+    "user_history_window": 0.35,
+    "doc_token_stats": 0.145,
+    "cosine_topk_bruteforce": 0.534,
+    "dedup_minhash_lsh": 0.957,
+    "cosine_topk_lsh": 1.019,
+    "image_byte_histogram": 0.238,
+    "email_clean_chain": 0.065,
+    "email_chunk_blocks": 0.199,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -201,7 +231,7 @@ def main() -> None:
     # compilation for THIS plan, the timed passes measure execution.
     # (Rebuilding the frame would re-codegen — fresh expression ids
     # defeat the codegen cache — and time compilation, not the query.)
-    # The two timed samples are taken in separate FULL passes over the
+    # The three timed samples are taken in separate FULL passes over the
     # query list, so a transient host stall (observed: ~80 s windows
     # where everything runs 3-26× slow) can spoil at most one of a
     # query's samples — back-to-back samples would both land in it.
@@ -210,7 +240,7 @@ def main() -> None:
         frames[name] = specs[name].fn(spark, sf_dir)
         frames[name].count()  # warmup (not timed)
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.time()
             frames[name].count()
@@ -218,6 +248,8 @@ def main() -> None:
     timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     total = round(sum(timings.values()), 3)
+    anchor_now = sum(timings[n] for n in _R1_ANCHOR if n in timings)
+    anchor_r1 = sum(v for n, v in _R1_ANCHOR.items() if n in timings)
     print(
         json.dumps(
             {
@@ -226,6 +258,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "methodology": "per-query min of 3 timed passes after 1 "
+                "warmup pass; passes interleaved across the query list "
+                "so a host stall spoils at most one sample per query",
+                "r1_anchor_ratio": round(anchor_now / anchor_r1, 3),
             }
         )
     )

@@ -814,14 +814,14 @@ FROM est ORDER BY lang
 # --------------------------------------------------------------------------
 # Bloom-filter membership sketch (Bloom 1970; the pre-join/pre-lookup
 # filter every large pipeline ships — Spark itself injects runtime bloom
-# filters for join pruning). m=1024 bits, k=4 md5-seeded universal
-# hashes over the corpus' distinct terms; the report probes a
-# deterministic mix of PRESENT terms (28-bit term hash ≡ 0 mod 37) and
-# ABSENT synthetic terms, recording ground truth next to the sketch's
-# answer — the no-false-negative guarantee and the measured
-# false-positive rate are the two numbers a consumer needs before
-# trusting the filter at scale. m is sized to the TEST vocabulary (31
-# flat synthetic terms) so the false-positive phenomenon is MEASURABLE
+# filters for join pruning). m=_BLOOM_M bits, k=_BLOOM_K md5-seeded
+# universal hashes over the corpus' distinct terms; the report probes a
+# deterministic mix of PRESENT terms (28-bit term hash ≡ 0 mod
+# _BLOOM_PROBE_MOD) and _BLOOM_ABSENT ABSENT synthetic terms, recording
+# ground truth next to the sketch's answer — the no-false-negative
+# guarantee and the measured false-positive rate are the two numbers a
+# consumer needs before trusting the filter at scale. m is sized DOWN
+# to the test vocabulary so the false-positive phenomenon is MEASURABLE
 # — the CMS visible-overestimate precedent; a production filter sizes
 # m at ~10 bits per expected key (the 1%-FPR point) and the math is
 # identical.
@@ -832,7 +832,7 @@ FROM est ORDER BY lang
 # positions are set, counted through an equi-join against the bit
 # table.
 #
-# 100 TB shape: O(m)=1024-row state at any corpus size (the definition
+# 100 TB shape: O(m)=_BLOOM_M-row state at any corpus size (the definition
 # of a sketch); building it is one distinct-term pass + a bounded
 # explode; probes join BROADCAST against the bit table. In production
 # the bit table compiles to a bitmask pushed into scans; here the

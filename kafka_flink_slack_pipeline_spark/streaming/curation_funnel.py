@@ -53,11 +53,37 @@ Design decisions, in dependency order:
   storage, not in a state store (the crossdup stream holds 16-byte
   fingerprints; 16x8-byte signatures x the corpus is a table). Batch N
   reads partitions batch_id < N only, so a replayed batch never sees
-  its own failed attempt's output. Pair semantics mirror
-  dedup_minhash_lsh exactly: band-key collision, doc_id order,
-  round(est_jaccard, 4) >= 0.25. (The batch operator's bucket cap is a
-  whole-corpus count; the stream omits it — no tested bucket comes near
-  the cap, the operator's own pinned claim.)
+  its own failed attempt's output.
+
+  The store is laid out as the LSH INDEX, not the raw signatures: one
+  row per (doc, band) carrying (bkey, sig), partitioned on disk by
+  (band, bprefix = xxhash64(bkey) mod _SIG_STORE_PREFIXES). That layout
+  is what keeps per-batch cost flat as the store grows: batch N's
+  near-dup stage (a) partition-prunes the store scan to the
+  (band, bprefix) directories its OWN band keys hash into — a bounded
+  literal predicate, at most BANDS x PREFIXES directories — then (b)
+  semi-joins the pruned scan against the batch's broadcast band-key set,
+  so only store rows in buckets the batch actually touches are read,
+  shuffled, or counted. History in untouched buckets is never re-scanned
+  (tests/test_streaming_funnel.py asserts the pruned scan's inputFiles
+  stay inside touched partitions, and that per-batch touched-row volume
+  is bounded by bucket content, not store size). Storage trades 4 band
+  rows per doc (sig rides along, 128 B) for never rebuilding bands over
+  history — the postings-list layout every LSH index uses.
+
+  Pair semantics mirror dedup_minhash_lsh exactly: band-key collision,
+  doc_id order, round(est_jaccard, 4) >= 0.25, and the SAME bucket cap
+  (bsize <= MINHASH_BUCKET_CAP) — applied AS-OF-BATCH: the bucket's
+  count is its full landed history plus this batch (exact — the
+  semi-join keeps every historical member of a touched bucket), while
+  the batch operator counts the whole corpus at once. PARITY
+  PRECONDITION, stated explicitly: stream/batch stage-3 parity holds
+  only while no band bucket CROSSES the cap mid-stream (a bucket under
+  the cap at batch N but over it by end-of-corpus emits pairs the batch
+  op suppresses). Each batch records `d_capped` — the number of touched
+  buckets over the cap — in its counts row; a nonzero value is the
+  signal to re-check parity for that horizon. No tested bucket comes
+  near the cap (the batch operator's own pinned claim).
 
 - Decontamination is per-document (n-gram containment against STATIC
   bench frames — benchmarks are fixed inputs in production), so the
@@ -69,10 +95,15 @@ Design decisions, in dependency order:
   docs (lang-partitioned), the signature store, per-batch stage counts.
 
 100 TB/day shape: quality + signatures are narrow maps; the engine
-dedup shuffles 16-byte keys; the near-dup join is a banded equi-join of
-the batch against a partition-pruned store scan (prunable further by
-band-bucket layout at scale); decon broadcasts the bounded bench set;
-all writes are append-shaped. No stage holds unbounded executor state.
+dedup shuffles 16-byte keys; the near-dup join touches only the store
+buckets the batch's own signatures hash into (partition-pruned scan +
+broadcast semi-join — per-batch cost tracks bucket content, not landed
+history); decon broadcasts the bounded bench set; all writes are
+append-shaped. No stage holds unbounded executor state. Known
+small-files cost: each batch writes up to BANDS x PREFIXES partition
+directories; a production deployment compacts store partitions
+periodically (a pure rewrite — batch_id pruning only matters for the
+CURRENT run's replay window).
 """
 
 from __future__ import annotations
@@ -81,6 +112,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from ..operators.dedup import (
     MINHASH_K,
@@ -98,19 +130,152 @@ from ..operators.textops import (
 
 DROP_SCHEMA = "doc_id bigint, text string, lang string, ingest_ts timestamp"
 
-_SIG_COLS = [f"h{i}" for i in range(MINHASH_K)]
+# Store partition fan-out for the bkey dimension: band (BANDS values) x
+# bprefix (this many hash buckets of bkey). 8 keeps the per-batch
+# directory count bounded at BANDS*8 = 32 while still pruning ~7/8 of
+# history when a batch touches few buckets; a cluster deployment sizes
+# it to its partition-count comfort (pure layout knob — bprefix is
+# derived, never part of the pair semantics).
+_SIG_STORE_PREFIXES = 8
 
 
-def _read_sig_store(spark: SparkSession, sigs_dir: str, before: int):
-    """Signatures landed by batches < `before` (None when none exist) —
-    the replay guard: a re-run batch never joins against its own failed
-    attempt's partition."""
+def _bprefix_col():
+    return F.pmod(F.xxhash64(F.col("bkey")), F.lit(_SIG_STORE_PREFIXES))
+
+
+def _assert_local_dir(path: str, what: str) -> None:
+    """The store-existence probe below is driver-local os.path; on a
+    non-local URI (s3://, hdfs://) isdir would silently report 'no
+    store yet' and the near-dup stage would run with an EMPTY reference
+    set — landed near-dups quietly stop being dropped. Fail loudly
+    instead; a cluster deployment swaps these probes for the Hadoop FS
+    API."""
+    if "://" in path:
+        raise ValueError(
+            f"{what} must be a driver-local path for this runner "
+            f"(got {path!r}): existence/partition probes use os.path, "
+            "which would misread a remote URI as an absent store."
+        )
+
+
+def _pruned_store(
+    spark: SparkSession,
+    sigs_dir: str,
+    before: int,
+    touched: list[tuple[int, int]],
+):
+    """Banded store rows (doc_id, sig, band, bkey) landed by batches <
+    `before`, scan-pruned to the touched (band, bprefix) partitions —
+    None when no store exists yet. batch_id < before is the replay
+    guard: a re-run batch never joins against its own failed attempt's
+    partition. `touched` is bounded (<= BANDS * _SIG_STORE_PREFIXES
+    pairs), so the literal OR-chain is a static partition-pruning
+    predicate, never a join."""
+    _assert_local_dir(sigs_dir, "signature store dir")
     if not os.path.isdir(sigs_dir) or not any(
         e.startswith("batch_id=") for e in os.listdir(sigs_dir)
     ):
         return None
+    if not touched:
+        return None
     store = spark.read.option("basePath", sigs_dir).parquet(sigs_dir)
-    return store.filter(F.col("batch_id") < before).drop("batch_id")
+    hit = None
+    for band, bprefix in touched:
+        term = (F.col("band") == band) & (F.col("bprefix") == bprefix)
+        hit = term if hit is None else (hit | term)
+    return (
+        store.filter(F.col("batch_id") < before)
+        .filter(hit)
+        .select("doc_id", "sig", "band", "bkey")
+    )
+
+
+def _progress_parts(p):
+    """(batch_id, funnel_ingest observed row, query name) from either a
+    StreamingQueryProgress object (listener events) or the dict form
+    (recentProgress)."""
+    if isinstance(p, dict):
+        om = (p.get("observedMetrics") or {}).get("funnel_ingest")
+        return p.get("batchId"), om, p.get("name")
+    om = dict(p.observedMetrics or {}).get("funnel_ingest")
+    return p.batchId, om, p.name
+
+
+def _write_ingest_metrics(spark: SparkSession, ingest_dir: str, p) -> None:
+    batch_id, om, _ = _progress_parts(p)
+    if om is None:
+        return
+    spark.createDataFrame(
+        [
+            (
+                int(om["n_raw"]),
+                int(om["n_quality"] or 0),
+                int(om["tok_raw"] or 0),
+                int(om["tok_quality"] or 0),
+            )
+        ],
+        "n_raw long, n_quality long, tok_raw long, tok_quality long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{ingest_dir}/batch_id={batch_id}"
+    )
+
+
+class _IngestMetricsWriter(StreamingQueryListener):
+    """Persists each batch's observed stage-0/1 metrics as the progress
+    event arrives (driver-side listener thread; job submission from it
+    is supported). Event delivery is asynchronous, so a progress event
+    can still be in flight while the post-termination fallback sweep
+    runs — both paths therefore CLAIM a batch id under a lock before
+    writing (exactly one writer per directory; two FileFormatWriter jobs
+    racing on one target corrupt each other's _temporary staging). A
+    claim is released if the write throws, so the other path can retry
+    it."""
+
+    def __init__(self, spark: SparkSession, ingest_dir: str):
+        import threading
+
+        self._spark = spark
+        self._ingest_dir = ingest_dir
+        self._lock = threading.Lock()
+        self._claimed: set[int] = set()
+
+    def claim(self, batch_id: int) -> bool:
+        """True exactly once per batch id across both writer paths."""
+        with self._lock:
+            if batch_id in self._claimed:
+                return False
+            self._claimed.add(batch_id)
+            return True
+
+    def release(self, batch_id: int) -> None:
+        with self._lock:
+            self._claimed.discard(batch_id)
+
+    def write_claimed(self, p) -> None:
+        batch_id, om, _ = _progress_parts(p)
+        if om is None or not self.claim(batch_id):
+            return
+        try:
+            _write_ingest_metrics(self._spark, self._ingest_dir, p)
+        except BaseException:
+            self.release(batch_id)
+            raise
+
+    def onQueryStarted(self, event) -> None:
+        pass  # no per-run state to initialize
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        _, _, name = _progress_parts(p)
+        if name != "curation_funnel":
+            return
+        self.write_claimed(p)
+
+    def onQueryIdle(self, event) -> None:
+        pass  # idle triggers carry no observed metrics
+
+    def onQueryTerminated(self, event) -> None:
+        pass  # the main thread owns termination handling
 
 
 def curation_funnel_stream(
@@ -168,35 +333,67 @@ def curation_funnel_stream(
         batch = batch.persist()
         try:
             # signature store gets ALL arriving docs (failers included —
-            # they are valid near-dup witnesses in the batch semantics)
+            # they are valid near-dup witnesses in the batch semantics);
+            # stored BANDED (the LSH-index layout) so no batch ever
+            # rebuilds bands over history
             shingled = batch.select(
                 "doc_id",
                 F.explode(_word_shingles(tokens_col(), 3)).alias("shingle"),
             ).filter(F.col("shingle") != "")
-            sigs = _minhash_sigs(shingled).persist()
-            sigs.write.mode("overwrite").parquet(
-                f"{sigs_dir}/batch_id={batch_id}"
+            bands_batch = (
+                _minhash_sig_bands(_minhash_sigs(shingled))
+                .withColumn("bprefix", _bprefix_col())
+                .persist()
             )
+            bands_batch.write.mode("overwrite").partitionBy(
+                "band", "bprefix"
+            ).parquet(f"{sigs_dir}/batch_id={batch_id}")
 
             surv2 = batch.filter(F.col("qk") == 1).persist()
 
-            # near-dup: banded pairs of (store ∪ this batch) vs this
-            # batch's survivors, doc_id order, the batch op's estimator
-            # AND its bucket cap (a bucket over MINHASH_BUCKET_CAP as of
-            # this batch contributes no pairs — filtering the a-side
-            # kills the whole bucket since both pair members share it)
+            # near-dup: banded pairs of (touched store buckets ∪ this
+            # batch) vs this batch's survivors, doc_id order, the batch
+            # op's estimator AND its bucket cap as-of-batch (a bucket
+            # over MINHASH_BUCKET_CAP contributes no pairs — filtering
+            # the a-side kills the whole bucket since both pair members
+            # share it). Only buckets THIS batch touches can pair, so
+            # restricting the count to them is exact, and the store scan
+            # prunes to the partitions those buckets live in: per-batch
+            # cost tracks touched-bucket content, not landed history.
             from pyspark.sql import Window
 
             from ..operators.dedup import MINHASH_BUCKET_CAP
 
-            store = _read_sig_store(spark, sigs_dir, batch_id)
-            all_sigs = sigs if store is None else store.unionByName(sigs)
-            bands_a = _minhash_sig_bands(all_sigs)
-            bands_a = bands_a.withColumn(
+            touched = [
+                (r["band"], r["bprefix"])
+                for r in bands_batch.select("band", "bprefix")
+                .distinct()
+                .collect()  # bounded: <= BANDS * _SIG_STORE_PREFIXES rows
+            ]
+            store = _pruned_store(spark, sigs_dir, batch_id, touched)
+            batch_keys = bands_batch.select("band", "bkey").distinct()
+            cols = ["doc_id", "sig", "band", "bkey"]
+            if store is None:
+                all_touched = bands_batch.select(*cols)
+            else:
+                all_touched = store.join(
+                    F.broadcast(batch_keys), ["band", "bkey"], "semi"
+                ).unionByName(bands_batch.select(*cols))
+            sized = all_touched.withColumn(
                 "bsize",
                 F.count(F.lit(1)).over(Window.partitionBy("band", "bkey")),
-            ).filter(F.col("bsize") <= MINHASH_BUCKET_CAP)
-            bands_b = _minhash_sig_bands(sigs).join(
+            ).persist()
+            bands_a = sized.filter(F.col("bsize") <= MINHASH_BUCKET_CAP)
+            # parity-precondition telemetry: buckets already OVER the cap
+            # as of this batch (stage-3 stream/batch parity is only
+            # guaranteed while this stays 0 for buckets that later pair)
+            n_capped = (
+                sized.filter(F.col("bsize") > MINHASH_BUCKET_CAP)
+                .select("band", "bkey")
+                .distinct()
+                .count()
+            )
+            bands_b = bands_batch.join(
                 surv2.select("doc_id"), "doc_id", "semi"
             )
             est = F.round(
@@ -249,43 +446,50 @@ def curation_funnel_stream(
             d3, t3 = _dt(surv3)
             d4, t4 = _dt(surv4)
             spark.createDataFrame(
-                [(d2, t2, d3, t3, d4, t4)],
-                "d2 long, t2 long, d3 long, t3 long, d4 long, t4 long",
+                [(d2, t2, d3, t3, d4, t4, n_capped)],
+                "d2 long, t2 long, d3 long, t3 long, d4 long, t4 long, "
+                "d_capped long",
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{counts_dir}/batch_id={batch_id}"
             )
-            for df in (surv4, surv3, surv2, sigs):
+            for df in (surv4, surv3, surv2, sized, bands_batch):
                 df.unpersist()
         finally:
             batch.unpersist()
 
-    q = (
-        deduped.writeStream.foreachBatch(stage)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-    # persist the observed pre-dedup counts, keyed by batchId — replay
-    # re-observes identical numbers, so overwrite stays idempotent
-    for p in q.recentProgress:
-        om = (p.get("observedMetrics") or {}).get("funnel_ingest")
-        if not om:
-            continue
-        spark.createDataFrame(
-            [
-                (
-                    int(om["n_raw"]),
-                    int(om["n_quality"] or 0),
-                    int(om["tok_raw"] or 0),
-                    int(om["tok_quality"] or 0),
-                )
-            ],
-            "n_raw long, n_quality long, tok_raw long, tok_quality long",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{ingest_dir}/batch_id={p['batchId']}"
+    # Persist the observed pre-dedup counts per batch DURING the run via
+    # a StreamingQueryListener — recentProgress retains only the last
+    # ~100 progress entries (spark.sql.streaming.numRecentProgressUpdates),
+    # so a long run harvested only at termination would permanently lose
+    # early batches' ingest metrics and the report's consistency gate
+    # would then always raise for them. Writing from onQueryProgress also
+    # shrinks the report's documented crash window: metrics land within
+    # one trigger of the batch commit instead of all-at-termination.
+    # Replay re-observes identical numbers, so the batch-scoped overwrite
+    # stays idempotent.
+    listener = _IngestMetricsWriter(spark, ingest_dir)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            deduped.writeStream.queryName("curation_funnel")
+            .foreachBatch(stage)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+
+    # Fallback sweep for any batch the listener missed (event delivery is
+    # asynchronous — a progress event can race termination, and the
+    # listener bus itself can be unavailable in exotic runners). Skips
+    # batch ids the listener already persisted: two writers racing on ONE
+    # directory would be a real hazard; one writer per batch id is not —
+    # the shared claim set guarantees that even if a late listener event
+    # fires mid-sweep.
+    for p in q.recentProgress:
+        listener.write_claimed(p)
     return q
 
 
@@ -297,11 +501,13 @@ def curation_funnel_stream_report(
     corpus_curation_funnel (the parity test compares them directly).
 
     Consistency gate: stage-2/3/4 counts are written INSIDE foreachBatch
-    (replay-safe — a crashed batch re-runs and overwrites), but the
-    stage-0/1 observed metrics persist AFTER query termination, so a
-    crash in that window loses them for already-committed batches. The
-    report refuses to silently undercount: it raises when counts/ holds
-    a batch_id that ingest/ lacks, naming the batches to re-reconcile."""
+    (replay-safe — a crashed batch re-runs and overwrites), while the
+    stage-0/1 observed metrics persist from the progress listener — at
+    most one trigger behind the batch commit — so a crash inside that
+    one-trigger window can still lose them for an already-committed
+    batch. The report refuses to silently undercount: it raises when
+    counts/ holds a batch_id that ingest/ lacks, naming the batches to
+    re-reconcile."""
     ing = spark.read.option("basePath", f"{state_dir}/ingest").parquet(
         f"{state_dir}/ingest"
     )

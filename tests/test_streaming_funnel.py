@@ -153,3 +153,100 @@ def test_funnel_report_refuses_missing_ingest_metrics(spark, funnel_dirs):
         shutil.move(backup, os.path.join(ingest, victim))
     # restored state reports cleanly again
     assert curation_funnel_stream_report(spark, funnel_dirs["state"]).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# Signature-store pruning: the property that keeps per-batch near-dup cost
+# flat as the store grows. The store is partitioned by (band, bprefix); a
+# batch's near-dup stage must READ only the partitions its own band keys
+# hash into, and the rows it pulls from them must be exactly the full
+# store's members of the buckets the batch touches (so restricting the
+# bucket-size count to touched buckets loses nothing).
+
+
+def _bands_of(spark, sf_dir, lo, hi):
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        _minhash_sig_bands,
+        _minhash_sigs,
+        _word_shingles,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _bprefix_col,
+    )
+
+    shingled = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        .select(
+            "doc_id",
+            F.explode(_word_shingles(tokens_col(), 3)).alias("shingle"),
+        )
+        .filter("shingle <> ''")
+    )
+    return _minhash_sig_bands(_minhash_sigs(shingled)).withColumn(
+        "bprefix", _bprefix_col()
+    )
+
+
+def test_sig_store_scan_prunes_to_touched_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _pruned_store,
+    )
+
+    sigs_dir = str(tmp_path / "sigs")
+    _bands_of(spark, sf_dir, 0, 200).write.mode("overwrite").partitionBy(
+        "band", "bprefix"
+    ).parquet(f"{sigs_dir}/batch_id=0")
+    _bands_of(spark, sf_dir, 200, 400).write.mode("overwrite").partitionBy(
+        "band", "bprefix"
+    ).parquet(f"{sigs_dir}/batch_id=1")
+
+    # a single-doc incoming batch touches at most 4 (band, bprefix) pairs
+    new = _bands_of(spark, sf_dir, 400, 401)
+    touched = [
+        (r["band"], r["bprefix"])
+        for r in new.select("band", "bprefix").distinct().collect()
+    ]
+    assert 0 < len(touched) <= 4
+
+    store = _pruned_store(spark, sigs_dir, 2, touched)
+    read_files = [
+        r[0]
+        for r in store.select(F.input_file_name()).distinct().collect()
+    ]
+    # every file actually read lives under a touched partition directory
+    assert read_files
+    for f in read_files:
+        assert any(
+            f"/band={b}/bprefix={p}/" in f for b, p in touched
+        ), f"read an untouched partition's file: {f}"
+
+    # non-vacuous: the store HAS partitions the batch does not touch
+    full = spark.read.option("basePath", sigs_dir).parquet(sigs_dir)
+    all_files = [
+        r[0] for r in full.select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(read_files) < len(all_files)
+
+    # exactness: pruning + bucket semi-join together return precisely the
+    # full store's members of the buckets the batch touches — nothing the
+    # bucket-size count (and hence the cap decision) needs is lost
+    keys = new.select("band", "bkey").distinct()
+    got = store.join(keys, ["band", "bkey"], "semi").count()
+    want = full.join(keys, ["band", "bkey"], "semi").count()
+    assert got == want
+
+
+def test_sig_store_rejects_remote_uri(spark):
+    import pytest as _pytest
+
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _pruned_store,
+    )
+
+    with _pytest.raises(ValueError, match="driver-local"):
+        _pruned_store(spark, "s3://bucket/sigs", 2, [(0, 0)])
