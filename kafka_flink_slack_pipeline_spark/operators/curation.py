@@ -2056,18 +2056,37 @@ GROUP BY 1 ORDER BY 1
 # and a 10-number global partial aggregate. The 5-row output explodes
 # from that single aggregate row — no single-partition window anywhere.
 _FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "near_dedup",
-                  "decontaminated")
+                  "decontaminated", "source_kept")
 
 
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-stage curation funnel: per-doc quality gate -> exact dedup ->
+    minhash near-dedup -> fuzzy decontamination -> SOURCE-level
+    exclusion (the C4/RefinedWeb/FineWeb domain-filtering stage,
+    source_quality_report's bottom-quartile rule applied AS A STAGE —
+    quality lives at the source too, and a spam domain's individually
+    passable survivors get dropped together). The source rule is
+    computed over the WHOLE corpus (failers included — a source's mean
+    quality is a property of everything it shipped, not of its
+    survivors), so it lands last in the reported order: it is the one
+    stage whose decision needs global statistics rather than per-doc
+    state, which is also why the streaming twin applies it
+    retrospectively at report time over the landed horizon."""
     from .dedup import dedup_minhash_lsh
     from .textops import (
         _FILTER_MAX_DUP_BIGRAM,
         _FILTER_MIN_QUALITY,
-        quality_signal_frame,
+        quality_signals_of,
     )
 
-    sig = quality_signal_frame(spark, sf_dir)
+    # ONE signal frame carries source through (keep=), so the source
+    # stage needs no separate documents scan or doc->source join: the
+    # per-source rollup and the per-doc funnel both branch off this
+    # subtree (AQE recomputes the branch — one extra scan, vs three for
+    # calling source_quality_report + a docsrc attach)
+    sig = quality_signals_of(
+        table(spark, sf_dir, "documents"), keep=("source",)
+    )
     qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
         F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
     )
@@ -2076,6 +2095,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = sig.select(
         "doc_id",
         "n_tokens",
+        "source",
         qk.alias("qk"),
         F.min(F.when(qk, F.col("doc_id")))
         .over(Window.partitionBy("h"))
@@ -2093,16 +2113,51 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("dc", F.lit(1))
     )
+    # bounded source-exclusion table (one row per source), broadcast —
+    # the SAME ranking rule as source_quality_report, derived from this
+    # funnel's own signal frame (identical expressions, so the oracle's
+    # single sig CTE serves both consumers)
+    srck = (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_quality"),
+        )
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("mean_quality", "source"))
+            .alias("q_rank"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+        )
+        .select(
+            "source",
+            (
+                F.col("q_rank") * _SRC_DROP_DEN
+                > F.col("n_sources") * _SRC_DROP_NUM
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )
     reached_col = (
         F.when(~F.col("qk"), F.lit(0))
         .when(F.col("doc_id") != F.col("canon"), F.lit(1))
         .when(F.col("nd").isNotNull(), F.lit(2))
         .when(F.col("dc").isNotNull(), F.lit(3))
-        .otherwise(F.lit(4))
+        .when(F.col("kept") == 0, F.lit(4))
+        .otherwise(F.lit(5))
     )
     reached = (
         flagged.join(ndv, "doc_id", "left")
         .join(dcv, "doc_id", "left")
+        .join(F.broadcast(srck), "source")
         .select("n_tokens", reached_col.alias("reached"))
     )
     agg = reached.agg(
@@ -2165,16 +2220,37 @@ flagged AS (
 ),
 ndv AS (SELECT DISTINCT doc_b AS doc_id FROM ({_minhash_oracle()})),
 dcv AS (SELECT DISTINCT doc_id FROM ({DECON_FUZZY_ORACLE})),
+srcper AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         round(sum(CAST(s.quality_score AS DECIMAL(18,6)))::DOUBLE
+               / count(*), 4) AS mean_quality
+  FROM sig s JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+srck AS (
+  SELECT source,
+         CASE WHEN q_rank * {_SRC_DROP_DEN} > n_sources * {_SRC_DROP_NUM}
+              THEN 1 ELSE 0 END AS kept
+  FROM (
+    SELECT source,
+           row_number() OVER (ORDER BY mean_quality, source) AS q_rank,
+           count(*) OVER () AS n_sources
+    FROM srcper
+  )
+),
 reached AS (
   SELECT f.n_tokens,
          CASE WHEN NOT f.qk THEN 0
               WHEN f.doc_id <> f.canon THEN 1
               WHEN n.doc_id IS NOT NULL THEN 2
               WHEN c.doc_id IS NOT NULL THEN 3
-              ELSE 4 END AS reached
+              WHEN k.kept = 0 THEN 4
+              ELSE 5 END AS reached
   FROM flagged f
   LEFT JOIN ndv n USING (doc_id)
   LEFT JOIN dcv c USING (doc_id)
+  JOIN documents d USING (doc_id)
+  JOIN srck k ON k.source = d.source
 )
 SELECT s.stage_ord, s.stage,
        count(r.n_tokens)::BIGINT AS n_docs,

@@ -1237,9 +1237,15 @@ def quality_signals_of(
     streaming curation funnel applies the IDENTICAL expressions, which
     is what makes its stage-1 counts hash-comparable to the batch
     funnel's). `keep` names extra input columns to carry through (the
-    stream keeps text + event time)."""
+    stream keeps text + event time). A keep column that is ALSO a base
+    column (the funnel passes keep=('text', ...)) must not be selected
+    twice in the intermediate frame — the double projection only
+    resolves while both share one exprId, which aliasing or joins would
+    break — so base columns are filtered out here and re-selected once
+    at the end."""
+    extras = [c for c in keep if c not in ("doc_id", "text", "lang")]
     d = docs.select(
-        "doc_id", "text", "lang", tokens_col().alias("toks"), *keep
+        "doc_id", "text", "lang", tokens_col().alias("toks"), *extras
     )
     toks = F.col("toks")
     n_tokens = F.size(toks)

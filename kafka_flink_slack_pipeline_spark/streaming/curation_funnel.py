@@ -8,13 +8,16 @@ the full batch `corpus_curation_funnel` stage chain on an ingest stream:
                    against an idempotent signature store)
                 -> fuzzy benchmark decontamination (static bench frames)
                 -> lang-partitioned landing + per-stage survivor counts
+                -> retrospective SOURCE-level exclusion at report time
+                   (bottom-quartile rule over the landed horizon's
+                   per-source stats — the batch funnel's stage 5)
 
 Every face existed individually (quality_gate_stream, dedup/crossdup
 streams, land_documents_stream); this module is the composition a real
 ingest deployment runs, with a stream/batch PARITY CONTRACT: on the same
 drop (ingest order following doc_id order — the usual monotone ingest
 sequence), the accumulated per-stage survivor counts equal the batch
-funnel's rows exactly (tests/test_streaming_funnel.py pins all 5 stages,
+funnel's rows exactly (tests/test_streaming_funnel.py pins all 6 stages,
 docs and tokens, across a checkpoint restart).
 
 Design decisions, in dependency order:
@@ -128,7 +131,8 @@ from ..operators.textops import (
     tokens_col,
 )
 
-DROP_SCHEMA = "doc_id bigint, text string, lang string, ingest_ts timestamp"
+DROP_SCHEMA = ("doc_id bigint, text string, lang string, "
+               "source string, ingest_ts timestamp")
 
 # Store partition fan-out for the bkey dimension: band (BANDS values) x
 # bprefix (this many hash buckets of bkey). 8 keeps the per-batch
@@ -298,7 +302,7 @@ def curation_funnel_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(drop_dir)
     )
-    sig = quality_signals_of(raw, keep=("text", "ingest_ts"))
+    sig = quality_signals_of(raw, keep=("text", "source", "ingest_ts"))
     qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
         F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
     )
@@ -306,6 +310,7 @@ def curation_funnel_stream(
         "doc_id",
         "lang",
         "text",
+        "source",
         "ingest_ts",
         "n_tokens",
         qk.cast("int").alias("qk"),
@@ -328,6 +333,48 @@ def curation_funnel_stream(
     sigs_dir = f"{state_dir}/sigs"
     counts_dir = f"{state_dir}/counts"
     ingest_dir = f"{state_dir}/ingest"
+    stats_dir = f"{state_dir}/source_stats"
+
+    # Source-level sufficient statistics, accumulated per batch in a
+    # SIBLING availableNow stream over the same drops (own checkpoint).
+    # It must see rows BEFORE the exact-dedup state drops losers: the
+    # batch rule's per-source means are over EVERYTHING a source
+    # shipped, duplicates included — observe() can't produce per-key
+    # aggregates, so a second narrow pass is the honest shape (one extra
+    # scan of the batch's drop files; the stats table itself is bounded
+    # by the number of sources). The exclusion decision is NOT taken
+    # here — it is retrospective, applied at report time over the whole
+    # landed horizon, which is what makes it equal the batch funnel's
+    # whole-corpus quartile rule once the run has drained the drops.
+    raw_stats = (
+        spark.readStream.schema(DROP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+    ssig = quality_signals_of(raw_stats, keep=("source",)).select(
+        "source", F.col("quality_score").cast("decimal(18,6)").alias("q")
+    )
+
+    def stats_stage(b: DataFrame, bid: int) -> None:
+        (
+            b.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("q").alias("sum_quality"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{stats_dir}/batch_id={bid}")
+        )
+
+    sq = (
+        ssig.writeStream.queryName("curation_funnel_source_stats")
+        .foreachBatch(stats_stage)
+        .option("checkpointLocation", f"{checkpoint_dir}_source_stats")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
 
     def stage(batch: DataFrame, batch_id: int) -> None:
         batch = batch.persist()
@@ -429,7 +476,9 @@ def curation_funnel_stream(
             surv4 = surv3.join(contam, "doc_id", "anti").persist()
 
             (
-                surv4.select("doc_id", "text", "lang", "ingest_ts", "n_tokens")
+                surv4.select(
+                    "doc_id", "text", "lang", "source", "ingest_ts", "n_tokens"
+                )
                 .write.mode("overwrite")
                 .partitionBy("lang")
                 .parquet(f"{out_dir}/batch_id={batch_id}")
@@ -494,7 +543,7 @@ def curation_funnel_stream(
 
 
 def curation_funnel_stream_report(
-    spark: SparkSession, state_dir: str
+    spark: SparkSession, state_dir: str, out_dir: str
 ) -> DataFrame:
     """Accumulated per-stage funnel table over every processed batch —
     the same (stage_ord, stage, n_docs, n_tokens) rows as the batch
@@ -507,7 +556,15 @@ def curation_funnel_stream_report(
     one-trigger window can still lose them for an already-committed
     batch. The report refuses to silently undercount: it raises when
     counts/ holds a batch_id that ingest/ lacks, naming the batches to
-    re-reconcile."""
+    re-reconcile.
+
+    Stage 5 (source_kept) is RETROSPECTIVE by design: the bottom-quartile
+    source rule needs per-source means over the whole horizon, so it is
+    applied here — kept sources derived from the accumulated
+    source_stats table (exact decimal sums, so the means equal the batch
+    funnel's bit for bit), then counted over the landed survivors in
+    out_dir. It equals the batch funnel's whole-corpus rule once the run
+    has drained its drops; mid-stream it reflects the horizon so far."""
     ing = spark.read.option("basePath", f"{state_dir}/ingest").parquet(
         f"{state_dir}/ingest"
     )
@@ -535,7 +592,46 @@ def curation_funnel_stream_report(
         *[F.sum(f"d{s}").alias(f"d{s}") for s in (2, 3, 4)],
         *[F.sum(f"t{s}").alias(f"t{s}") for s in (2, 3, 4)],
     )
-    from ..operators.curation import _FUNNEL_STAGES
+
+    from pyspark.sql import Window
+
+    from ..operators.curation import (
+        _FUNNEL_STAGES,
+        _SRC_DROP_DEN,
+        _SRC_DROP_NUM,
+    )
+
+    stats = spark.read.option("basePath", f"{state_dir}/source_stats").parquet(
+        f"{state_dir}/source_stats"
+    )
+    per = (
+        stats.groupBy("source")
+        .agg(F.sum("n_docs").alias("n"), F.sum("sum_quality").alias("sq"))
+        .select(
+            "source",
+            F.round(F.col("sq").cast("double") / F.col("n"), 4).alias(
+                "mean_quality"
+            ),
+        )
+    )
+    kept = (
+        per.select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("mean_quality", "source"))
+            .alias("q_rank"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
+        )
+        .filter(
+            F.col("q_rank") * _SRC_DROP_DEN > F.col("n_sources") * _SRC_DROP_NUM
+        )
+        .select("source")
+    )
+    landed = spark.read.option("basePath", out_dir).parquet(out_dir)
+    s5 = landed.join(F.broadcast(kept), "source", "semi").agg(
+        F.count(F.lit(1)).alias("d5"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t5"),
+    )
 
     rows = F.explode(
         F.array(
@@ -551,5 +647,9 @@ def curation_funnel_stream_report(
         )
     )
     return (
-        i.crossJoin(c).select(rows.alias("r")).select("r.*").orderBy("stage_ord")
+        i.crossJoin(c)
+        .crossJoin(s5)
+        .select(rows.alias("r"))
+        .select("r.*")
+        .orderBy("stage_ord")
     )

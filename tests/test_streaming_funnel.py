@@ -31,14 +31,14 @@ def _write_drop(sf_dir: str, path: str, lo: int, hi: int) -> None:
     ingest-sequence assumption the parity contract states)."""
     rows = duckdb.sql(
         f"""
-        SELECT doc_id, text, lang
+        SELECT doc_id, text, lang, source
         FROM read_parquet('{sf_dir}/documents.parquet')
         WHERE doc_id >= {lo} AND doc_id < {hi}
         ORDER BY doc_id
         """
     ).fetchall()
     with open(path, "w") as f:
-        for doc_id, text, lang in rows:
+        for doc_id, text, lang, source in rows:
             ts = f"2025-01-01T00:{doc_id // 60:02d}:{doc_id % 60:02d}.000Z"
             f.write(
                 json.dumps(
@@ -46,6 +46,7 @@ def _write_drop(sf_dir: str, path: str, lo: int, hi: int) -> None:
                         "doc_id": doc_id,
                         "text": text,
                         "lang": lang,
+                        "source": source,
                         "ingest_ts": ts,
                     }
                 )
@@ -92,7 +93,7 @@ def test_funnel_stream_batch_parity_across_restart(spark, sf_dir, funnel_dirs):
     mid = {
         r["stage"]: r
         for r in curation_funnel_stream_report(
-            spark, funnel_dirs["state"]
+            spark, funnel_dirs["state"], funnel_dirs["out"]
         ).collect()
     }
     assert mid["raw"]["n_docs"] == 250
@@ -105,7 +106,7 @@ def test_funnel_stream_batch_parity_across_restart(spark, sf_dir, funnel_dirs):
     got = {
         (r["stage_ord"], r["stage"]): (r["n_docs"], r["n_tokens"])
         for r in curation_funnel_stream_report(
-            spark, funnel_dirs["state"]
+            spark, funnel_dirs["state"], funnel_dirs["out"]
         ).collect()
     }
     want = {
@@ -148,11 +149,18 @@ def test_funnel_report_refuses_missing_ingest_metrics(spark, funnel_dirs):
     shutil.move(os.path.join(ingest, victim), backup)
     try:
         with _pytest.raises(ValueError, match="ingest metrics missing"):
-            curation_funnel_stream_report(spark, funnel_dirs["state"])
+            curation_funnel_stream_report(
+                spark, funnel_dirs["state"], funnel_dirs["out"]
+            )
     finally:
         shutil.move(backup, os.path.join(ingest, victim))
     # restored state reports cleanly again
-    assert curation_funnel_stream_report(spark, funnel_dirs["state"]).count() == 5
+    assert (
+        curation_funnel_stream_report(
+            spark, funnel_dirs["state"], funnel_dirs["out"]
+        ).count()
+        == 6
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -146,7 +146,12 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     # pipeline + decontaminate_fuzzy's three (corpus + bench-derivation
     # x2) — three token shapes that deliberately re-scan columnar source
     # rather than materialize a 100 TB shared projection (docstring)
-    "corpus_curation_funnel": (5, "signals + minhash + fuzzy-decon stages"),
+    # +1 in r8: the source_kept stage's per-source quality rollup is a
+    # second branch off the signal frame (AQE recomputes the branch) —
+    # the C4/FineWeb domain-stats pass, deliberately a re-scan rather
+    # than a corpus-sized materialization of the signal frame
+    "corpus_curation_funnel": (6, "signals + minhash + fuzzy-decon + "
+                                  "source-rollup stages"),
     # the planted-dup union reads embeddings twice per branch; 3 branches
     # (one banded/assignment pass + two vector join-backs or pair sides)
     "semantic_dedup": (6, "union x (narrow assign + pair self-join sides)"),
