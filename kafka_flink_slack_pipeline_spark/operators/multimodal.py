@@ -502,14 +502,36 @@ def _media_neardup_oracle() -> str:
 # product < 2^56; the md5-derived-literals policy of _minhash_coeffs),
 # and, unlike the text family's md5-per-token, costs no hashing: the
 # window value IS the hex slice re-parsed. Expected chunk length is
-# _CDC_DIVISOR bytes; min length 1 (degenerate, fine at these payload
-# sizes — FastCDC's normalized chunking matters for MB-scale blobs).
+# the divisor (bytes).
+#
+# NORMALIZED chunking (LBFS's min/max rule; FastCDC calls the bounded
+# form normalized): raw divisor hits are THINNED sequentially — a hit
+# closer than MIN = divisor/4 bytes to the previous accepted cut is
+# skipped (kills the pathological run of tiny chunks a low-entropy
+# region emits), and a gap longer than MAX = divisor*4 is force-cut at
+# MAX strides (bounds the chunk a divisor-free region would otherwise
+# grow without limit). MIN bounds the chunk-token table per doc at
+# nb/MIN rows REGARDLESS of payload entropy; MAX bounds re-sync loss
+# after an insertion. The thinning depends on the previous accepted
+# cut, so it is a per-doc FOLD over the (already sparse) hit list —
+# F.aggregate over ~nb/divisor elements, still a narrow JVM map — while
+# the per-byte divisor test stays the parallel filter. Insertion
+# robustness is preserved: boundaries remain functions of local content
+# and re-synchronize within MAX bytes of the splice (planted MB-scale
+# test pins both properties).
+#
+# Registered-query parameters: divisor 32 (MIN 8 / MAX 128) — sized to
+# the KB-scale fixtures; `cdc_chunks_of(frame, expected_chunk=...)` is
+# the parameterized entry an MB-blob deployment calls with a KB-scale
+# divisor (the planted test uses 4096).
 #
 # 100 TB shape: chunking is a narrow map off the payload column (one
 # substr+conv per byte, all JVM); sizes are a narrow map; the pair join
 # is the bounded df-capped equi-join. Payload bytes never leave the JVM.
 _CDC_WINDOW_BYTES = 4
 _CDC_DIVISOR = 32
+_CDC_MIN_SHIFT = 2  # MIN = divisor >> 2
+_CDC_MAX_SHIFT = 2  # MAX = divisor << 2
 _CDC_P = (1 << 31) - 1
 
 
@@ -521,9 +543,10 @@ def _cdc_coeffs() -> tuple[int, int]:
     return a, b
 
 
-def _cdc_toked(mm: DataFrame) -> DataFrame:
+def _cdc_toked(mm: DataFrame, divisor: int = _CDC_DIVISOR) -> DataFrame:
     """(doc_id, chunks): distinct content-defined chunk tokens (hex) of
-    the `payload` column.
+    the `payload` column, with LBFS min/max normalization (MIN =
+    divisor/4, MAX = divisor*4; see the header comment).
 
     STAGED PROJECTIONS, deliberately: lambda bodies do not participate
     in codegen subexpression elimination (the repo's tokens-projection
@@ -534,6 +557,8 @@ def _cdc_toked(mm: DataFrame) -> DataFrame:
     before any lambda touches them."""
     w = _CDC_WINDOW_BYTES
     a, b = _cdc_coeffs()
+    cmin = divisor >> _CDC_MIN_SHIFT
+    cmax = divisor << _CDC_MAX_SHIFT
     hexed = mm.select(
         "doc_id",
         F.hex("payload").alias("h"),
@@ -541,22 +566,83 @@ def _cdc_toked(mm: DataFrame) -> DataFrame:
     )
     h, nb = F.col("h"), F.col("nb")
 
+    # Byte VALUES as an array column, one O(L) regex pass — the window
+    # test below must NOT call substring(h, 2i-7, 8) per position:
+    # UTF8String.substring locates a start offset by scanning from the
+    # head, so a per-byte substring over the payload is O(L^2) per doc
+    # (fine at the KB fixtures, ~minutes per MB blob — measured 23 s for
+    # a single 64 KB payload before this array form). element_at on an
+    # array is O(1).
+    bytesed = hexed.select(
+        "doc_id",
+        "h",
+        "nb",
+        F.transform(
+            F.filter(F.split(h, "(?<=\\G..)"), lambda x: x != ""),
+            lambda x: F.conv(x, 16, 10).cast("long"),
+        ).alias("bv"),
+    )
+    bv = F.col("bv")
+
     def is_boundary(i):
-        v = F.conv(F.substring(h, 2 * i - (2 * w - 1), 2 * w), 16, 10).cast(
-            "long"
+        v = (
+            F.element_at(bv, i - 3) * F.lit(1 << 24)
+            + F.element_at(bv, i - 2) * F.lit(1 << 16)
+            + F.element_at(bv, i - 1) * F.lit(1 << 8)
+            + F.element_at(bv, i)
         )
         return ((F.lit(a) * v + F.lit(b)) % F.lit(_CDC_P)) % F.lit(
-            _CDC_DIVISOR
+            divisor
         ) == 0
 
     # guarded: sequence(w, nb) runs DESCENDING when nb < w
     bs = F.when(
         nb >= w, F.filter(F.sequence(F.lit(w), nb), is_boundary)
     ).otherwise(F.array().cast("array<int>"))
-    cutsed = hexed.select(
-        "doc_id", "h",
-        F.concat(F.array(F.lit(0)), bs, F.array(nb)).alias("cuts"),
+    hitsed = bytesed.select("doc_id", "h", "nb", bs.alias("hits"))
+
+    # min/max thinning: fold over the sparse hit list keeping
+    # (last accepted cut, accepted cuts). `fill` are the MAX-forced cuts
+    # bridging a gap: positions last+MAX, last+2*MAX, ... strictly below
+    # the target (so the target is re-judged against the final forced
+    # cut — the sequential LBFS rule, one pass).
+    def fill(last, upto):
+        return F.when(
+            last + F.lit(cmax) <= upto - 1,
+            F.sequence(last + F.lit(cmax), upto - 1, F.lit(cmax)),
+        ).otherwise(F.array().cast("array<int>"))
+
+    def step(acc, hit):
+        last = acc["last"]
+        fl = fill(last, hit)
+        nl = F.coalesce(F.try_element_at(fl, F.lit(-1)), last)
+        ok = (hit - nl) >= F.lit(cmin)
+        return F.struct(
+            F.when(ok, hit).otherwise(nl).alias("last"),
+            F.concat(
+                acc["cuts"],
+                fl,
+                F.when(ok, F.array(hit)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+            ).alias("cuts"),
+        )
+
+    nbc = F.col("nb")
+    cuts_col = F.aggregate(
+        F.col("hits"),
+        F.struct(
+            F.lit(0).alias("last"), F.array(F.lit(0)).alias("cuts")
+        ),
+        step,
+        # tail: forced cuts for a trailing divisor-free gap, then nb
+        # (the tail chunk may be shorter than MIN — every CDC
+        # implementation permits the short tail)
+        lambda acc: F.concat(
+            acc["cuts"], fill(acc["last"], nbc), F.array(nbc)
+        ),
     )
+    cutsed = hitsed.select("doc_id", "h", cuts_col.alias("cuts"))
     cuts = F.col("cuts")
     chunks = F.transform(
         F.sequence(F.lit(2), F.size(cuts)),
@@ -570,6 +656,18 @@ def _cdc_toked(mm: DataFrame) -> DataFrame:
         "doc_id",
         F.array_distinct(F.filter(chunks, lambda c: c != "")).alias("chunks"),
     )
+
+
+def cdc_chunks_of(mm: DataFrame, expected_chunk: int = _CDC_DIVISOR) -> DataFrame:
+    """Parameterized CDC chunker over any (doc_id, payload) frame — the
+    entry an MB-blob deployment calls with a KB-scale expected_chunk
+    (LBFS used 8 KB expected / 2 KB min / 64 KB max; the min/max here
+    follow the same /4, *4 shape from `expected_chunk`). Chunk-token
+    rows per doc are bounded at octet_length/MIN regardless of payload
+    entropy; the registered media_neardup_cdc uses the fixture-scale
+    default (tests/test_multimodal.py pins the MB-scale behavior:
+    bounded tokens, bounded chunk lengths, insertion robustness)."""
+    return _cdc_toked(mm, divisor=expected_chunk)
 
 
 def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,30 +699,56 @@ def _media_cdc_oracle() -> str:
 
     w = _CDC_WINDOW_BYTES
     a, b = _cdc_coeffs()
+    cmin = _CDC_DIVISOR >> _CDC_MIN_SHIFT
+    cmax = _CDC_DIVISOR << _CDC_MAX_SHIFT
+    # The min/max thinning depends on the previous ACCEPTED cut, so the
+    # oracle walks it with a recursive CTE — one accepted (or MAX-forced)
+    # cut per doc per iteration; the lateral picks the first divisor hit
+    # at least MIN past the working cut, and a gap past MAX forces a cut
+    # at working+MAX (equivalence to the engine's fold checked against a
+    # shared Python reference in tests/test_multimodal.py).
     return f"""
-WITH hexed AS (
+WITH RECURSIVE hexed AS (
   SELECT doc_id, hex(encode(text)) AS h,
          octet_length(encode(text))::INT AS nb
   FROM documents
 ),
-cutsed AS (
-  SELECT doc_id, h,
-         [0] || list_filter(
-           generate_series({w}, nb),
-           i -> ((({a} * ('0x' || substr(h, 2*i - {2 * w - 1}, {2 * w}))::BIGINT
-                   + {b}) % {_CDC_P}) % {_CDC_DIVISOR}) = 0
-         ) || [nb] AS cuts
-  FROM hexed
+hits AS (
+  SELECT doc_id, i
+  FROM hexed, unnest(generate_series({w}, nb)) AS u(i)
+  WHERE ((({a} * ('0x' || substr(h, 2*i - {2 * w - 1}, {2 * w}))::BIGINT
+           + {b}) % {_CDC_P}) % {_CDC_DIVISOR}) = 0
+),
+rc AS (
+  SELECT doc_id, 0 AS cut FROM hexed
+  UNION ALL
+  SELECT r.doc_id,
+         CASE WHEN nh.h IS NOT NULL AND nh.h - r.cut <= {cmax} THEN nh.h
+              ELSE r.cut + {cmax} END AS cut
+  FROM rc r
+  JOIN hexed x USING (doc_id)
+  LEFT JOIN LATERAL (
+    SELECT min(i) AS h FROM hits t
+    WHERE t.doc_id = r.doc_id AND t.i >= r.cut + {cmin}
+  ) nh ON true
+  WHERE (nh.h IS NOT NULL AND nh.h - r.cut <= {cmax})
+     OR (x.nb - r.cut > {cmax})
+),
+ordered AS (
+  SELECT doc_id, cut,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt
+  FROM (
+    SELECT DISTINCT doc_id, cut FROM (
+      SELECT doc_id, cut FROM rc
+      UNION ALL SELECT doc_id, nb FROM hexed
+    )
+  )
 ),
 toks AS (
-  SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id,
-           unnest(list_transform(
-             generate_series(2, len(cuts)),
-             k -> substr(h, cuts[k-1]*2 + 1, (cuts[k] - cuts[k-1])*2)
-           )) AS tok
-    FROM cutsed)
-  WHERE tok <> ''
+  SELECT DISTINCT o.doc_id,
+         substr(x.h, o.cut * 2 + 1, (o.nxt - o.cut) * 2) AS tok
+  FROM ordered o JOIN hexed x USING (doc_id)
+  WHERE o.nxt IS NOT NULL AND o.nxt > o.cut
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
 capped AS (

@@ -238,3 +238,128 @@ def test_cdc_insertion_locality_batched(spark, tmp_path):
         assert pairs[(2 * k, 2 * k + 1)] >= 0.5
     # no cross-pair false positives (independent md5 streams)
     assert all(b == a + 1 and a % 2 == 0 for a, b in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Normalized (min/max) CDC chunking — the MB-scale story.
+
+
+def _ref_chunks(payload: bytes, divisor: int) -> set[str]:
+    """Independent Python reimplementation of the normalized chunker
+    (shared reference for the engine's fold AND the oracle's recursive
+    CTE): divisor hits of the rolling 4-byte window hash, thinned by the
+    sequential LBFS min/max rule."""
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        _CDC_MAX_SHIFT,
+        _CDC_MIN_SHIFT,
+        _CDC_P,
+        _CDC_WINDOW_BYTES,
+        _cdc_coeffs,
+    )
+
+    w = _CDC_WINDOW_BYTES
+    a, b = _cdc_coeffs()
+    cmin, cmax = divisor >> _CDC_MIN_SHIFT, divisor << _CDC_MAX_SHIFT
+    nb = len(payload)
+    hits = [
+        i
+        for i in range(w, nb + 1)
+        if ((a * int.from_bytes(payload[i - w : i], "big") + b) % _CDC_P)
+        % divisor
+        == 0
+    ]
+    last, cuts = 0, [0]
+    for h in hits:
+        while h - last > cmax:
+            last += cmax
+            cuts.append(last)
+        if h - last >= cmin:
+            last = h
+            cuts.append(h)
+    while nb - last > cmax:
+        last += cmax
+        cuts.append(last)
+    cuts.append(nb)
+    cuts = sorted(set(cuts))
+    return {
+        payload[x:y].hex().upper() for x, y in zip(cuts, cuts[1:]) if y > x
+    }
+
+
+def test_cdc_normalized_fold_matches_reference(spark):
+    """Engine fold == Python reference on payloads built to exercise
+    every thinning branch: low-entropy runs (constant window value →
+    either a hit at EVERY position, driving MIN-skips, or none, driving
+    MAX-forced cuts), random bytes (normal hit spacing), and short/empty
+    payloads (degenerate guards)."""
+    import hashlib
+
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        cdc_chunks_of,
+    )
+
+    rnd = b"".join(
+        hashlib.md5(f"cdcnorm:{i}".encode()).digest() for i in range(64)
+    )
+    payloads = [
+        b"",
+        b"abc",  # shorter than the window
+        b"\x00" * 700,  # constant-window run
+        b"\xff" * 700,
+        rnd,  # 1 KiB random-ish
+        rnd[:300] + b"\x00" * 500 + rnd[300:],  # run embedded in noise
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: set(r["chunks"])
+        for r in cdc_chunks_of(df, expected_chunk=32).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _ref_chunks(p, 32), f"payload {i} diverged"
+
+
+def test_cdc_mb_scale_bounded_and_insertion_robust(spark):
+    """The r7 'what's missing' item: MB-scale payloads with a KB-scale
+    expected chunk. Pins (a) the chunk-token table is bounded per doc by
+    nb/MIN regardless of entropy, (b) every chunk is at most MAX bytes
+    (forced cuts cap divisor-free regions), at most one chunk per doc
+    under MIN (the tail), and (c) a 13-byte mid-blob insertion still
+    leaves the chunk sets nearly identical — boundaries re-synchronize
+    within MAX of the splice."""
+    import hashlib
+
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        _CDC_MAX_SHIFT,
+        _CDC_MIN_SHIFT,
+        cdc_chunks_of,
+    )
+
+    div = 4096
+    cmin, cmax = div >> _CDC_MIN_SHIFT, div << _CDC_MAX_SHIFT
+    base = b"".join(
+        hashlib.md5(f"blob:{i}".encode()).digest() for i in range(65536)
+    )  # 1 MiB, deterministic
+    spliced = base[: len(base) // 2] + b"EXIF-SPLICE13" + base[len(base) // 2 :]
+    # a low-entropy tail pushes the MAX-forcing branch at MB scale too
+    padded = base + b"\x00" * (8 * cmax)
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(spliced)), (2, bytearray(padded))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["chunks"]
+        for r in cdc_chunks_of(df, expected_chunk=div).collect()
+    }
+    sizes = {0: len(base), 1: len(spliced), 2: len(padded)}
+    for d, chunks in got.items():
+        nb = sizes[d]
+        assert len(chunks) <= nb // cmin, f"doc {d}: token table unbounded"
+        lens = [len(c) // 2 for c in chunks]
+        assert max(lens) <= cmax, f"doc {d}: chunk over MAX"
+        assert sum(1 for n in lens if n < cmin) <= 1, f"doc {d}: runts"
+    a, b = set(got[0]), set(got[1])
+    jac = len(a & b) / len(a | b)
+    assert jac >= 0.95, f"insertion broke re-sync: jaccard={jac}"
