@@ -434,6 +434,14 @@ def _spread_small_scan(
     end on the block simhash)."""
     import os
 
+    # Driver-local os.path probe, deliberately: on a non-local URI
+    # (s3://, hdfs://) isfile is False and we fall through to the no-op
+    # branch — which IS the correct production behavior there (a remote
+    # corpus is a directory of many files whose scan splits provide the
+    # parallelism; the repartition exists only for the single-local-file
+    # test shape). Unlike the funnel's signature store (where a silent
+    # miss changes RESULTS and the path guard raises), this heuristic
+    # only changes the plan.
     path = os.path.join(sf_dir, "documents.parquet")
     if os.path.isfile(path) and os.path.getsize(path) < (128 << 20):
         n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -694,21 +702,20 @@ def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _media_cdc_oracle() -> str:
-    from .dedup import NGRAM_DF_CAP
-
+def _cdc_toks_ctes() -> str:
+    """The shared hexed→hits→rc→ordered→toks CTE chain (must follow a
+    WITH RECURSIVE): normalized chunk tokens per doc. The min/max
+    thinning depends on the previous ACCEPTED cut, so the oracle walks
+    it with a recursive CTE — one accepted (or MAX-forced) cut per doc
+    per iteration; the lateral picks the first divisor hit at least MIN
+    past the working cut, and a gap past MAX forces a cut at working+MAX
+    (equivalence to the engine's fold checked against a shared Python
+    reference in tests/test_multimodal.py)."""
     w = _CDC_WINDOW_BYTES
     a, b = _cdc_coeffs()
     cmin = _CDC_DIVISOR >> _CDC_MIN_SHIFT
     cmax = _CDC_DIVISOR << _CDC_MAX_SHIFT
-    # The min/max thinning depends on the previous ACCEPTED cut, so the
-    # oracle walks it with a recursive CTE — one accepted (or MAX-forced)
-    # cut per doc per iteration; the lateral picks the first divisor hit
-    # at least MIN past the working cut, and a gap past MAX forces a cut
-    # at working+MAX (equivalence to the engine's fold checked against a
-    # shared Python reference in tests/test_multimodal.py).
-    return f"""
-WITH RECURSIVE hexed AS (
+    return f"""hexed AS (
   SELECT doc_id, hex(encode(text)) AS h,
          octet_length(encode(text))::INT AS nb
   FROM documents
@@ -749,7 +756,85 @@ toks AS (
          substr(x.h, o.cut * 2 + 1, (o.nxt - o.cut) * 2) AS tok
   FROM ordered o JOIN hexed x USING (doc_id)
   WHERE o.nxt IS NOT NULL AND o.nxt > o.cut
-),
+)"""
+
+
+def media_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mimetype rollup of the NORMALIZED chunk tokens — the
+    driver-hashed certificate of the LBFS min/max rule on real corpus
+    payloads: `max_chunk_bytes` can never exceed MAX (the forced-cut
+    bound), `n_runts` (chunks under MIN) is bounded by n_docs (only a
+    doc's TAIL chunk may undershoot), and n_chunks is the token-table
+    size the MIN bound caps at nb/MIN per doc. Mimetype derives from
+    doc_id exactly as multimodal_view's round-robin, so neither engine
+    joins for it."""
+    mm = _spread_small_scan(spark, multimodal_view(spark, sf_dir), sf_dir)
+    cmin = _CDC_DIVISOR >> _CDC_MIN_SHIFT
+    # localCheckpoint BEFORE the explode, and not only for reuse (this
+    # frame has ONE consumer): CollapseProject pushes the staged cuts/
+    # chunks projections through the Generate, re-inlining the thinning
+    # fold into every element_at reference — the optimized plan grew to
+    # 9 aggregate-fold copies nested inside 36 transforms and execution
+    # never finished at sf0.01. The checkpoint is the projection barrier
+    # the media_neardup_cdc consumer already uses, and the materialized
+    # table is small (doc_id + chunk tokens).
+    lens = (
+        _cdc_toked(mm)
+        .localCheckpoint(eager=True)
+        .select("doc_id", F.explode("chunks").alias("c"))
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(*[F.lit(m) for m in MIMETYPES]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("mimetype"),
+            (F.length("c") / 2).cast("int").alias("len"),
+        )
+    )
+    return (
+        lens.groupBy("mimetype")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("len").alias("max_chunk_bytes"),
+            F.sum((F.col("len") < cmin).cast("long")).alias("n_runts"),
+            F.round(
+                F.sum(F.col("len").cast("decimal(18,3)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_chunk_bytes"),
+        )
+        .orderBy("mimetype")
+    )
+
+
+def _media_cdc_stats_oracle() -> str:
+    cmin = _CDC_DIVISOR >> _CDC_MIN_SHIFT
+    mt = ", ".join(f"'{m}'" for m in MIMETYPES)
+    return f"""
+WITH RECURSIVE {_cdc_toks_ctes()},
+lens AS (
+  SELECT doc_id,
+         list_extract([{mt}], (doc_id % 3 + 1)::INT) AS mimetype,
+         (length(tok) / 2)::INT AS len
+  FROM toks
+)
+SELECT mimetype,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_chunks,
+       max(len)::INT AS max_chunk_bytes,
+       sum(CASE WHEN len < {cmin} THEN 1 ELSE 0 END)::BIGINT AS n_runts,
+       round(sum(CAST(len AS DECIMAL(18,3)))::DOUBLE / count(*), 2)
+         AS mean_chunk_bytes
+FROM lens GROUP BY mimetype ORDER BY mimetype
+"""
+
+
+def _media_cdc_oracle() -> str:
+    from .dedup import NGRAM_DF_CAP
+
+    return f"""
+WITH RECURSIVE {_cdc_toks_ctes()},
 sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
 capped AS (
   SELECT doc_id, tok FROM (
@@ -799,4 +884,9 @@ QUERIES = [
               "image RESIZE: 8x8 block-mean thumbnail over the grid "
               "view of the payload (Arrow mapInPandas, integer-exact "
               "floor means, decode stubbed per policy)"),
+    QuerySpec("media_cdc_chunk_stats", media_cdc_chunk_stats,
+              _media_cdc_stats_oracle(),
+              "per-mimetype normalized-CDC chunk statistics: the "
+              "hash-checked certificate of the LBFS min/max rule "
+              "(max chunk <= MAX, runts bounded by doc tails)"),
 ]

@@ -433,6 +433,19 @@ _DEMOTED = (
     # equi-key windows), the first-occurrence curve contract is pinned
     # by its own test, and its oracle stays verify_local-covered.
     "doc_ngram_novelty",
+    # r8: one slot for media_cdc_chunk_stats (new-code rule: the
+    # normalized-CDC certificate query — max-chunk/runt bounds of the
+    # r8 LBFS min/max rule under the driver hash). The freed position
+    # must not come at user_history_window's expense (the W1 parity row
+    # sits exactly at the window edge), so unigram_learn_vocab rotates
+    # out WITHIN the tokenizer family — mirroring the bpe precedent
+    # (bpe_learn_merges out, bpe_apply_compression in): r6-green, body
+    # untouched this round, the EM learner EXECUTES AT FRAME-BUILD
+    # inside in-window unigram_apply_compression (_unigram_model derives
+    # the apply's literal score map — a learner bug changes the
+    # in-window hash), and its own unrolled-EM oracle stays
+    # verify_local-covered.
+    "unigram_learn_vocab",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

@@ -162,6 +162,53 @@ def _assert_local_dir(path: str, what: str) -> None:
         )
 
 
+def compact_sig_store(spark: SparkSession, sigs_dir: str, upto: int) -> int:
+    """Rewrite signature-store batches [0, upto) into ONE batch
+    directory (id = upto - 1), preserving the (band, bprefix) partition
+    layout — the answer to the store's documented small-files cost: each
+    live batch adds up to BANDS x PREFIXES directories, and partition
+    DISCOVERY on a store of many batch dirs is the pruned path's one
+    residual growth term (measured in SCALE_PROBE_FUNNEL.json).
+
+    Correctness: future batches N >= upto read `batch_id < N`, which
+    includes the compacted id, so they see every compacted row exactly
+    as before (the compaction test pins identical near-dup output).
+    Run it only over the checkpoint's COMMITTED horizon — a batch
+    replays only if it never committed, and committed batches below
+    `upto` can therefore never re-run against the compacted store.
+    Crash window: the compacted data is fully written to a temp dir
+    before any original is removed; a crash between the removals and
+    the final rename leaves the store recoverable by renaming
+    `batch_id=<upto-1>.compact_tmp` by hand (stated rather than hidden —
+    a cluster deployment does this swap through its catalog/log
+    instead). Returns the number of batch directories removed."""
+    import shutil
+
+    _assert_local_dir(sigs_dir, "signature store dir")
+    olds = [
+        e
+        for e in os.listdir(sigs_dir)
+        if e.startswith("batch_id=")
+        and e.split("=", 1)[1].isdigit()
+        and int(e.split("=", 1)[1]) < upto
+    ]
+    if len(olds) <= 1:
+        return 0
+    tmp = os.path.join(sigs_dir, f"batch_id={upto - 1}.compact_tmp")
+    (
+        spark.read.option("basePath", sigs_dir)
+        .parquet(*[os.path.join(sigs_dir, e) for e in olds])
+        .select("doc_id", "sig", "band", "bkey", "bprefix")
+        .write.mode("overwrite")
+        .partitionBy("band", "bprefix")
+        .parquet(tmp)
+    )
+    for e in olds:
+        shutil.rmtree(os.path.join(sigs_dir, e))
+    os.rename(tmp, os.path.join(sigs_dir, f"batch_id={upto - 1}"))
+    return len(olds)
+
+
 def _pruned_store(
     spark: SparkSession,
     sigs_dir: str,

@@ -258,3 +258,193 @@ def test_sig_store_rejects_remote_uri(spark):
 
     with _pytest.raises(ValueError, match="driver-local"):
         _pruned_store(spark, "s3://bucket/sigs", 2, [(0, 0)])
+
+
+def test_funnel_records_capped_bucket_telemetry(
+    spark, tmp_path, monkeypatch
+):
+    """The stated parity precondition has working telemetry: when a band
+    bucket CROSSES the cap mid-stream (under it at batch 1, over it by
+    batch 2), the second batch's counts row must record d_capped > 0 —
+    the signal the docstring tells operators to watch before trusting
+    stream/batch stage-3 parity for that horizon. Cap monkeypatched to 2
+    (the real cap needs >1000 colliding docs); four near-identical docs
+    deterministically share three band buckets (checked in-test)."""
+    import json as _json
+
+    import kafka_flink_slack_pipeline_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        fuzzy_bench_frames,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        _minhash_sig_bands,
+        _minhash_sigs,
+        _word_shingles,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        curation_funnel_stream,
+    )
+
+    monkeypatch.setattr(dd, "MINHASH_BUCKET_CAP", 2)
+
+    base = "the of and " + " ".join(f"tok{i}" for i in range(50))
+    texts = [base + f" tail{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # precondition of the fixture itself: all four docs share >= 1 bucket
+    shared = (
+        _minhash_sig_bands(
+            _minhash_sigs(
+                docs.select(
+                    "doc_id",
+                    F.explode(_word_shingles(tokens_col(), 3)).alias(
+                        "shingle"
+                    ),
+                ).filter("shingle <> ''")
+            )
+        )
+        .groupBy("band", "bkey")
+        .count()
+        .filter("count >= 4")
+        .count()
+    )
+    assert shared >= 1
+
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "out": str(tmp_path / "out"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    bench_sh, bench_sizes = fuzzy_bench_frames(
+        docs.select("doc_id", F.split(F.trim("text"), "\\s+").alias("toks"))
+    )
+
+    def _drop(path, ids):
+        with open(path, "w") as f:
+            for i in ids:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "text": texts[i],
+                            "lang": "en",
+                            "source": "s0",
+                            "ingest_ts": f"2025-01-01T00:00:{i:02d}.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+
+    _drop(f"{d['drop']}/p1.jsonl", [0, 1])
+    curation_funnel_stream(
+        spark, d["drop"], d["out"], d["state"], d["ckpt"],
+        bench_sh, bench_sizes, ttl="2 hours",
+    )
+    _drop(f"{d['drop']}/p2.jsonl", [2, 3])
+    curation_funnel_stream(
+        spark, d["drop"], d["out"], d["state"], d["ckpt"],
+        bench_sh, bench_sizes, ttl="2 hours",
+    )
+
+    cnt = spark.read.option("basePath", f"{d['state']}/counts").parquet(
+        f"{d['state']}/counts"
+    )
+    # availableNow appends empty trailing batches — judge only the
+    # batches that actually carried documents
+    per_batch = {
+        r["batch_id"]: r["d_capped"]
+        for r in cnt.filter("d2 > 0").select("batch_id", "d_capped").collect()
+    }
+    first, last = min(per_batch), max(per_batch)
+    assert first != last
+    # batch 1: the shared buckets hold 2 docs — under the cap, no signal
+    assert per_batch[first] == 0
+    # batch 2: those buckets now hold 4 > cap — the telemetry must fire
+    assert per_batch[last] > 0
+
+
+def test_sig_store_compaction_preserves_neardup_output(spark, sf_dir, tmp_path):
+    """compact_sig_store folds many batch dirs into one while the
+    near-dup stage's output for a later batch stays IDENTICAL, the
+    (band, bprefix) layout survives (pruning still works), and the
+    directory count actually drops."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.dedup import (
+        MINHASH_BUCKET_CAP,
+        MINHASH_K,
+        _sig_agree,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _pruned_store,
+        compact_sig_store,
+    )
+
+    sigs_dir = str(tmp_path / "sigs")
+    for b, (lo, hi) in enumerate([(0, 120), (120, 240), (240, 360)]):
+        _bands_of(spark, sf_dir, lo, hi).write.mode("overwrite").partitionBy(
+            "band", "bprefix"
+        ).parquet(f"{sigs_dir}/batch_id={b}")
+
+    new = _bands_of(spark, sf_dir, 360, 380)
+    touched = [
+        (r["band"], r["bprefix"])
+        for r in new.select("band", "bprefix").distinct().collect()
+    ]
+
+    def flags():
+        store = _pruned_store(spark, sigs_dir, 10, touched)
+        keys = new.select("band", "bkey").distinct()
+        cols = ["doc_id", "sig", "band", "bkey"]
+        all_t = store.join(
+            F.broadcast(keys), ["band", "bkey"], "semi"
+        ).unionByName(new.select(*cols))
+        sized = all_t.withColumn(
+            "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+        )
+        est = F.round(
+            _sig_agree(F.col("a.sig"), F.col("b.sig")) / F.lit(MINHASH_K), 4
+        )
+        return sorted(
+            r["doc_id"]
+            for r in sized.filter(F.col("bsize") <= MINHASH_BUCKET_CAP)
+            .alias("a")
+            .join(
+                new.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(est >= 0.25)
+            .select(F.col("b.doc_id"))
+            .distinct()
+            .collect()
+        )
+
+    def batch_dirs():
+        return sorted(
+            e for e in os.listdir(sigs_dir) if e.startswith("batch_id=")
+        )
+
+    before_flags, before_dirs = flags(), batch_dirs()
+    assert len(before_dirs) == 3
+    removed = compact_sig_store(spark, sigs_dir, upto=3)
+    assert removed == 3
+    after_dirs = batch_dirs()
+    assert after_dirs == ["batch_id=2"]
+    assert flags() == before_flags
+    # pruning still file-level after compaction
+    store = _pruned_store(spark, sigs_dir, 10, touched)
+    read_files = [
+        r[0]
+        for r in store.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files
+    for f in read_files:
+        assert any(f"/band={b}/bprefix={p}/" in f for b, p in touched)

@@ -83,6 +83,10 @@ PROBE_QUERIES = [
     "cosine_topk_ivfpq",
     "bm25_keyword_search",
     "sequence_pack",
+    # r8 addition (r7 verdict item 7): the filter+pack composition with a
+    # derived shard count — the one heavy headliner that had no probe
+    # point of its own (its pack stage was probed via sequence_pack).
+    "corpus_export_manifest",
 ]
 
 
