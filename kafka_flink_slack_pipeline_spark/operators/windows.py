@@ -455,6 +455,130 @@ def events_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Gap-filled hourly rollup with last-observation-carried-forward — the
+# hypertable `time_bucket_gapfill(...) + locf(last(value))` shape
+# (TimescaleDB's flagship continuous-query verb; every monitoring
+# dashboard draws from it): per event_type, the FULL hourly bucket grid
+# between the type's first and last active bucket, empty buckets emitted
+# with n_events = 0 and the value carried forward from the latest
+# non-empty bucket.
+#
+# Determinism: the carried value is the bucket's LAST event by
+# (ts, event_id) — the OHLC `close` pick, same rn == cnt trick, so both
+# engines choose the same row even under ts ties. LOCF itself is the
+# engine-agnostic gaps-and-islands form: a running count of non-empty
+# buckets partitions each type's grid into islands led by exactly one
+# non-empty bucket, and max(value) over (type, island) propagates it —
+# no IGNORE NULLS window dependence (DuckDB 1.0 lacks it on last_value).
+#
+# 100 TB shape: one events scan into the bucketed rollup; the grid is
+# sequence(min, max, 3600) per type — bounded by the TIME RANGE, not by
+# event volume (720 buckets/month/type regardless of SF); the LOCF
+# windows run over that bounded grid. Bounded-key frames only.
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        F.unix_timestamp(
+            F.window("ts", "1 hour").getField("start")
+        ).alias("win"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("win", "event_type")
+    ranked = base.select(
+        "win",
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    agg = ranked.groupBy("event_type", "win").agg(
+        F.max(
+            F.when(F.col("rn") == F.col("cnt"), F.col("value"))
+        ).alias("last_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("win").alias("lo"), F.max("win").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))
+            ).alias("win"),
+        )
+    )
+    joined = grid.join(agg, ["event_type", "win"], "left")
+    islanded = joined.select(
+        "event_type",
+        "win",
+        "n_events",
+        "last_value",
+        F.count(F.when(F.col("n_events").isNotNull(), F.lit(1)))
+        .over(Window.partitionBy("event_type").orderBy("win"))
+        .alias("grp"),
+    )
+    return (
+        islanded.select(
+            "event_type",
+            F.col("win").alias("bucket_epoch"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.round(
+                F.max("last_value").over(
+                    Window.partitionBy("event_type", "grp")
+                ),
+                2,
+            ).alias("value_locf"),
+            F.col("n_events").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("event_type", "bucket_epoch")
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH ranked AS (
+  SELECT (epoch_ms(date_trunc('hour', ts)) / 1000)::BIGINT AS win,
+         event_type, value,
+         row_number() OVER (
+           PARTITION BY date_trunc('hour', ts), event_type
+           ORDER BY date_trunc('microsecond', ts), event_id) AS rn,
+         count(*) OVER (
+           PARTITION BY date_trunc('hour', ts), event_type) AS cnt
+  FROM events
+),
+agg AS (
+  SELECT event_type, win,
+         max(CASE WHEN rn = cnt THEN value END) AS last_value,
+         count(*)::BIGINT AS n_events
+  FROM ranked GROUP BY event_type, win
+),
+grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS win
+  FROM (SELECT event_type, min(win) AS lo, max(win) AS hi
+        FROM agg GROUP BY event_type)
+),
+islanded AS (
+  SELECT g.event_type, g.win, a.n_events, a.last_value,
+         count(CASE WHEN a.n_events IS NOT NULL THEN 1 END) OVER (
+           PARTITION BY g.event_type ORDER BY g.win) AS grp
+  FROM grid g LEFT JOIN agg a
+    ON a.event_type = g.event_type AND a.win = g.win
+)
+SELECT event_type, win AS bucket_epoch,
+       coalesce(n_events, 0)::BIGINT AS n_events,
+       round(max(last_value) OVER (PARTITION BY event_type, grp),
+             2)::DOUBLE AS value_locf,
+       CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM islanded
+ORDER BY event_type, bucket_epoch
+"""
+
+
 EVENTS_OHLC_ORACLE = """
 WITH ranked AS (
   SELECT (epoch_ms(date_trunc('hour', ts)) / 1000)::BIGINT AS win,
@@ -855,6 +979,12 @@ QUERIES = [
               EVENTS_ANOMALY_ORACLE,
               "trailing-window z-score anomaly flags (integer-cents "
               "exact decision, bounded 20-row frame)"),
+    QuerySpec("events_gapfill_locf", events_gapfill_locf,
+              EVENTS_GAPFILL_ORACLE,
+              "time_bucket_gapfill + locf: full hourly grid per type "
+              "(bounded by time range, not volume), empty buckets "
+              "carried forward via the engine-agnostic gaps-and-islands "
+              "window"),
     QuerySpec("events_ohlc_rollup", events_ohlc_rollup, EVENTS_OHLC_ORACLE,
               "hypertable-style OHLC continuous-aggregate rollup"),
     QuerySpec("events_value_winsorize", events_value_winsorize,

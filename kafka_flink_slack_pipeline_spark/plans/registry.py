@@ -446,6 +446,18 @@ _DEMOTED = (
     # in-window hash), and its own unrolled-EM oracle stays
     # verify_local-covered.
     "unigram_learn_vocab",
+    # r8: one slot for events_gapfill_locf (new-code rule: the
+    # time_bucket_gapfill + locf hypertable verb, engine-agnostic
+    # gaps-and-islands LOCF). events_downsample_lttb rotates out WITHIN
+    # the time-series family: r6-green, body untouched this round, it
+    # stays a bench headline (bench membership is window-independent),
+    # its bucket-argmax-against-neighbor-anchors window runs over the
+    # same bounded per-type bucket frames the arriving gapfill grid
+    # hash-checks in-window, and its own unrolled oracle stays
+    # verify_local-covered; the family keeps events_anomaly_zscore +
+    # the gapfill arriving (user_history_window stays the W1 row at the
+    # window edge).
+    "events_downsample_lttb",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

