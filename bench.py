@@ -197,6 +197,12 @@ HEADLINE = [
     # probe set are bounded, so a timed pass would measure constants.
     "events_anomaly_zscore",
     "source_quality_report",
+    # r8 addition: the gapfill+LOCF rollup (a NEW shape — bounded-grid
+    # explode off a per-type min/max + gaps-and-islands LOCF windows).
+    # media_cdc_chunk_stats is NOT benched: its chunk stage is already
+    # timed via media_neardup_cdc (the prefix-join double-pay precedent)
+    # and the rollup on top is a bounded groupBy.
+    "events_gapfill_locf",
 ]
 
 

@@ -100,8 +100,10 @@ def test_window_keeps_parity_representatives():
         "last_events_per_user",              # W4
         # r7: the time-series canary follows the family's narrated swap
         # (events_ohlc_rollup -> lttb + anomaly; ohlc stays pinned by
-        # the ohlc_rollup_stream parity test + verify_local)
-        "events_downsample_lttb",            # time-series window family
+        # the ohlc_rollup_stream parity test + verify_local).
+        # r8: lttb -> gapfill, same rule (lttb stays a bench headline
+        # and verify_local-covered; swap narrated in registry.py)
+        "events_gapfill_locf",               # time-series window family
         "events_anomaly_zscore",             # time-series monitor
         "slack_llm_enrichment",              # U1 through the Arrow UDF
     ]
