@@ -2083,10 +2083,14 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage needs no separate documents scan or doc->source join: the
     # per-source rollup and the per-doc funnel both branch off this
     # subtree (AQE recomputes the branch — one extra scan, vs three for
-    # calling source_quality_report + a docsrc attach)
+    # calling source_quality_report + a docsrc attach). NULL source
+    # coalesces to the '' sentinel BEFORE either consumer: the stage-5
+    # attach is an equi-join on source, and NULL would silently drop
+    # the document from every stage including 'raw' (ADVICE r8) — the
+    # sentinel ranks such docs as one ordinary source instead.
     sig = quality_signals_of(
         table(spark, sf_dir, "documents"), keep=("source",)
-    )
+    ).withColumn("source", F.coalesce(F.col("source"), F.lit("")))
     qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
         F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
     )
@@ -2221,11 +2225,11 @@ flagged AS (
 ndv AS (SELECT DISTINCT doc_b AS doc_id FROM ({_minhash_oracle()})),
 dcv AS (SELECT DISTINCT doc_id FROM ({DECON_FUZZY_ORACLE})),
 srcper AS (
-  SELECT d.source, count(*)::BIGINT AS n_docs,
+  SELECT coalesce(d.source, '') AS source, count(*)::BIGINT AS n_docs,
          round(sum(CAST(s.quality_score AS DECIMAL(18,6)))::DOUBLE
                / count(*), 4) AS mean_quality
   FROM sig s JOIN documents d USING (doc_id)
-  GROUP BY d.source
+  GROUP BY coalesce(d.source, '')
 ),
 srck AS (
   SELECT source,
@@ -2250,7 +2254,7 @@ reached AS (
   LEFT JOIN ndv n USING (doc_id)
   LEFT JOIN dcv c USING (doc_id)
   JOIN documents d USING (doc_id)
-  JOIN srck k ON k.source = d.source
+  JOIN srck k ON k.source = coalesce(d.source, '')
 )
 SELECT s.stage_ord, s.stage,
        count(r.n_tokens)::BIGINT AS n_docs,
@@ -2287,9 +2291,12 @@ _SRC_DROP_DEN = 4
 def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import quality_signals_of
 
+    # same NULL->'' sentinel as the funnel's stage-5 rule: a NULL source
+    # must rank as an ordinary source (and the rank window's source
+    # tiebreak must not hit the engines' opposite NULL orderings)
     sig = quality_signals_of(
         table(spark, sf_dir, "documents"), keep=("source",)
-    )
+    ).withColumn("source", F.coalesce(F.col("source"), F.lit("")))
     per = sig.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(
@@ -2333,7 +2340,8 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_QUALITY_ORACLE = f"""
 WITH sig AS ({{sig}}),
 with_src AS (
-  SELECT s.*, d.source FROM sig s JOIN documents d USING (doc_id)
+  SELECT s.*, coalesce(d.source, '') AS source
+  FROM sig s JOIN documents d USING (doc_id)
 ),
 per AS (
   SELECT source, count(*)::BIGINT AS n_docs,

@@ -214,11 +214,12 @@ _THUMB_W = 32
 _THUMB_CELLS = 8
 
 
-def image_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mm = multimodal_view(spark, sf_dir).filter(
-        F.col("mimetype").startswith("image/")
-        & (F.octet_length("payload") > 0)
-    )
+def _thumb_cells(images: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> long-format 8x8 block-mean thumbnail cells
+    (doc_id, cell_row, cell_col, n_px, mean_byte): the integer-exact
+    resize kernel (Arrow mapInPandas), shared by image_thumbnail_grid
+    and the perceptual hash below — a kernel bug flips both ops'
+    driver hashes."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -249,15 +250,19 @@ def image_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["mean_byte"].append(int(sums[c]) // int(counts[c]))
             yield pd.DataFrame(out)
 
-    return (
-        mm.select("doc_id", "payload")
-        .mapInPandas(
-            resize,
-            "doc_id bigint, cell_row int, cell_col int, "
-            "n_px bigint, mean_byte bigint",
-        )
-        .orderBy("doc_id", "cell_row", "cell_col")
+    return images.select("doc_id", "payload").mapInPandas(
+        resize,
+        "doc_id bigint, cell_row int, cell_col int, "
+        "n_px bigint, mean_byte bigint",
     )
+
+
+def image_thumbnail_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("image/")
+        & (F.octet_length("payload") > 0)
+    )
+    return _thumb_cells(mm).orderBy("doc_id", "cell_row", "cell_col")
 
 
 IMAGE_THUMBNAIL_ORACLE = f"""
@@ -449,12 +454,13 @@ def _spread_small_scan(
     return df
 
 
-def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def byte_simhash_pairs_of(mm: DataFrame) -> DataFrame:
+    """Block-shingle byte simhash pairs over any (doc_id, payload)
+    frame — the kernel behind media_neardup_simhash, callable on a
+    planted frame (the phash re-encode test runs all three media
+    near-dup kernels on one payload set)."""
     from .dedup import _simhash_agg, _simhash_capped_pairs
 
-    mm = _spread_small_scan(
-        spark, multimodal_view(spark, sf_dir), sf_dir
-    )
     hexs = F.hex("payload")
     width = 2 * _MEDIA_SHINGLE_BYTES
     stride = 2 * _MEDIA_STRIDE_BYTES
@@ -473,6 +479,13 @@ def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles).alias("tok")
     )
     return _simhash_capped_pairs(_simhash_agg(toks))
+
+
+def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    )
+    return byte_simhash_pairs_of(mm)
 
 
 def _media_neardup_oracle() -> str:
@@ -678,19 +691,22 @@ def cdc_chunks_of(mm: DataFrame, expected_chunk: int = _CDC_DIVISOR) -> DataFram
     return _cdc_toked(mm, divisor=expected_chunk)
 
 
-def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cdc_pairs_of(
+    mm: DataFrame, expected_chunk: int = _CDC_DIVISOR
+) -> DataFrame:
+    """CDC chunk-set Jaccard pairs over any (doc_id, payload) frame —
+    the kernel behind media_neardup_cdc, callable on a planted frame.
+    The chunked frame is localCheckpointed: it feeds FOUR consumers
+    (join sides a/b + sizes a/b), and Spark 4.1 AQE recomputes
+    self-join branches — 209 s -> ~4 s at sf0.1 for checkpoint+spread
+    together."""
     from pyspark.sql import Window
 
     from .dedup import capped_jaccard_pairs_from
 
-    # spread the per-byte boundary scan when the local single-file scan
-    # can't parallelize itself (see _spread_small_scan — a no-op on a
-    # multi-file corpus at scale). The chunked frame is then
-    # localCheckpointed: it feeds FOUR consumers (join sides a/b +
-    # sizes a/b), and Spark 4.1 AQE recomputes self-join branches —
-    # 209 s -> ~4 s at sf0.1 for checkpoint+spread together.
-    docs = _spread_small_scan(spark, multimodal_view(spark, sf_dir), sf_dir)
-    toked = _cdc_toked(docs).localCheckpoint(eager=True)
+    toked = _cdc_toked(mm, divisor=expected_chunk).localCheckpoint(
+        eager=True
+    )
     sizes = toked.select("doc_id", F.size("chunks").alias("n"))
     shingled = toked.select(
         "doc_id", F.explode("chunks").alias("shingle")
@@ -700,6 +716,14 @@ def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_jaccard_pairs_from(sizes, shingled).orderBy(
         "doc_a", "doc_b"
     )
+
+
+def media_neardup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread the per-byte boundary scan when the local single-file scan
+    # can't parallelize itself (see _spread_small_scan — a no-op on a
+    # multi-file corpus at scale)
+    docs = _spread_small_scan(spark, multimodal_view(spark, sf_dir), sf_dir)
+    return cdc_pairs_of(docs)
 
 
 def _cdc_toks_ctes() -> str:
@@ -856,6 +880,214 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# PERCEPTUAL image near-dup (the aHash member of the pHash family —
+# average hash over an 8x8 block-mean thumbnail): the RE-ENCODE
+# duplicate class, which BOTH byte-level media near-dup ops above miss
+# BY DESIGN. A re-encoded image (same picture, different bytes — the
+# dominant duplicate class in web-scraped image corpora; LAION-style
+# pipelines dedup on perceptual hashes for exactly this reason) shares
+# almost no raw byte windows with its source: the block-stride simhash
+# loses its aligned 4-byte shingles and CDC loses its chunk identities
+# the moment pixel VALUES shift, however slightly. A perceptual hash is
+# computed over the DECODED pixel grid instead, where a mild re-encode
+# moves each pixel by a bounded amount and the 64 block means barely
+# move.
+#
+# Kernel: the existing integer-exact 8x8 thumbnail (_thumb_cells — the
+# decode stub + block-mean reduce image_thumbnail_grid hash-checks),
+# then one bit per cell: bit_c = (k * m_c > G) where m_c is the cell's
+# floor-mean byte, k the number of non-empty cells and G = sum of the
+# m_c — i.e. "cell brighter than the thumbnail's average cell", the
+# aHash rule with the division cleared so both engines compare exact
+# integers. 64 bits pack into TWO nonnegative BIGINT halves (fp_lo =
+# cells 0..31, fp_hi = 32..63; a single 64-bit BIGINT would go negative
+# at cell 63 and arithmetic >> diverges between engines on negatives).
+#
+# Pairs: the text-simhash banding proof verbatim — 4 bands x 16 bits
+# over (lo16, lo>>16, hi16, hi>>16); any pair at hamming <= 3 differs
+# in at most 3 bands, so at least one band matches exactly and the
+# banded equi-join ∪ hamming filter equals the brute-force scan, with
+# the same production bucket cap mirrored in the oracle. Measured on
+# the corpus: a quantize-to-even re-encode (every byte perturbed, ~half
+# changed) moves ZERO fingerprints past hamming 3 at sf0.01 while both
+# byte-level ops lose every token — the planted test pins that split.
+#
+# 100 TB shape: thumbnail = one Arrow map, 64 rows out per image
+# regardless of size; fp = one doc_id aggregation (window + groupBy
+# share the hash partitioning); pairs = the capped single-pass
+# band-bucket plan. 16-bit bands keep random band occupancy n / 2^16 —
+# the same ~10^6-10^7-doc envelope as the text geometry, with the same
+# documented knob (wider fingerprint) beyond it.
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAMMING = 3
+PHASH_BUCKET_CAP = 1000  # the SIMHASH_BUCKET_CAP precedent
+
+
+def phash_fps_of(images: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, fp_hi, fp_lo): the 64-bit aHash
+    fingerprint in two nonnegative 32-bit halves."""
+    cells = _thumb_cells(images).select(
+        "doc_id",
+        (F.col("cell_row") * _THUMB_CELLS + F.col("cell_col")).alias("cell"),
+        F.col("mean_byte").alias("m"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    bit = (
+        F.col("k") * F.col("m") > F.col("g")
+    )  # k*m > G == m > mean-of-means, integers only
+    lo_term = F.when(
+        bit & (F.col("cell") < 32),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(cell AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    hi_term = F.when(
+        bit & (F.col("cell") >= 32),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(cell - 32 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        cells.withColumn("k", F.count(F.lit(1)).over(w))
+        .withColumn("g", F.sum("m").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(hi_term).alias("fp_hi"),
+            F.sum(lo_term).alias("fp_lo"),
+        )
+    )
+
+
+def phash_pairs_of(images: DataFrame) -> DataFrame:
+    """Banded hamming<=3 pairs over the perceptual fingerprints — the
+    capped single-pass band-bucket plan (dedup.py's shape, third
+    consumer)."""
+    fps = phash_fps_of(images)
+    mask = (1 << PHASH_BAND_BITS) - 1
+    halves = [F.col("fp_lo"), F.col("fp_hi")]
+    bands = fps.select(
+        "doc_id",
+        "fp_hi",
+        "fp_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            halves[b // 2], (b % 2) * PHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.bval")
+    buckets = (
+        bands.groupBy("band", "bval")
+        .agg(
+            F.collect_list(F.struct("doc_id", "fp_hi", "fp_lo")).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= PHASH_BUCKET_CAP))
+    )
+    hamming = (
+        F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
+        + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
+    ).cast("bigint")
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def media_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    ).filter(
+        F.col("mimetype").startswith("image/")  # F7 mimetype gate
+        & (F.octet_length("payload") > 0)
+    )
+    return phash_pairs_of(mm)
+
+
+def _phash_oracle() -> str:
+    mask = (1 << PHASH_BAND_BITS) - 1
+    w, c = _THUMB_W, _THUMB_CELLS
+    band_vals = ", ".join(
+        [
+            f"fp_lo & {mask}",
+            f"(fp_lo >> {PHASH_BAND_BITS}) & {mask}",
+            f"fp_hi & {mask}",
+            f"(fp_hi >> {PHASH_BAND_BITS}) & {mask}",
+        ]
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id,
+         ((((i - 1) // {w}) * {c}) // gh) * {c}
+           + (((i - 1) % {w}) // {w // c}) AS cell,
+         (sum(code) // count(*))::BIGINT AS m
+  FROM (
+    SELECT doc_id, gh, ('0x' || substr(h, 2*i - 1, 2))::BIGINT AS code, i
+    FROM (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS nb,
+             (octet_length(encode(text)) + {w - 1}) // {w} AS gh
+      FROM documents
+      WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+    ), unnest(range(1, nb + 1)) t(i)
+  )
+  GROUP BY doc_id, cell
+),
+bits AS (
+  SELECT doc_id, cell, m,
+         count(*) OVER (PARTITION BY doc_id) AS k,
+         sum(m) OVER (PARTITION BY doc_id) AS g
+  FROM cells
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN cell >= 32 AND k * m > g
+                  THEN (1::BIGINT << (cell - 32)::INT) ELSE 0 END)::BIGINT
+           AS fp_hi,
+         sum(CASE WHEN cell < 32 AND k * m > g
+                  THEN (1::BIGINT << cell::INT) ELSE 0 END)::BIGINT AS fp_lo
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, fp_hi, fp_lo, band, bval,
+         count(*) OVER (PARTITION BY band, bval) AS bsize
+  FROM (
+    SELECT doc_id, fp_hi, fp_lo,
+           unnest(range({PHASH_BANDS}))::INT AS band,
+           unnest([{band_vals}]) AS bval
+    FROM fps)
+),
+capped AS (
+  SELECT * FROM bands WHERE bsize BETWEEN 2 AND {PHASH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.fp_lo, b.fp_lo))
+        + bit_count(xor(a.fp_hi, b.fp_hi)))::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+      + bit_count(xor(a.fp_hi, b.fp_hi)) <= {PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
               MULTIMODAL_BYTE_STATS_ORACLE,
@@ -889,4 +1121,9 @@ QUERIES = [
               "per-mimetype normalized-CDC chunk statistics: the "
               "hash-checked certificate of the LBFS min/max rule "
               "(max chunk <= MAX, runts bounded by doc tails)"),
+    QuerySpec("media_neardup_phash", media_neardup_phash, _phash_oracle(),
+              "PERCEPTUAL image near-dup: 64-bit aHash over the 8x8 "
+              "block-mean thumbnail kernel + capped pigeonhole-banded "
+              "hamming<=3 join — catches the re-encode duplicate class "
+              "both byte-level media ops miss by design (planted test)"),
 ]

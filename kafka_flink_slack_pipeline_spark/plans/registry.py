@@ -458,6 +458,24 @@ _DEMOTED = (
     # the gapfill arriving (user_history_window stays the W1 row at the
     # window edge).
     "events_downsample_lttb",
+    # r9: one slot for media_neardup_phash (new-code rule: the
+    # perceptual re-encode dedup class). image_thumbnail_grid rotates
+    # out WITHIN the multimodal family on the learner-inside-apply
+    # precedent: its ENTIRE Arrow block-mean kernel (_thumb_cells) now
+    # EXECUTES AND HASH-CHECKS IN-WINDOW as media_neardup_phash's cell
+    # stage (a kernel bug flips the phash fingerprints and the driver
+    # hash with them); the long-format grid contract stays pinned by
+    # its own tests and its oracle stays verify_local-covered.
+    "image_thumbnail_grid",
+    # r9: one slot for hybrid_search_rrf (new-code rule: reciprocal-rank
+    # fusion of the lexical and dense retrievers — the retrieval
+    # family's missing fusion member). lsh_radius_recall_curve rotates
+    # out on the ann_recall_report precedent: it is an EVALUATION
+    # COMPOSITION whose member pipeline (banded LSH candidates + exact
+    # re-rank) keeps its in-window hash row via cosine_topk_lsh, its
+    # radius-monotonicity contract is pinned by a dedicated test, and
+    # its composed oracle stays verify_local-covered.
+    "lsh_radius_recall_curve",
     # r6: pca_whiten_vectors registers rows-only (no SQL oracle for an
     # eigendecomposition) and is demoted on arrival: the in-window
     # embedding_pca_whiten certificate hash-checks the IDENTICAL

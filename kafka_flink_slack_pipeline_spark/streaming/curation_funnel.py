@@ -162,7 +162,124 @@ def _assert_local_dir(path: str, what: str) -> None:
         )
 
 
-def compact_sig_store(spark: SparkSession, sigs_dir: str, upto: int) -> int:
+_COMPACT_TMP_PREFIX = "_compact_tmp."
+
+
+def _assert_no_compact_leftover(store_dir: str) -> None:
+    """A crashed compaction may have removed original batch dirs but not
+    yet renamed its staged output into place — reading the store in that
+    state silently LOSES the compacted history (near-dups quietly stop
+    being dropped). The staged dir is underscore-prefixed so Spark's
+    file index ignores it; this guard makes every reader fail loudly
+    instead of proceeding without the staged rows."""
+    leftovers = [
+        e
+        for e in os.listdir(store_dir)
+        if e.startswith(_COMPACT_TMP_PREFIX)
+    ]
+    if leftovers:
+        raise RuntimeError(
+            f"interrupted compaction detected in {store_dir!r}: "
+            f"{leftovers} hold(s) compacted history whose originals were "
+            "possibly already removed. Recover by renaming "
+            f"'{leftovers[0]}' to its 'batch_id=<n>' suffix (and removing "
+            "any surviving originals below that id) before reading the "
+            "store."
+        )
+
+
+def _committed_horizon(checkpoint_dir: str) -> int:
+    """Next batch id per the streaming checkpoint's commits/ log (max
+    committed id + 1; 0 when nothing committed)."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    ids = [
+        int(e)
+        for e in (os.listdir(commits) if os.path.isdir(commits) else [])
+        if e.isdigit()
+    ]
+    return max(ids) + 1 if ids else 0
+
+
+def _compact_batch_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto: int,
+    cols: list[str],
+    partition_cols: list[str],
+    what: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Shared compaction kernel for the batch_id-scoped parquet stores
+    (signature store: (band, bprefix) layout; semantic vector store:
+    cid layout). Rewrites batches [0, upto) into ONE directory with id
+    upto - 1, preserving the partition layout. Returns directories
+    removed.
+
+    Safety rails (both loud, per ADVICE r8):
+      - `upto` must not exceed the store's own id horizon (max existing
+        batch id + 1) — otherwise a FUTURE batch with id upto-1 would
+        first read none of the compacted history (its replay filter is
+        batch_id < upto-1) and then its own overwrite would destroy it;
+      - when `checkpoint_dir` is given, `upto` must also lie within the
+        checkpoint's committed horizon — a batch replays only if it
+        never committed, so only committed batches are safe to fold;
+      - the staged rewrite lives under an UNDERSCORE-prefixed temp name
+        (Spark's file index skips '_'-prefixed paths, so a crash mid-
+        compaction can never be parsed as a string-typed batch_id
+        partition), and every reader raises on such leftovers instead
+        of silently reading a store missing its folded history."""
+    import shutil
+
+    _assert_local_dir(store_dir, what)
+    _assert_no_compact_leftover(store_dir)
+    ids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(store_dir)
+        if e.startswith("batch_id=") and e.split("=", 1)[1].isdigit()
+    ]
+    horizon = max(ids) + 1 if ids else 0
+    if upto > horizon:
+        raise ValueError(
+            f"compaction upto={upto} exceeds the {what}'s id horizon "
+            f"{horizon}: folding into batch_id={upto - 1} would collide "
+            "with a FUTURE batch (whose replay filter excludes the "
+            "compacted id and whose overwrite would then destroy it)."
+        )
+    if checkpoint_dir is not None:
+        committed = _committed_horizon(checkpoint_dir)
+        if upto > committed:
+            raise ValueError(
+                f"compaction upto={upto} exceeds the checkpoint's "
+                f"committed horizon {committed}: an uncommitted batch "
+                "below upto may replay and must still see (and "
+                "overwrite) its own pre-compaction directory."
+            )
+    olds = [f"batch_id={i}" for i in sorted(ids) if i < upto]
+    if len(olds) <= 1:
+        return 0
+    tmp = os.path.join(
+        store_dir, f"{_COMPACT_TMP_PREFIX}batch_id={upto - 1}"
+    )
+    (
+        spark.read.option("basePath", store_dir)
+        .parquet(*[os.path.join(store_dir, e) for e in olds])
+        .select(*cols)
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(tmp)
+    )
+    for e in olds:
+        shutil.rmtree(os.path.join(store_dir, e))
+    os.rename(tmp, os.path.join(store_dir, f"batch_id={upto - 1}"))
+    return len(olds)
+
+
+def compact_sig_store(
+    spark: SparkSession,
+    sigs_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
     """Rewrite signature-store batches [0, upto) into ONE batch
     directory (id = upto - 1), preserving the (band, bprefix) partition
     layout — the answer to the store's documented small-files cost: each
@@ -173,40 +290,23 @@ def compact_sig_store(spark: SparkSession, sigs_dir: str, upto: int) -> int:
     Correctness: future batches N >= upto read `batch_id < N`, which
     includes the compacted id, so they see every compacted row exactly
     as before (the compaction test pins identical near-dup output).
-    Run it only over the checkpoint's COMMITTED horizon — a batch
-    replays only if it never committed, and committed batches below
-    `upto` can therefore never re-run against the compacted store.
-    Crash window: the compacted data is fully written to a temp dir
-    before any original is removed; a crash between the removals and
-    the final rename leaves the store recoverable by renaming
-    `batch_id=<upto-1>.compact_tmp` by hand (stated rather than hidden —
-    a cluster deployment does this swap through its catalog/log
-    instead). Returns the number of batch directories removed."""
-    import shutil
-
-    _assert_local_dir(sigs_dir, "signature store dir")
-    olds = [
-        e
-        for e in os.listdir(sigs_dir)
-        if e.startswith("batch_id=")
-        and e.split("=", 1)[1].isdigit()
-        and int(e.split("=", 1)[1]) < upto
-    ]
-    if len(olds) <= 1:
-        return 0
-    tmp = os.path.join(sigs_dir, f"batch_id={upto - 1}.compact_tmp")
-    (
-        spark.read.option("basePath", sigs_dir)
-        .parquet(*[os.path.join(sigs_dir, e) for e in olds])
-        .select("doc_id", "sig", "band", "bkey", "bprefix")
-        .write.mode("overwrite")
-        .partitionBy("band", "bprefix")
-        .parquet(tmp)
+    Run it only over the checkpoint's COMMITTED horizon — pass
+    `checkpoint_dir` to have that enforced from the commits/ log rather
+    than trusted; `upto` beyond the store's own id horizon always
+    raises (see _compact_batch_store for both failure modes). A crash
+    mid-compaction leaves an underscore-prefixed staged directory that
+    every store reader refuses loudly (recovery = one rename), never a
+    silently-shrunk reference set. Returns the number of batch
+    directories removed."""
+    return _compact_batch_store(
+        spark,
+        sigs_dir,
+        upto,
+        cols=["doc_id", "sig", "band", "bkey", "bprefix"],
+        partition_cols=["band", "bprefix"],
+        what="signature store dir",
+        checkpoint_dir=checkpoint_dir,
     )
-    for e in olds:
-        shutil.rmtree(os.path.join(sigs_dir, e))
-    os.rename(tmp, os.path.join(sigs_dir, f"batch_id={upto - 1}"))
-    return len(olds)
 
 
 def _pruned_store(
@@ -223,9 +323,10 @@ def _pruned_store(
     pairs), so the literal OR-chain is a static partition-pruning
     predicate, never a join."""
     _assert_local_dir(sigs_dir, "signature store dir")
-    if not os.path.isdir(sigs_dir) or not any(
-        e.startswith("batch_id=") for e in os.listdir(sigs_dir)
-    ):
+    if not os.path.isdir(sigs_dir):
+        return None
+    _assert_no_compact_leftover(sigs_dir)
+    if not any(e.startswith("batch_id=") for e in os.listdir(sigs_dir)):
         return None
     if not touched:
         return None
@@ -339,11 +440,21 @@ def curation_funnel_stream(
     bench_sizes: DataFrame,
     ttl: str = "24 hours",
     max_files_per_trigger: int = 1000,
+    compact_every: int | None = None,
 ):
     """Run the composed funnel over all available drops (availableNow)
     and block until done; returns the finished StreamingQuery. Re-invoke
     with the same checkpoint_dir to resume — only new files process, and
-    replayed batches overwrite their own prior output."""
+    replayed batches overwrite their own prior output.
+
+    `compact_every=N` makes the runner itself fold the signature store
+    every N committed batches (at the start of batch k where
+    k % N == 0, upto=k — all of [0, k) is committed by then, and the
+    commits-log guard inside compact_sig_store enforces it), so a
+    long-running deployment's store directory count stays bounded at
+    ~N + 1 batch dirs without an operator remembering the manual tool.
+    Replay-safe: a replayed batch re-runs the compaction call, which is
+    a no-op once only one directory remains below its horizon."""
     raw = (
         spark.readStream.schema(DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -398,8 +509,14 @@ def curation_funnel_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(drop_dir)
     )
+    # NULL source coalesces to the '' sentinel on BOTH faces (stats
+    # rollup here, landed-survivor join in the report) — the batch
+    # funnel applies the identical rule, so a NULL-source document is
+    # ranked and counted instead of silently dropped by the source join
+    # (ADVICE r8).
     ssig = quality_signals_of(raw_stats, keep=("source",)).select(
-        "source", F.col("quality_score").cast("decimal(18,6)").alias("q")
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.col("quality_score").cast("decimal(18,6)").alias("q"),
     )
 
     def stats_stage(b: DataFrame, bid: int) -> None:
@@ -424,6 +541,10 @@ def curation_funnel_stream(
     sq.awaitTermination()
 
     def stage(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_sig_store(
+                spark, sigs_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+            )
         batch = batch.persist()
         try:
             # signature store gets ALL arriving docs (failers included —
@@ -590,7 +711,10 @@ def curation_funnel_stream(
 
 
 def curation_funnel_stream_report(
-    spark: SparkSession, state_dir: str, out_dir: str
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    allow_capped: bool = False,
 ) -> DataFrame:
     """Accumulated per-stage funnel table over every processed batch —
     the same (stage_ord, stage, n_docs, n_tokens) rows as the batch
@@ -611,7 +735,23 @@ def curation_funnel_stream_report(
     source_stats table (exact decimal sums, so the means equal the batch
     funnel's bit for bit), then counted over the landed survivors in
     out_dir. It equals the batch funnel's whole-corpus rule once the run
-    has drained its drops; mid-stream it reflects the horizon so far."""
+    has drained its drops; mid-stream it reflects the horizon so far.
+
+    Parity gate (default-on): stage-3 stream/batch parity holds only
+    while no band bucket crossed MINHASH_BUCKET_CAP mid-stream; each
+    batch's counts row records `d_capped` violations, and a report that
+    silently summed over them would present drifted stage-3 numbers as
+    batch-equal. The report therefore RAISES when Σ d_capped > 0 (the
+    ingest-metrics gate's honest shape); pass allow_capped=True to get
+    the table anyway once the caveat is understood.
+
+    Stats-horizon gate: the source_stats sibling stream drains before
+    the main funnel query, so after a mid-run crash its horizon LEADS
+    the landed one — the stage-5 kept-set would then be computed over
+    sources/means including documents not yet landed. Both streams
+    count every raw drop row exactly once, so Σ stats.n_docs must equal
+    Σ ingest.n_raw; any difference raises instead of silently skewing
+    the kept-set."""
     ing = spark.read.option("basePath", f"{state_dir}/ingest").parquet(
         f"{state_dir}/ingest"
     )
@@ -628,6 +768,21 @@ def curation_funnel_stream_report(
             "metrics persistence — stage-0/1 counts for those batches "
             "were only observable during that run. Re-land the affected "
             "drops or record the gap before trusting stage-0/1 totals."
+        )
+    capped = [
+        (r.batch_id, r.d_capped)
+        for r in cnt.select("batch_id", "d_capped")
+        .filter(F.col("d_capped") > 0)
+        .collect()
+    ]
+    if capped and not allow_capped:
+        raise ValueError(
+            "stream/batch stage-3 parity precondition violated: batches "
+            f"{sorted(capped)} recorded (batch_id, d_capped) band buckets "
+            "over MINHASH_BUCKET_CAP — near-dup pairs those buckets "
+            "would emit may differ from the batch operator's for this "
+            "horizon. Re-check parity (or pass allow_capped=True to "
+            "accept the caveat and get the table)."
         )
     i = ing.agg(
         F.sum("n_raw").alias("d0"),
@@ -651,6 +806,17 @@ def curation_funnel_stream_report(
     stats = spark.read.option("basePath", f"{state_dir}/source_stats").parquet(
         f"{state_dir}/source_stats"
     )
+    n_stats = stats.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0]
+    n_raw = ing.agg(F.coalesce(F.sum("n_raw"), F.lit(0))).collect()[0][0]
+    if int(n_stats) != int(n_raw):
+        raise ValueError(
+            f"source-stats horizon ({n_stats} docs) disagrees with the "
+            f"funnel's ingest horizon ({n_raw} docs): the stats sibling "
+            "stream drains ahead of the main query, so a crash of (or "
+            "during) the main run leaves the stage-5 kept-set computed "
+            "over documents not yet landed. Resume the run to re-align "
+            "the horizons before trusting stage 5."
+        )
     per = (
         stats.groupBy("source")
         .agg(F.sum("n_docs").alias("n"), F.sum("sum_quality").alias("sq"))
@@ -674,11 +840,23 @@ def curation_funnel_stream_report(
         )
         .select("source")
     )
-    landed = spark.read.option("basePath", out_dir).parquet(out_dir)
-    s5 = landed.join(F.broadcast(kept), "source", "semi").agg(
-        F.count(F.lit(1)).alias("d5"),
-        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t5"),
-    )
+    try:
+        landed = (
+            spark.read.option("basePath", out_dir)
+            .parquet(out_dir)
+            .withColumn("source", F.coalesce(F.col("source"), F.lit("")))
+        )
+        s5 = landed.join(F.broadcast(kept), "source", "semi").agg(
+            F.count(F.lit(1)).alias("d5"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t5"),
+        )
+    except Exception as e:  # noqa: BLE001
+        # a run whose every document failed upstream writes only EMPTY
+        # batch dirs (no parquet footers) — that is a legitimate
+        # zero-survivor horizon, not an error
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        s5 = spark.createDataFrame([(0, 0)], "d5 long, t5 long")
 
     rows = F.explode(
         F.array(

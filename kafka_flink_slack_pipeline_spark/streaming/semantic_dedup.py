@@ -52,11 +52,43 @@ from ..operators.similarity import (
     cosine,
     norm,
 )
-from .curation_funnel import _assert_local_dir
+from .curation_funnel import (
+    _assert_local_dir,
+    _assert_no_compact_leftover,
+    _compact_batch_store,
+)
 
 VEC_DROP_SCHEMA = (
     "vec_id bigint, embedding array<double>, ingest_ts timestamp"
 )
+
+
+def compact_vec_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Fold vector-store batches [0, upto) into ONE batch directory
+    (id = upto - 1), preserving the cid partition layout — the
+    signature store's compaction discipline applied to the semantic
+    store (each live batch adds up to min(k, |batch|) cid directories,
+    and partition discovery across many batch dirs is the pruned scan's
+    residual growth term, measured in SCALE_PROBE_SEMANTIC.json).
+    Future batches N >= upto read batch_id < N, which includes the
+    compacted id, so verdicts are unchanged (output-identity test).
+    Shares compact_sig_store's safety rails: id-horizon and
+    committed-horizon validation, underscore-prefixed staging that
+    every reader refuses loudly after a crash."""
+    return _compact_batch_store(
+        spark,
+        store_dir,
+        upto,
+        cols=["vec_id", "emb", "cid"],
+        partition_cols=["cid"],
+        what="vector store dir",
+        checkpoint_dir=checkpoint_dir,
+    )
 
 
 def _pruned_vec_store(
@@ -67,9 +99,10 @@ def _pruned_vec_store(
     `touched` is bounded by the codebook size, so the isin predicate is
     a static partition-pruning literal list."""
     _assert_local_dir(store_dir, "vector store dir")
-    if not os.path.isdir(store_dir) or not any(
-        e.startswith("batch_id=") for e in os.listdir(store_dir)
-    ):
+    if not os.path.isdir(store_dir):
+        return None
+    _assert_no_compact_leftover(store_dir)
+    if not any(e.startswith("batch_id=") for e in os.listdir(store_dir)):
         return None
     if not touched:
         return None
@@ -90,11 +123,20 @@ def semantic_dedup_stream(
     model: list[tuple[int, list[float]]],
     threshold: float = NEARDUP_THRESHOLD,
     max_files_per_trigger: int = 1000,
+    compact_every: int | None = None,
 ):
     """Run the stream over all available drops (availableNow) and block
     until done; returns the finished StreamingQuery. Re-invoke with the
     same checkpoint_dir to resume — only new files process, and replayed
-    batches overwrite their own prior store partition and verdicts."""
+    batches overwrite their own prior store partition and verdicts.
+
+    `compact_every=N` folds the vector store every N committed batches
+    from inside the runner (at the start of batch k where k % N == 0,
+    upto=k — everything below k is committed by then, enforced from the
+    commits/ log), the curation funnel's auto-compaction policy: a
+    long-running deployment's store stays at ~N + 1 batch directories
+    without anyone remembering the manual tool. Replay-safe — a
+    replayed batch's repeat call is a no-op once one directory remains."""
     store_dir = f"{state_dir}/vectors"
     verdicts_dir = f"{state_dir}/verdicts"
 
@@ -105,6 +147,10 @@ def semantic_dedup_stream(
     )
 
     def stage(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_vec_store(
+                spark, store_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+            )
         assigned = (
             batch.select(
                 "vec_id",

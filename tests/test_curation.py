@@ -497,3 +497,45 @@ def test_source_quality_report_rank_rule(spark, sf_dir):
     assert dropped == {
         r.source for r in rows if r.q_rank <= n // 4
     }
+
+
+def test_curation_funnel_counts_null_source_docs(spark, sf_dir, tmp_path):
+    """ADVICE r8: the stage-5 source attach is an equi-join — a NULL
+    source must coalesce to the '' sentinel instead of silently
+    dropping the document from every stage INCLUDING 'raw'. Pinned by
+    nulling sources on a corpus slice and checking the Spark funnel
+    against its own DuckDB oracle on the same file (stage-0 count must
+    equal the full slice)."""
+    import duckdb
+
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        corpus_curation_funnel,
+    )
+    from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(
+                F.col("source")
+            ),
+        )
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    n_docs = docs.count()
+
+    got = corpus_curation_funnel(spark, str(tmp_path)).collect()
+    raw = [r for r in got if r["stage"] == "raw"][0]
+    assert raw["n_docs"] == n_docs  # NULL-source docs still counted
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = all_queries()["corpus_curation_funnel"].oracle
+    want = con.execute(oracle).fetchall()
+    assert [
+        (r["stage_ord"], r["stage"], r["n_docs"], r["n_tokens"]) for r in got
+    ] == [tuple(w) for w in want]

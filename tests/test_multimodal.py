@@ -363,3 +363,86 @@ def test_cdc_mb_scale_bounded_and_insertion_robust(spark):
     a, b = set(got[0]), set(got[1])
     jac = len(a & b) / len(a | b)
     assert jac >= 0.95, f"insertion broke re-sync: jaccard={jac}"
+
+
+def test_phash_catches_reencode_both_byte_ops_miss(spark, sf_dir):
+    """The perceptual-dedup fidelity split (r8 verdict item 1): a
+    simulated RE-ENCODE — the payload re-serialized through the
+    deterministic fake codec with every pixel value quantized to even
+    (the quality-loss class: every byte position perturbed by at most
+    1, ~half the bytes changed) — must be caught by the perceptual
+    hash at hamming <= PHASH_MAX_HAMMING, while BOTH byte-level
+    near-dup kernels provably miss it on the same frame: the aligned
+    4-byte shingles and the CDC chunk identities both die the moment
+    pixel values shift."""
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        PHASH_MAX_HAMMING,
+        byte_simhash_pairs_of,
+        cdc_pairs_of,
+        phash_pairs_of,
+    )
+
+    text = max(
+        (r.text for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).select("text").collect()),
+        key=len,
+    )
+    original = text.encode("utf-8")
+    reencoded = bytes(b - (b % 2) for b in original)  # quantize to even
+    assert reencoded != original and len(reencoded) == len(original)
+
+    frame = spark.createDataFrame(
+        [(0, bytearray(original)), (1, bytearray(reencoded))],
+        "doc_id bigint, payload binary",
+    )
+
+    phash = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in phash_pairs_of(frame).collect()
+    }
+    assert (0, 1) in phash and phash[(0, 1)] <= PHASH_MAX_HAMMING
+
+    block = {
+        (r.doc_a, r.doc_b) for r in byte_simhash_pairs_of(frame).collect()
+    }
+    assert (0, 1) not in block
+
+    cdc = {(r.doc_a, r.doc_b) for r in cdc_pairs_of(frame).collect()}
+    assert (0, 1) not in cdc
+
+
+def test_phash_fps_nonnegative_halves_and_thumbnail_parity(spark, sf_dir):
+    """Both fingerprint halves stay in [0, 2^32) (arithmetic shifts are
+    then portable), and the fingerprint's bit rule reproduces from the
+    in-window thumbnail op's own cells — the kernel-sharing contract
+    the registry rotation leans on."""
+    from kafka_flink_slack_pipeline_spark.operators.multimodal import (
+        _THUMB_CELLS,
+        image_thumbnail_grid,
+        multimodal_view,
+        phash_fps_of,
+    )
+
+    mm = multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("image/")
+        & (F.octet_length("payload") > 0)
+    )
+    fps = {r.doc_id: (r.fp_hi, r.fp_lo) for r in phash_fps_of(mm).collect()}
+    assert fps
+    for hi, lo in fps.values():
+        assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+    cells = {}
+    for r in image_thumbnail_grid(spark, sf_dir).collect():
+        cells.setdefault(r.doc_id, []).append(
+            (r.cell_row * _THUMB_CELLS + r.cell_col, r.mean_byte)
+        )
+    for doc_id, cl in cells.items():
+        k = len(cl)
+        g = sum(m for _, m in cl)
+        want_hi = sum(
+            1 << (c - 32) for c, m in cl if c >= 32 and k * m > g
+        )
+        want_lo = sum(1 << c for c, m in cl if c < 32 and k * m > g)
+        assert fps[doc_id] == (want_hi, want_lo)

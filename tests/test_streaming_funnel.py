@@ -367,6 +367,21 @@ def test_funnel_records_capped_bucket_telemetry(
     # batch 2: those buckets now hold 4 > cap — the telemetry must fire
     assert per_batch[last] > 0
 
+    # the report must SURFACE the violated parity precondition, not
+    # silently sum over it (r8 verdict item 2): default raises naming
+    # the capped batches; allow_capped hands over the table with the
+    # caveat accepted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="parity precondition"):
+        curation_funnel_stream_report(spark, d["state"], d["out"])
+    assert (
+        curation_funnel_stream_report(
+            spark, d["state"], d["out"], allow_capped=True
+        ).count()
+        == 6
+    )
+
 
 def test_sig_store_compaction_preserves_neardup_output(spark, sf_dir, tmp_path):
     """compact_sig_store folds many batch dirs into one while the
@@ -448,3 +463,149 @@ def test_sig_store_compaction_preserves_neardup_output(spark, sf_dir, tmp_path):
     assert read_files
     for f in read_files:
         assert any(f"/band={b}/bprefix={p}/" in f for b, p in touched)
+
+
+def test_compact_store_guards(spark, sf_dir, tmp_path):
+    """ADVICE r8 safety rails: (a) upto beyond the store's id horizon
+    raises (a future batch's overwrite would destroy the fold); (b)
+    upto beyond the checkpoint's committed horizon raises (an
+    uncommitted batch may replay); (c) a crashed compaction's staged
+    leftover makes every reader fail loudly instead of silently
+    reading a store missing its folded history."""
+    import pytest as _pytest
+
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _COMPACT_TMP_PREFIX,
+        _pruned_store,
+        compact_sig_store,
+    )
+
+    sigs_dir = str(tmp_path / "sigs")
+    for b, (lo, hi) in enumerate([(0, 60), (60, 120), (120, 180)]):
+        _bands_of(spark, sf_dir, lo, hi).write.mode("overwrite").partitionBy(
+            "band", "bprefix"
+        ).parquet(f"{sigs_dir}/batch_id={b}")
+
+    # (a) id-horizon guard: store holds ids 0..2, horizon 3
+    with _pytest.raises(ValueError, match="id horizon"):
+        compact_sig_store(spark, sigs_dir, upto=5)
+
+    # (b) committed-horizon guard: commits log says only batches 0,1
+    # committed — folding batch 2 (replayable) must refuse
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    for i in (0, 1):
+        (ckpt / "commits" / str(i)).write_text("{}")
+    with _pytest.raises(ValueError, match="committed horizon"):
+        compact_sig_store(spark, sigs_dir, upto=3, checkpoint_dir=str(ckpt))
+    # within both horizons it proceeds
+    assert compact_sig_store(
+        spark, sigs_dir, upto=2, checkpoint_dir=str(ckpt)
+    ) == 2
+
+    # (c) staged-leftover guard, on readers AND on a re-run of the tool
+    leftover = os.path.join(sigs_dir, f"{_COMPACT_TMP_PREFIX}batch_id=1")
+    os.makedirs(leftover)
+    with _pytest.raises(RuntimeError, match="interrupted compaction"):
+        _pruned_store(spark, sigs_dir, 10, [(0, 0)])
+    with _pytest.raises(RuntimeError, match="interrupted compaction"):
+        compact_sig_store(spark, sigs_dir, upto=3)
+    os.rmdir(leftover)
+    assert _pruned_store(spark, sigs_dir, 10, [(0, 0)]) is not None
+
+
+def test_funnel_report_stats_horizon_gate(spark, funnel_dirs):
+    """The source_stats sibling stream drains ahead of the main funnel
+    query; a stats horizon that disagrees with the ingest horizon must
+    raise instead of silently computing stage 5 over unlanded docs.
+    (Runs after the parity test — module-scoped dirs have real state.)
+    Simulated by landing one extra fake stats batch."""
+    import shutil
+
+    import pytest as _pytest
+
+    stats_dir = os.path.join(funnel_dirs["state"], "source_stats")
+    existing = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(stats_dir)
+        if e.startswith("batch_id=")
+    )
+    fake = os.path.join(stats_dir, f"batch_id={existing[-1] + 1}")
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [("phantom_source", 7, Decimal("3.5"))],
+        "source string, n_docs long, sum_quality decimal(18,6)",
+    ).coalesce(1).write.mode("overwrite").parquet(fake)
+    try:
+        with _pytest.raises(ValueError, match="ingest horizon"):
+            curation_funnel_stream_report(
+                spark, funnel_dirs["state"], funnel_dirs["out"]
+            )
+    finally:
+        shutil.rmtree(fake)
+    assert (
+        curation_funnel_stream_report(
+            spark, funnel_dirs["state"], funnel_dirs["out"]
+        ).count()
+        == 6
+    )
+
+
+def test_funnel_auto_compaction_bounds_store_and_keeps_parity(
+    spark, sf_dir, tmp_path
+):
+    """compact_every=N folds the signature store from inside the runner:
+    across a 3-batch run (one drop file per batch) the store must end
+    with fewer batch directories than batches processed, and the
+    accumulated report must still equal the batch funnel exactly."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        fuzzy_bench_frames as _fbf,
+    )
+
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "out": str(tmp_path / "out"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        _write_drop(sf_dir, f"{d['drop']}/part{i}.jsonl", lo, hi)
+    toked = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokens_col().alias("toks"))
+    )
+    bench_sh, bench_sizes = _fbf(toked)
+    curation_funnel_stream(
+        spark, d["drop"], d["out"], d["state"], d["ckpt"],
+        bench_sh, bench_sizes, ttl="2 hours",
+        max_files_per_trigger=1, compact_every=1,
+    )
+
+    cnt = spark.read.option("basePath", f"{d['state']}/counts").parquet(
+        f"{d['state']}/counts"
+    )
+    n_batches = cnt.select("batch_id").distinct().count()
+    assert n_batches >= 3
+    sig_dirs = [
+        e
+        for e in os.listdir(f"{d['state']}/sigs")
+        if e.startswith("batch_id=")
+    ]
+    # every compaction point folds [0, k) into one dir: the store can
+    # never hold more than 2 live dirs at a compaction boundary, so the
+    # end state must be strictly below the batch count
+    assert len(sig_dirs) < n_batches
+
+    got = {
+        (r["stage_ord"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in curation_funnel_stream_report(
+            spark, d["state"], d["out"]
+        ).collect()
+    }
+    want = {
+        (r["stage_ord"], r["stage"]): (r["n_docs"], r["n_tokens"])
+        for r in corpus_curation_funnel(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -133,3 +133,115 @@ def test_semantic_store_rejects_remote_uri(spark):
 
     with pytest.raises(ValueError, match="driver-local"):
         _pruned_vec_store(spark, "hdfs://nn/vectors", 2, [0])
+
+
+def test_vec_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
+    """The signature store's compaction discipline, applied to the
+    semantic vector store (r8 verdict item 3/4): a 3-batch run with
+    compact_every=1 folds the store from inside the runner, the
+    directory count ends below the batch count, cid-partition pruning
+    still works on the folded layout, and the accumulated verdicts
+    equal the batch semantic_dedup rows exactly (output identity)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        _pruned_vec_store,
+    )
+
+    model = _centroid_model(spark, sf_dir)
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    _os.makedirs(d["drop"])
+    for i, (lo, hi) in enumerate([(0, 70), (70, 140), (140, 10**9)]):
+        _write_drop(spark, sf_dir, f"{d['drop']}/part{i}.jsonl", lo, hi)
+    semantic_dedup_stream(
+        spark, d["drop"], d["state"], d["ckpt"], model,
+        max_files_per_trigger=1, compact_every=1,
+    )
+
+    store_dir = f"{d['state']}/vectors"
+    n_batches = len(
+        [
+            e
+            for e in _os.listdir(f"{d['state']}/verdicts")
+            if e.startswith("batch_id=")
+        ]
+    )
+    assert n_batches >= 3
+    store_dirs = [
+        e for e in _os.listdir(store_dir) if e.startswith("batch_id=")
+    ]
+    assert len(store_dirs) < n_batches
+
+    # verdict output identity vs the batch op, across the folds
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    want = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(not keep for (_, keep, _, _) in got.values())
+
+    # pruning is still file-level on the folded layout
+    full = spark.read.option("basePath", store_dir).parquet(store_dir)
+    cids = sorted(r["cid"] for r in full.select("cid").distinct().collect())
+    assert len(cids) > 1
+    pruned = _pruned_vec_store(spark, store_dir, 10**9, [cids[0]])
+    read_files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files
+    for f in read_files:
+        assert f"/cid={cids[0]}/" in f
+
+
+def test_vec_store_compaction_guards(spark, sf_dir, tmp_path):
+    """compact_vec_store shares the signature store's rails: id-horizon
+    validation and loud staged-leftover refusal on the reader."""
+    import os as _os
+
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _COMPACT_TMP_PREFIX,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        _pruned_vec_store,
+        compact_vec_store,
+    )
+
+    store_dir = str(tmp_path / "vectors")
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id",
+            "cast(embedding as array<double>) as emb",
+            "cast(vec_id % 3 as int) as cid",
+        )
+    )
+    for b in range(2):
+        emb.filter(f"vec_id % 2 = {b}").write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{store_dir}/batch_id={b}")
+
+    with pytest.raises(ValueError, match="id horizon"):
+        compact_vec_store(spark, store_dir, upto=4)
+
+    leftover = _os.path.join(store_dir, f"{_COMPACT_TMP_PREFIX}batch_id=0")
+    _os.makedirs(leftover)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        _pruned_vec_store(spark, store_dir, 5, [0])
+    _os.rmdir(leftover)
+
+    before = _pruned_vec_store(spark, store_dir, 5, [0, 1, 2]).count()
+    assert compact_vec_store(spark, store_dir, upto=2) == 2
+    assert sorted(
+        e for e in _os.listdir(store_dir) if e.startswith("batch_id=")
+    ) == ["batch_id=1"]
+    assert _pruned_vec_store(spark, store_dir, 5, [0, 1, 2]).count() == before
