@@ -79,6 +79,10 @@ HEADLINE = [
     # chunk boundaries + the shared df-capped Jaccard kernel) — the
     # class the block-stride op provably misses (planted test).
     "media_neardup_cdc",
+    # r9 addition: the perceptual member completing the media-dedup
+    # trio (Arrow thumbnail kernel -> 64-bit aHash -> capped banded
+    # hamming join) — the re-encode class both byte-level ops miss.
+    "media_neardup_phash",
     "email_clean_chain",
     "email_chunk_blocks",
     # r2 addition: vocabulary building (two reused shuffles + window top-k).
@@ -112,6 +116,11 @@ HEADLINE = [
     # r3 addition: lexical retrieval (broadcast query-term semi-filter on
     # the postings explosion + per-query top-k window).
     "bm25_keyword_search",
+    # r9 addition: hybrid retrieval fusion — RRF over the lexical and
+    # dense top-k rankings (both parents' pruned plans + a bounded rank
+    # full-outer join); the recurring serving-path composition a
+    # RAG/curation deployment actually runs.
+    "hybrid_search_rrf",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

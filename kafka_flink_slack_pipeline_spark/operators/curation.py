@@ -1505,6 +1505,142 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
+# HYBRID retrieval fusion (reciprocal-rank fusion, Cormack et al. 2009):
+# the production shape for RAG / curation retrieval is BM25 ∪ dense
+# ANN with the two rankings FUSED, and RRF is the standard fusion —
+# score(d) = sum over systems of 1 / (k + rank_sys(d)), k = 60. It
+# needs no score calibration across systems (ranks only), which is why
+# it beats score interpolation in practice and why it is exactly
+# SQL-expressible: a rank full-outer join + a bounded per-query top-k
+# window, no new shuffle shapes.
+#
+# The shared query workload is the BM25 seed rule (every _BM25_EVERY-th
+# doc, hard-capped at _BM25_MAX_QUERIES): documents and embeddings are
+# 1:1 by id in this corpus (vec_id == doc_id), so query q's lexical
+# side searches the seed doc's terms and its dense side searches the
+# seed doc's embedding — the same information need through two
+# retrievers, the textbook hybrid setup.
+#
+# Exactness: ranks are integers; 1.0/(60+rank) is one correctly-rounded
+# IEEE division on both engines; the fused score sums at most two such
+# terms in a fixed coalesce order and rounds to 9; the final rank
+# orders by (rrf_score DESC, doc_id) — total order, no float ties
+# across engines.
+#
+# 100 TB shape: both parents keep their pruned plans — the lexical side
+# is the broadcast-query-term postings semi-filter, the dense side is a
+# broadcast of <= 64 query vectors over one streaming candidate scan
+# (swap in the IVF list-pruned variant beyond memory-bandwidth scale) —
+# and the fusion itself joins two <= |Q| x topk ranked sets: bounded,
+# broadcastable, trivial at any corpus size.
+_RRF_K = 60
+_RRF_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine
+
+    lex = bm25_keyword_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.filter(
+        (F.col("vec_id") % _BM25_EVERY == 0)
+        & (F.col("vec_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    scored = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ne"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
+        .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("doc_id")
+    )
+    dense = (
+        scored.withColumn("dense_rank", F.row_number().over(wd))
+        .filter(F.col("dense_rank") <= _RRF_TOPK)
+        .select("query_id", "doc_id", "dense_rank")
+    )
+    return rrf_fuse(lex, dense)
+
+
+def rrf_fuse(lex: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF over two (query_id, doc_id, {lex,dense}_rank) rank frames —
+    the fusion step alone, unit-testable on planted overlapping ranks
+    (a doc in BOTH lists must score the two-term sum)."""
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+        ),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RRF_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "rrf_score",
+            F.col("lex_rank").isNotNull().cast("int").alias("in_lex"),
+            F.col("dense_rank").isNotNull().cast("int").alias("in_dense"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+HYBRID_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank
+  FROM ({BM25_SEARCH_ORACLE}) bm
+),
+dense AS (
+  SELECT query_id, doc_id, dense_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+           ) AS dense_rank
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings
+          WHERE vec_id % {_BM25_EVERY} = 0
+            AND vec_id < {_BM25_EVERY * _BM25_MAX_QUERIES}) q
+    CROSS JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings) c
+    WHERE q.vec_id <> c.vec_id
+  ) WHERE dense_rank <= {_RRF_TOPK}
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0::DOUBLE / ({_RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0::DOUBLE / ({_RRF_K} + d.dense_rank), 0.0),
+               9) AS rrf_score,
+         (l.lex_rank IS NOT NULL)::INT AS in_lex,
+         (d.dense_rank IS NOT NULL)::INT AS in_dense
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {_RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) assignment: split each 64-dim embedding into
 # M=8 subvectors of 8 dims; encode each subvector as the id of its
 # nearest codebook centroid (K=16 per subspace) — the IVF-PQ storage
@@ -2419,6 +2555,11 @@ QUERIES = [
               "(oracle: the 3 iterations unrolled as CTE stages)"),
     QuerySpec("embedding_pq_assign", embedding_pq_assign, EMBED_PQ_ORACLE,
               "product-quantization codes + decimal-exact error (8x16)"),
+    QuerySpec("hybrid_search_rrf", hybrid_search_rrf, HYBRID_RRF_ORACLE,
+              "hybrid retrieval fusion: reciprocal-rank fusion (k=60) "
+              "of the BM25 lexical top-k and the dense cosine top-k "
+              "over the shared bounded query workload — rank "
+              "full-outer join + bounded per-query top-k window"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
               "BM25 top-k keyword retrieval (rational log-free idf)"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,

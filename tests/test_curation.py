@@ -539,3 +539,45 @@ def test_curation_funnel_counts_null_source_docs(spark, sf_dir, tmp_path):
     assert [
         (r["stage_ord"], r["stage"], r["n_docs"], r["n_tokens"]) for r in got
     ] == [tuple(w) for w in want]
+
+
+def test_rrf_fusion_both_lists_and_ordering(spark):
+    """RRF arithmetic pinned on planted overlapping ranks: a doc in
+    BOTH lists scores 1/(60+r_lex) + 1/(60+r_dense) and outranks every
+    single-list doc of comparable ranks; single-list docs carry the
+    other system's zero; ties break by doc_id."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _RRF_K,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, lex_rank int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, doc_id bigint, dense_rank int",
+    )
+    rows = rrf_fuse(lex, dense).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {10, 11, 12, 13}
+
+    # doc 11 is in both lists: two-term sum, flags both set, rank 1
+    both = by_doc[11]
+    assert (both.in_lex, both.in_dense) == (1, 1)
+    assert both.rrf_score == round(
+        1.0 / (_RRF_K + 2) + 1.0 / (_RRF_K + 1), 9
+    )
+    assert both.rank == 1
+    # single-list docs: one term only
+    assert by_doc[10].rrf_score == round(1.0 / (_RRF_K + 1), 9)
+    assert (by_doc[10].in_lex, by_doc[10].in_dense) == (1, 0)
+    assert by_doc[13].rrf_score == round(1.0 / (_RRF_K + 2), 9)
+    # equal scores (lex rank 1 vs dense rank 1 alone would tie) break
+    # by doc_id: doc 10 (lex r1) vs doc 13 (dense r2) differ, but doc
+    # 10 vs a dense-r1-only doc would tie — pin the ordering we do
+    # have: 11 > 10 > 13 > 12
+    assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [
+        11, 10, 13, 12,
+    ]

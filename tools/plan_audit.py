@@ -79,6 +79,11 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     "doc_unigram_surprisal": (1, "1-row corpus total broadcast"),
     # broadcast of the 1-row (n, avgdl) stats aggregate (constant attach)
     "bm25_keyword_search": (1, "1-row corpus stats broadcast"),
+    # composes both parents' bounded broadcasts: the <=64-row dense
+    # query side (the cosine_topk_bruteforce shape) + bm25's 1-row
+    # stats attach
+    "hybrid_search_rrf": (2, "bounded query-side + 1-row stats "
+                             "broadcasts (both parents')"),
     # broadcast of 1-row count aggregates composed into the report row
     "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
     "dedup_method_report": (8, "2 x 1-row count-aggregate crossJoins per "
@@ -160,6 +165,8 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "cosine_topk_ivfpq": (3, "cand + probes + per-vector PQ codes"),
     "tfidf_top_terms": (3, "term agg + per-lang doc-count branch"),
     "bm25_keyword_search": (4, "postings + bounded query seeds + stats"),
+    "hybrid_search_rrf": (4, "composes bm25's postings + seeds + stats "
+                             "documents branches unchanged"),
     "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
     "dedup_incremental": (2, "disjoint shard/corpus slices of one scan"),
     "events_sliding_counts": (3, "per-window-offset union branches"),
