@@ -231,6 +231,8 @@ def _compact_batch_store(
     import shutil
 
     _assert_local_dir(store_dir, what)
+    if not os.path.isdir(store_dir):
+        return 0  # nothing landed yet — nothing to fold
     _assert_no_compact_leftover(store_dir)
     ids = [
         int(e.split("=", 1)[1])

@@ -78,10 +78,20 @@ PROBE_QUERIES = [
     # r7 addition: the insertion-robust CDC twin (content-defined chunk
     # boundaries + the shared df-capped Jaccard kernel).
     "media_neardup_cdc",
+    # r9 addition: the perceptual member (Arrow thumbnail kernel ->
+    # 64-bit aHash -> capped 4x16 banded hamming join). Only 1/3 of
+    # docs are image-typed and fingerprints are 64-bit, so band
+    # occupancy stays tiny at the probe mults; the kernel cost is the
+    # linear mapInPandas pass.
+    "media_neardup_phash",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
     "bm25_keyword_search",
+    # r9 addition: the RRF fusion — both parents' pruned plans plus a
+    # bounded rank join; its exponent should track bm25's (the dense
+    # side broadcasts <= 64 queries over one linear candidate scan).
+    "hybrid_search_rrf",
     "sequence_pack",
     # r8 addition (r7 verdict item 7): the filter+pack composition with a
     # derived shard count — the one heavy headliner that had no probe
