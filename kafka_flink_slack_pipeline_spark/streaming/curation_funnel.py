@@ -442,7 +442,7 @@ def curation_funnel_stream(
     bench_sizes: DataFrame,
     ttl: str = "24 hours",
     max_files_per_trigger: int = 1000,
-    compact_every: int | None = None,
+    compact_every: int | None = 64,
 ):
     """Run the composed funnel over all available drops (availableNow)
     and block until done; returns the finished StreamingQuery. Re-invoke
@@ -455,8 +455,12 @@ def curation_funnel_stream(
     commits-log guard inside compact_sig_store enforces it), so a
     long-running deployment's store directory count stays bounded at
     ~N + 1 batch dirs without an operator remembering the manual tool.
-    Replay-safe: a replayed batch re-runs the compaction call, which is
-    a no-op once only one directory remains below its horizon."""
+    ON BY DEFAULT (64 — store partition discovery is the pruned path's
+    one residual growth term, SCALE_PROBE_FUNNEL.json, and an opt-in
+    knob would just recreate the remember-to-run-it problem); pass
+    None to disable and manage compaction externally. Replay-safe: a
+    replayed batch re-runs the compaction call, which is a no-op once
+    only one directory remains below its horizon."""
     raw = (
         spark.readStream.schema(DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

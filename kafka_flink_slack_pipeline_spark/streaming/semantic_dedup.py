@@ -123,7 +123,7 @@ def semantic_dedup_stream(
     model: list[tuple[int, list[float]]],
     threshold: float = NEARDUP_THRESHOLD,
     max_files_per_trigger: int = 1000,
-    compact_every: int | None = None,
+    compact_every: int | None = 64,
 ):
     """Run the stream over all available drops (availableNow) and block
     until done; returns the finished StreamingQuery. Re-invoke with the
@@ -135,8 +135,10 @@ def semantic_dedup_stream(
     upto=k — everything below k is committed by then, enforced from the
     commits/ log), the curation funnel's auto-compaction policy: a
     long-running deployment's store stays at ~N + 1 batch directories
-    without anyone remembering the manual tool. Replay-safe — a
-    replayed batch's repeat call is a no-op once one directory remains."""
+    without anyone remembering the manual tool. ON BY DEFAULT (64;
+    pass None to disable and manage compaction externally). Replay-safe
+    — a replayed batch's repeat call is a no-op once one directory
+    remains."""
     store_dir = f"{state_dir}/vectors"
     verdicts_dir = f"{state_dir}/verdicts"
 
