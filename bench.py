@@ -83,6 +83,13 @@ HEADLINE = [
     # trio (Arrow thumbnail kernel -> 64-bit aHash -> capped banded
     # hamming join) — the re-encode class both byte-level ops miss.
     "media_neardup_phash",
+    # r9 (second half): the video/audio contour near-dups — one shared
+    # Arrow energy-contour kernel, per-frame banded matching + coverage
+    # agg (video) and the phash pair plan (audio). The fingerprint
+    # certificate queries are NOT benched: their kernel pass is timed
+    # inside these two (the media_cdc_chunk_stats precedent).
+    "media_neardup_video",
+    "media_neardup_audio",
     "email_clean_chain",
     "email_chunk_blocks",
     # r2 addition: vocabulary building (two reused shuffles + window top-k).
@@ -140,6 +147,9 @@ HEADLINE = [
     # literal frame would measure nothing.
     "dsir_importance_weights",
     "doc_bigram_lm_score",
+    # r9 addition: the distilled NB quality classifier (silver-label
+    # pass + vocab-scale model groupBy + postings-shaped scoring join).
+    "quality_classifier_distill",
     "embedding_random_projection",
     # r4 additions: BPE encode pass (merge learning runs at frame-build;
     # the timed pass is the corpus scan + vocab-scale literal-replace

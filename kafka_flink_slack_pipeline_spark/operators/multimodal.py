@@ -958,17 +958,29 @@ def phash_fps_of(images: DataFrame) -> DataFrame:
     )
 
 
-def phash_pairs_of(images: DataFrame) -> DataFrame:
-    """Banded hamming<=3 pairs over the perceptual fingerprints — the
-    capped single-pass band-bucket plan (dedup.py's shape, third
-    consumer)."""
-    fps = phash_fps_of(images)
+def _banded_fp_candidates(
+    fps: DataFrame, carry: tuple[str, ...], cap: int = PHASH_BUCKET_CAP
+) -> DataFrame:
+    """Shared pigeonhole-banded candidate generator over 64-bit
+    fingerprints split as two nonnegative 32-bit halves (fp_hi, fp_lo).
+
+    Input: (carry..., fp_hi, fp_lo) — one row per fingerprinted unit
+    (an image, an audio track, one video frame). Output: (a, b,
+    hamming) where a/b are structs of the input columns, from the
+    capped single-pass band-bucket plan (dedup.py's simhash shape).
+
+    Pigeonhole proof (shared by every consumer): any pair at hamming
+    <= PHASH_MAX_HAMMING (3) differs in at most 3 of the 4 disjoint
+    16-bit bands, so at least one band matches exactly and the banded
+    equi-join ∪ hamming filter equals the brute-force scan (minus
+    over-cap buckets, mirrored in each oracle). Callers filter on ids
+    (a.doc_id < b.doc_id, or != for cross-doc frame matching), apply
+    the hamming threshold, and aggregate."""
     mask = (1 << PHASH_BAND_BITS) - 1
     halves = [F.col("fp_lo"), F.col("fp_hi")]
+    cols = [*carry, "fp_hi", "fp_lo"]
     bands = fps.select(
-        "doc_id",
-        "fp_hi",
-        "fp_lo",
+        *cols,
         F.explode(
             F.array(
                 *[
@@ -984,13 +996,11 @@ def phash_pairs_of(images: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "fp_hi", "fp_lo", "bk.band", "bk.bval")
+    ).select(*cols, "bk.band", "bk.bval")
     buckets = (
         bands.groupBy("band", "bval")
-        .agg(
-            F.collect_list(F.struct("doc_id", "fp_hi", "fp_lo")).alias("ms")
-        )
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= PHASH_BUCKET_CAP))
+        .agg(F.collect_list(F.struct(*cols)).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= cap))
     )
     hamming = (
         F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
@@ -999,11 +1009,21 @@ def phash_pairs_of(images: DataFrame) -> DataFrame:
     return (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a", "b", hamming.alias("hamming"))
+    )
+
+
+def phash_pairs_of(images: DataFrame) -> DataFrame:
+    """Banded hamming<=3 pairs over the perceptual fingerprints — the
+    capped single-pass band-bucket plan (dedup.py's shape, third
+    consumer; kernel shared with the video/audio contour ops below)."""
+    cands = _banded_fp_candidates(phash_fps_of(images), ("doc_id",))
+    return (
+        cands.filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            "hamming",
         )
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .distinct()
@@ -1088,6 +1108,377 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# PERCEPTUAL near-dup for the remaining two modalities — VIDEO and
+# AUDIO — via ONE shared kernel: the sign-of-adjacent-segment-energy
+# contour fingerprint (the bit rule of Haitsma & Kalker 2002, "A Highly
+# Robust Audio Fingerprinting System", duration-normalized). A unit of
+# media (one video frame / one audio track) is split into 65 equal
+# contiguous byte segments (seg = pos * 65 // len, the video-cell rule);
+# each segment reports its integer ENERGY E_s = sum(byte^2); bit_s =
+# E_{s+1} > E_s for s in 0..63 packs into the same two nonnegative
+# 32-bit BIGINT halves the image pHash uses, and pairs come from the
+# same capped pigeonhole-banded hamming<=3 join (_banded_fp_candidates).
+#
+# Why ENERGY gradients and not the image op's mean-vs-global bits:
+# measured on this corpus, a quantize-to-even re-encode flips up to 5
+# of 64 mean-rule bits (floor-means of homogeneous byte runs tie, and
+# ties break on the +-1 noise) but at most 3 energy-gradient bits
+# (energies are large distinct integers; adjacent-segment deltas dwarf
+# the bounded perturbation) — max flips 3 and cross-doc hamming >= 7 at
+# BOTH sf0.01 and sf0.1, so hamming<=3 separates the re-encode class
+# from distinct content with zero measured false positives. Same-length
+# payloads produce identical segment splits, so the unequal segment
+# sizes the floor split creates bias both sides of a comparison
+# identically.
+#
+# VIDEO adds the temporal dimension the image op lacks: frames (the
+# fake codec's 1 frame / 1000 bytes, video_frame_sample's rule) are
+# fingerprinted independently and two videos pair on frame-set
+# COVERAGE — matched_x / n_frames_x with the pair kept when EITHER
+# side's coverage reaches VIDEO_MIN_COVERAGE, so a re-encode (all
+# frames match, both coverages 1.0) and a CLIP (the short side's
+# coverage 1.0) are both caught, the two duplicate classes frame-level
+# CBVR dedup exists for. Frames shorter than 65 bytes cannot fill 64
+# real bits and are excluded (only a video's LAST frame can be short,
+# so fingerprinted frames are a prefix and n_frames counts them);
+# whole-payload units (audio) carry the same >= 65-byte gate.
+#
+# Exactness: E_s <= 255^2 * 1000 < 2^27 — integer-exact in both
+# engines (the kernel's float64 bincount accumulates integers < 2^53);
+# coverage = round(matched / n_frames, 6) is one correctly-rounded IEEE
+# division per side. The sf0.01/sf0.1 corpora are all-distinct, so the
+# PAIRS ops return empty frames there (planted tests pin the catch /
+# miss split); the FINGERPRINT tables are the in-window driver
+# certificates — they hash-check every kernel value, and the pair plan
+# downstream of them is the same _banded_fp_candidates machinery the
+# in-window image op certifies.
+#
+# 100 TB shape: one Arrow map (1 row out per frame, 1 per track),
+# banded equi-join with the production bucket cap, coverage agg on
+# (doc_a, doc_b) — no all-pairs stage anywhere.
+CONTOUR_SEGMENTS = 65  # -> 64 sign-of-delta bits
+VIDEO_MIN_COVERAGE = 0.8
+
+
+def contour_fps_of(
+    media: DataFrame, frame_bytes: int | None
+) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, frame_idx, n_frames, fp_hi, fp_lo):
+    per-frame 64-bit energy-contour fingerprints (frame_bytes=None
+    treats the whole payload as one frame — the audio face)."""
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [],
+                   "fp_hi": [], "fp_lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                nb = arr.shape[0]
+                if nb == 0:
+                    continue
+                fb = frame_bytes or nb
+                nf_all = -(-nb // fb)  # ceil
+                idx = np.arange(nb)
+                fr, pos = idx // fb, idx % fb
+                flen = np.full(nb, fb, dtype=np.int64)
+                flen[fr == nf_all - 1] = nb - fb * (nf_all - 1)
+                keep = flen >= CONTOUR_SEGMENTS
+                if not keep.any():
+                    continue
+                arr64 = arr[keep].astype(np.int64)
+                fr, pos, flen = fr[keep], pos[keep], flen[keep]
+                # only the LAST frame can be short: kept frames are a
+                # contiguous prefix 0..nf-1
+                nf = int(fr.max()) + 1
+                seg = fr * CONTOUR_SEGMENTS + pos * CONTOUR_SEGMENTS // flen
+                e = np.bincount(
+                    seg,
+                    weights=(arr64 * arr64).astype(np.float64),
+                    minlength=nf * CONTOUR_SEGMENTS,
+                ).astype(np.int64).reshape(nf, CONTOUR_SEGMENTS)
+                bits = e[:, 1:] > e[:, :-1]
+                pw = (1 << np.arange(32)).astype(np.int64)
+                lo = (bits[:, :32] * pw).sum(axis=1)
+                hi = (bits[:, 32:] * pw).sum(axis=1)
+                for f in range(nf):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(nf)
+                    out["fp_hi"].append(int(hi[f]))
+                    out["fp_lo"].append(int(lo[f]))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fps,
+        "doc_id bigint, frame_idx bigint, n_frames bigint, "
+        "fp_hi bigint, fp_lo bigint",
+    )
+
+
+def media_video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video contour fingerprints — the driver certificate of
+    the shared kernel (every frame's 64 bits hash-checked)."""
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    ).filter(
+        F.col("mimetype").startswith("video/")  # F7 mimetype gate
+        & (F.octet_length("payload") > 0)
+    )
+    return contour_fps_of(mm, FRAME_BYTES).orderBy("doc_id", "frame_idx")
+
+
+def video_neardup_pairs_of(videos: DataFrame) -> DataFrame:
+    """Frame-coverage near-dup pairs over (doc_id, payload) videos:
+    re-encodes (both coverages 1.0) and clips (the short side's
+    coverage 1.0) both clear VIDEO_MIN_COVERAGE."""
+    frames = contour_fps_of(videos, FRAME_BYTES)
+    cands = _banded_fp_candidates(
+        frames, ("doc_id", "frame_idx", "n_frames")
+    )
+    matched = (
+        cands.filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_frames").alias("n_frames_a"),
+            F.col("b.n_frames").alias("n_frames_b"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.frame_idx").alias("fb"),
+        )
+        .distinct()
+    )
+    cov_a = F.round(F.col("matched_a") / F.col("n_frames_a"), 6)
+    cov_b = F.round(F.col("matched_b") / F.col("n_frames_b"), 6)
+    return (
+        matched.groupBy("doc_a", "doc_b", "n_frames_a", "n_frames_b")
+        .agg(
+            F.countDistinct("fa").alias("matched_a"),
+            F.countDistinct("fb").alias("matched_b"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_frames_a", "n_frames_b",
+            "matched_a", "matched_b",
+            cov_a.alias("cov_a"), cov_b.alias("cov_b"),
+        )
+        .filter(
+            F.greatest(F.col("cov_a"), F.col("cov_b"))
+            >= F.lit(VIDEO_MIN_COVERAGE)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def media_neardup_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    ).filter(
+        F.col("mimetype").startswith("video/")
+        & (F.octet_length("payload") > 0)
+    )
+    return video_neardup_pairs_of(mm)
+
+
+def media_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-track audio contour fingerprints (duration-normalized
+    65-segment energy contour) — the audio kernel's driver certificate."""
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    ).filter(
+        F.col("mimetype").startswith("audio/")
+        & (F.octet_length("payload") >= CONTOUR_SEGMENTS)
+    )
+    return contour_fps_of(mm, None).select(
+        "doc_id", "fp_hi", "fp_lo"
+    ).orderBy("doc_id")
+
+
+def audio_neardup_pairs_of(audios: DataFrame) -> DataFrame:
+    """Banded hamming<=3 pairs over whole-track contour fingerprints —
+    the phash pair shape, audio modality."""
+    fps = contour_fps_of(audios, None).select("doc_id", "fp_hi", "fp_lo")
+    cands = _banded_fp_candidates(fps, ("doc_id",))
+    return (
+        cands.filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def media_neardup_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = _spread_small_scan(
+        spark, multimodal_view(spark, sf_dir), sf_dir
+    ).filter(
+        F.col("mimetype").startswith("audio/")
+        & (F.octet_length("payload") >= CONTOUR_SEGMENTS)
+    )
+    return audio_neardup_pairs_of(mm)
+
+
+def _contour_cte(mime_mod: int, framed: bool) -> str:
+    """Shared oracle CTEs computing (doc_id, frame_idx, n_frames,
+    fp_hi, fp_lo) for the given round-robin mimetype slot."""
+    s = CONTOUR_SEGMENTS
+    if framed:
+        fb = FRAME_BYTES
+        frame_expr = f"p // {fb}"
+        flen_expr = (
+            f"CASE WHEN p // {fb} = (nb + {fb - 1}) // {fb} - 1 "
+            f"THEN nb - {fb} * ((nb + {fb - 1}) // {fb} - 1) "
+            f"ELSE {fb} END"
+        )
+        gate = "octet_length(encode(text)) > 0"
+    else:
+        frame_expr = "0"
+        flen_expr = "nb"
+        gate = f"octet_length(encode(text)) >= {s}"
+    return f"""
+bytes AS (
+  SELECT doc_id, nb, ('0x' || substr(h, 2*i - 1, 2))::BIGINT AS code,
+         (i - 1) AS p
+  FROM (
+    SELECT doc_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS nb
+    FROM documents
+    WHERE doc_id % 3 = {mime_mod} AND {gate}
+  ), unnest(range(1, nb + 1)) t(i)
+),
+framed AS (
+  SELECT doc_id, ({frame_expr}) AS frame_idx, ({flen_expr}) AS flen,
+         p - ({frame_expr}) * {FRAME_BYTES if framed else 0} AS fp, code
+  FROM bytes
+),
+kept AS (SELECT * FROM framed WHERE flen >= {s}),
+nfr AS (
+  SELECT doc_id, count(DISTINCT frame_idx)::BIGINT AS n_frames
+  FROM kept GROUP BY doc_id
+),
+segs AS (
+  SELECT doc_id, frame_idx, (fp * {s} // flen) AS seg,
+         sum(code * code)::BIGINT AS e
+  FROM kept GROUP BY doc_id, frame_idx, seg
+),
+cbits AS (
+  SELECT doc_id, frame_idx, seg,
+         (lead(e) OVER (PARTITION BY doc_id, frame_idx ORDER BY seg) > e)
+           AS bit
+  FROM segs
+),
+fps AS (
+  SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+         sum(CASE WHEN seg >= 32 AND bit
+                  THEN (1::BIGINT << (seg - 32)::INT) ELSE 0 END)::BIGINT
+           AS fp_hi,
+         sum(CASE WHEN seg < 32 AND bit
+                  THEN (1::BIGINT << seg::INT) ELSE 0 END)::BIGINT AS fp_lo
+  FROM cbits WHERE seg < {s - 1} GROUP BY doc_id, frame_idx
+)"""
+
+
+def _contour_band_ctes() -> str:
+    mask = (1 << PHASH_BAND_BITS) - 1
+    band_vals = ", ".join(
+        [
+            f"fp_lo & {mask}",
+            f"(fp_lo >> {PHASH_BAND_BITS}) & {mask}",
+            f"fp_hi & {mask}",
+            f"(fp_hi >> {PHASH_BAND_BITS}) & {mask}",
+        ]
+    )
+    return f"""
+bands AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bval) AS bsize
+  FROM (
+    SELECT f.*, unnest(range({PHASH_BANDS}))::INT AS band,
+           unnest([{band_vals}]) AS bval
+    FROM withn f)
+),
+capped AS (
+  SELECT * FROM bands WHERE bsize BETWEEN 2 AND {PHASH_BUCKET_CAP}
+)"""
+
+
+def _video_fps_oracle() -> str:
+    return (
+        "WITH " + _contour_cte(2, framed=True) + """
+SELECT f.doc_id, f.frame_idx, n.n_frames, f.fp_hi, f.fp_lo
+FROM fps f JOIN nfr n USING (doc_id)
+ORDER BY doc_id, frame_idx
+"""
+    )
+
+
+def _video_pairs_oracle() -> str:
+    return (
+        "WITH "
+        + _contour_cte(2, framed=True)
+        + ",\nwithn AS (SELECT f.*, n.n_frames FROM fps f "
+        + "JOIN nfr n USING (doc_id)),"
+        + _contour_band_ctes()
+        + f""",
+matched AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_frames AS n_frames_a, b.n_frames AS n_frames_b,
+         a.frame_idx AS fa, b.frame_idx AS fb
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+        + bit_count(xor(a.fp_hi, b.fp_hi)) <= {PHASH_MAX_HAMMING}
+),
+agg AS (
+  SELECT doc_a, doc_b, n_frames_a, n_frames_b,
+         count(DISTINCT fa)::BIGINT AS matched_a,
+         count(DISTINCT fb)::BIGINT AS matched_b
+  FROM matched GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_frames_a, n_frames_b, matched_a, matched_b,
+       round(matched_a::DOUBLE / n_frames_a, 6) AS cov_a,
+       round(matched_b::DOUBLE / n_frames_b, 6) AS cov_b
+FROM agg
+WHERE greatest(round(matched_a::DOUBLE / n_frames_a, 6),
+               round(matched_b::DOUBLE / n_frames_b, 6))
+      >= {VIDEO_MIN_COVERAGE}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
+def _audio_fps_oracle() -> str:
+    return (
+        "WITH " + _contour_cte(1, framed=False) + """
+SELECT doc_id, fp_hi, fp_lo FROM fps ORDER BY doc_id
+"""
+    )
+
+
+def _audio_pairs_oracle() -> str:
+    return (
+        "WITH "
+        + _contour_cte(1, framed=False)
+        + ",\nwithn AS (SELECT doc_id, fp_hi, fp_lo FROM fps),"
+        + _contour_band_ctes()
+        + f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (bit_count(xor(a.fp_lo, b.fp_lo))
+        + bit_count(xor(a.fp_hi, b.fp_hi)))::BIGINT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_lo, b.fp_lo))
+      + bit_count(xor(a.fp_hi, b.fp_hi)) <= {PHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+    )
+
+
 QUERIES = [
     QuerySpec("multimodal_byte_stats", multimodal_byte_stats,
               MULTIMODAL_BYTE_STATS_ORACLE,
@@ -1126,4 +1517,29 @@ QUERIES = [
               "block-mean thumbnail kernel + capped pigeonhole-banded "
               "hamming<=3 join — catches the re-encode duplicate class "
               "both byte-level media ops miss by design (planted test)"),
+    QuerySpec("media_video_fingerprints", media_video_fingerprints,
+              _video_fps_oracle(),
+              "per-frame 64-bit energy-contour fingerprints (Haitsma-"
+              "Kalker sign-of-delta bits over 65 equal segments) — the "
+              "in-window driver certificate of the video/audio contour "
+              "kernel: every frame's bits hash-checked"),
+    QuerySpec("media_audio_fingerprints", media_audio_fingerprints,
+              _audio_fps_oracle(),
+              "whole-track duration-normalized energy-contour "
+              "fingerprints — the audio face of the shared kernel, "
+              "hash-checked per track"),
+    QuerySpec("media_neardup_video", media_neardup_video,
+              _video_pairs_oracle(),
+              "PERCEPTUAL video near-dup: per-frame contour fps + "
+              "banded hamming<=3 frame matching + frame-set COVERAGE "
+              "(either side >= 0.8) — catches re-encodes AND clips "
+              "(planted tests); empty on the all-distinct test corpora, "
+              "so registered tail with the fingerprint certificate "
+              "in-window"),
+    QuerySpec("media_neardup_audio", media_neardup_audio,
+              _audio_pairs_oracle(),
+              "PERCEPTUAL audio near-dup: whole-track contour fps + "
+              "the image op's banded hamming<=3 pair plan — empty on "
+              "the all-distinct test corpora, registered tail with the "
+              "fingerprint certificate in-window"),
 ]

@@ -268,8 +268,10 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GOPHER_QUALITY_ORACLE = """
-WITH metrics AS (
+# The metrics+flags CTE pair is shared verbatim with the distilled
+# classifier's silver-label stage below (the funnel-composes-the-decon-
+# oracle precedent: a rule change breaks both hashes together).
+_GOPHER_CTES = """metrics AS (
   SELECT doc_id,
          len(toks) AS n_words,
          round(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 4)
@@ -308,12 +310,129 @@ flagged AS (
          (alpha_word_frac >= 0.8)::INT                     AS r_alpha_words,
          (n_stop_hits >= 2)::INT                           AS r_stop_words
   FROM metrics
-)
+)"""
+
+GOPHER_QUALITY_ORACLE = f"""
+WITH {_GOPHER_CTES}
 SELECT *,
        r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
        * r_ellipsis_lines * r_alpha_words * r_stop_words AS keep
 FROM flagged
 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Distilled quality classifier — the TRAINED member completing the
+# quality-scoring trio (heuristic rule batteries: gopher/c4_quality_
+# flags; LM perplexity: doc_bigram_lm_score/ccnet_perplexity_buckets;
+# discriminative classifier: this). The standard production move
+# (GPT-3's quality classifier, Brown et al. 2020 Appendix A; the
+# fastText classifiers of Joulin et al. 2016 as used by CCNet-family
+# pipelines) is to DISTILL an expensive or rule-based quality signal
+# into a cheap token-level classifier and score the whole corpus with
+# it. Silver labels here are the corpus' own Gopher keep flags
+# (with_gopher_flags — the composition is the point: the classifier
+# learns to imitate the rule battery from token evidence alone);
+# the model is Bernoulli Naive Bayes over per-doc DISTINCT tokens with
+# Laplace smoothing.
+#
+# Numeric policy (the doc_bigram_lm_score precedent): the NB log-odds
+# sum is replaced by the ln-free rational surrogate — each token's
+# smoothed likelihood ratio w_t = ((ck+1)(nd+2)) / ((cd+1)(nk+2)) is
+# ONE correctly-rounded IEEE division of two exact integers, and the
+# per-doc score is the MEAN of w_t over the doc's distinct tokens
+# (DECIMAL(25,10)-accumulated, round 6) — monotone in the same
+# direction as the NB posterior, engine-exact. pred_keep = score > 1
+# (mean likelihood ratio favors the keep class) is a diagnostic
+# threshold; downstream selection would sweep it.
+#
+# Scale notes (100 TB): the model is vocab-bounded (token -> two
+# counts), built by one groupBy over the exploded corpus; scoring is
+# one equi-join of the same exploded frame against it (postings shape,
+# bm25's discipline) + a broadcast 1-row class-totals attach. Corpus
+# scanned 3x (model pass, scoring pass, class totals — the
+# doc_unigram_surprisal budget); silver_keep rides the exploded frame
+# so no fourth label join-back.
+def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    labeled = with_gopher_flags(d).select(
+        "doc_id",
+        F.col("gopher_keep").alias("silver_keep"),
+        F.array_distinct(tokens_col()).alias("terms"),
+    )
+    toks = labeled.select(
+        "doc_id", "silver_keep", F.explode("terms").alias("term")
+    )
+    classes = labeled.agg(
+        F.sum("silver_keep").cast("long").alias("nk"),
+        (F.count(F.lit(1)) - F.sum("silver_keep")).cast("long").alias("nd"),
+    )
+    model = toks.groupBy("term").agg(
+        F.sum("silver_keep").cast("long").alias("ck"),
+        (F.count(F.lit(1)) - F.sum("silver_keep")).cast("long").alias("cd"),
+    )
+    w = (
+        ((F.col("ck") + 1) * (F.col("nd") + 2))
+        / ((F.col("cd") + 1) * (F.col("nk") + 2))
+    ).cast("double")
+    return (
+        toks.join(model, "term")  # every corpus term is in the model
+        .crossJoin(F.broadcast(classes))
+        .select("doc_id", "silver_keep", w.alias("w"))
+        .groupBy("doc_id", "silver_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nb_score"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "nb_score",
+            "silver_keep",
+            (F.col("nb_score") > 1.0).cast("int").alias("pred_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH {_GOPHER_CTES},
+labels AS (
+  SELECT doc_id,
+         r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
+         * r_ellipsis_lines * r_alpha_words * r_stop_words AS keep
+  FROM flagged
+),
+classes AS (
+  SELECT sum(keep)::BIGINT AS nk, (count(*) - sum(keep))::BIGINT AS nd
+  FROM labels
+),
+toks AS (
+  SELECT d.doc_id, l.keep,
+         unnest(list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))
+           AS term
+  FROM documents d JOIN labels l USING (doc_id)
+),
+model AS (
+  SELECT term, sum(keep)::BIGINT AS ck, (count(*) - sum(keep))::BIGINT AS cd
+  FROM toks GROUP BY term
+),
+scored AS (
+  SELECT t.doc_id, t.keep AS silver_keep, count(*)::BIGINT AS n_terms,
+         round(sum(((((ck + 1) * (nd + 2))::DOUBLE
+                     / ((cd + 1) * (nk + 2))))::DECIMAL(25,10))::DOUBLE
+               / count(*), 6) AS nb_score
+  FROM toks t JOIN model USING (term), classes
+  GROUP BY t.doc_id, t.keep
+)
+SELECT doc_id, n_terms, nb_score, silver_keep,
+       (nb_score > 1.0)::INT AS pred_keep
+FROM scored ORDER BY doc_id
 """
 
 
@@ -1670,6 +1789,12 @@ QUERIES = [
     QuerySpec("c4_quality_flags", c4_quality_flags, C4_QUALITY_ORACLE,
               "the C4 (Raffel et al. 2020 §2.2) heuristic battery: "
               "kept-line fraction + sentence/lorem/brace doc gates"),
+    QuerySpec("quality_classifier_distill", quality_classifier_distill,
+              QUALITY_CLASSIFIER_ORACLE,
+              "distilled quality classifier (the GPT-3/fastText "
+              "production move): Bernoulli NB over distinct tokens, "
+              "Gopher keep flags as silver labels, ln-free rational "
+              "likelihood-ratio scoring"),
     QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub,
               BOILERPLATE_SCRUB_ORACLE,
               "RefinedWeb line-wise correction: corpus-frequent "

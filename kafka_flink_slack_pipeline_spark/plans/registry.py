@@ -528,6 +528,41 @@ _DEMOTED = (
     # verify_local-covered. This keeps user_history_window (the W1
     # reference-parity row) in-window, where it has been every round.
     "dedup_method_report",
+    # r9: two slots for the contour-fingerprint certificates
+    # (media_video_fingerprints + media_audio_fingerprints, new-code
+    # rule — the shared video/audio energy-contour kernel's every bit
+    # hash-checked in-window). interdoc_dup_doc_report and
+    # interdoc_scrub_apply rotate out: both r8-green, bodies untouched
+    # this round, both are COMPOSITIONS over interdoc_dup_runs_exact's
+    # pair-run kernel, which keeps its own in-window hash-checked row
+    # (the dedup_method_report evaluation-composition precedent); their
+    # interval-union / splice oracles stay verify_local-covered and the
+    # scrubber's end-state is pinned by its own residual-overlap test.
+    "interdoc_dup_doc_report",
+    "interdoc_scrub_apply",
+    # r9, demoted ON ARRIVAL: the contour PAIRS ops. The sf0.01/sf0.1
+    # corpora are all-distinct (measured: min cross-doc contour hamming
+    # 7 for video frames, 11 for audio tracks), so both pair queries
+    # return EMPTY frames there — an empty driver hash certifies little,
+    # while the fingerprint tables above hash-check every kernel bit
+    # in-window and the pair plan downstream of the fingerprints is the
+    # same _banded_fp_candidates machinery media_neardup_phash certifies
+    # in-window on non-empty output. The catch/miss splits (re-encode
+    # caught, clip caught, byte-level ops miss) are pinned by planted
+    # tests; both oracles stay verify_local-covered each round.
+    "media_neardup_video",
+    "media_neardup_audio",
+    # r9: one slot for quality_classifier_distill (new-code rule: the
+    # trained member completing the quality trio — rule batteries, LM
+    # perplexity, discriminative classifier). doc_bigram_lm_score
+    # rotates out: r4-green, body untouched since, and — decisive — its
+    # exact numeric discipline (broadcast model joins + one-IEEE-op
+    # rational surrogates + DECIMAL(25,10)-accumulated per-doc means,
+    # round 6) is precisely what the classifier executes in-window on
+    # the same tokenizer; the bigram table's own oracle stays
+    # verify_local-covered and it remains a bench headliner (bench
+    # membership is window-independent).
+    "doc_bigram_lm_score",
     # r4 bookkeeping (no reordering — these were ALREADY outside the
     # 50-entry window, displaced when the curation module registered ahead
     # of temporal/windows/relational in r3; listing them here makes the

@@ -446,3 +446,145 @@ def test_phash_fps_nonnegative_halves_and_thumbnail_parity(spark, sf_dir):
         )
         want_lo = sum(1 << c for c, m in cl if c < 32 and k * m > g)
         assert fps[doc_id] == (want_hi, want_lo)
+
+
+def _longest_text(spark, sf_dir) -> bytes:
+    return max(
+        (r.text for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).select("text").collect()),
+        key=len,
+    ).encode("utf-8")
+
+
+def _contour_fp_py(payload: bytes) -> tuple[int, int]:
+    """Pure-python re-derivation of the 65-segment energy contour."""
+    nb = len(payload)
+    e = [0] * M.CONTOUR_SEGMENTS
+    for p, b in enumerate(payload):
+        e[p * M.CONTOUR_SEGMENTS // nb] += b * b
+    hi = lo = 0
+    for s in range(M.CONTOUR_SEGMENTS - 1):
+        if e[s + 1] > e[s]:
+            if s < 32:
+                lo |= 1 << s
+            else:
+                hi |= 1 << (s - 32)
+    return hi, lo
+
+
+def test_video_contour_catches_reencode_both_byte_ops_miss(spark, sf_dir):
+    """The video fidelity split: a multi-frame payload re-serialized
+    through the fake codec's quality-loss quantize-to-even re-encode is
+    caught at frame coverage 1.0/1.0 (every frame's energy-contour
+    moves <= PHASH_MAX_HAMMING bits — measured max 3 on this corpus),
+    while the aligned 4-byte shingles and the CDC chunk identities both
+    die the moment byte values shift."""
+    base = (_longest_text(spark, sf_dir) * 10)[:5000]  # 5 full frames
+    reenc = bytes(b - (b % 2) for b in base)
+    assert reenc != base and len(reenc) == len(base)
+    frame = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(reenc))],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in M.video_neardup_pairs_of(frame).collect()
+    }
+    assert (0, 1) in pairs
+    hit = pairs[(0, 1)]
+    assert hit.n_frames_a == 5 and hit.n_frames_b == 5
+    assert hit.cov_a == 1.0 and hit.cov_b == 1.0
+
+    block = {
+        (r.doc_a, r.doc_b) for r in M.byte_simhash_pairs_of(frame).collect()
+    }
+    assert (0, 1) not in block
+    cdc = {(r.doc_a, r.doc_b) for r in M.cdc_pairs_of(frame).collect()}
+    assert (0, 1) not in cdc
+
+
+def test_video_contour_catches_clip(spark, sf_dir):
+    """A CLIP (the first 2 frames of a 5-frame video) is caught through
+    the short side's coverage 1.0 — the greatest(cov_a, cov_b) rule —
+    while an unrelated video pairs with neither."""
+    base = (_longest_text(spark, sf_dir) * 10)[:5000]
+    clip = base[:2000]
+    unrelated = bytes((b * 7 + 13) % 251 for b in base)
+    frame = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(clip)), (2, bytearray(unrelated))],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r for r in M.video_neardup_pairs_of(frame).collect()
+    }
+    assert (0, 1) in pairs
+    hit = pairs[(0, 1)]
+    assert hit.n_frames_b == 2 and hit.matched_b == 2 and hit.cov_b == 1.0
+    assert hit.cov_a < 1.0  # the clip covers only part of the source
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_short_frames_excluded_and_fp_ranges(spark, sf_dir):
+    """Frames under CONTOUR_SEGMENTS bytes cannot fill 64 real bits and
+    are excluded (only the tail frame can be short), fingerprint halves
+    stay in [0, 2^32), and the kernel re-derives from pure-python ints."""
+    base = _longest_text(spark, sf_dir)
+    two_full_plus_runt = (base * 10)[: 2 * M.FRAME_BYTES + 20]
+    frame = spark.createDataFrame(
+        [(0, bytearray(two_full_plus_runt))], "doc_id bigint, payload binary"
+    )
+    rows = M.contour_fps_of(frame, M.FRAME_BYTES).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 1]  # runt dropped
+    assert all(r.n_frames == 2 for r in rows)
+    for r in rows:
+        assert 0 <= r.fp_hi < (1 << 32) and 0 <= r.fp_lo < (1 << 32)
+    by_idx = {r.frame_idx: (r.fp_hi, r.fp_lo) for r in rows}
+    for f in (0, 1):
+        seg = two_full_plus_runt[f * M.FRAME_BYTES:(f + 1) * M.FRAME_BYTES]
+        assert by_idx[f] == _contour_fp_py(seg)
+
+
+def test_audio_contour_catches_reencode_both_byte_ops_miss(spark, sf_dir):
+    """The audio fidelity split: quantize-to-even re-encode caught at
+    hamming <= PHASH_MAX_HAMMING (measured: max 3 flipped bits across
+    every real audio track at sf0.01), byte-level kernels miss."""
+    base = _longest_text(spark, sf_dir)
+    reenc = bytes(b - (b % 2) for b in base)
+    frame = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(reenc))],
+        "doc_id bigint, payload binary",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M.audio_neardup_pairs_of(frame).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= M.PHASH_MAX_HAMMING
+
+    block = {
+        (r.doc_a, r.doc_b) for r in M.byte_simhash_pairs_of(frame).collect()
+    }
+    assert (0, 1) not in block
+    cdc = {(r.doc_a, r.doc_b) for r in M.cdc_pairs_of(frame).collect()}
+    assert (0, 1) not in cdc
+
+
+def test_audio_fingerprints_rederive_from_python_ints(spark, sf_dir):
+    """Every corpus audio fingerprint re-derives from the pure-python
+    integer contour — the kernel's numpy float64 path is exact."""
+    mm = M.multimodal_view(spark, sf_dir).filter(
+        F.col("mimetype").startswith("audio/")
+        & (F.octet_length("payload") >= M.CONTOUR_SEGMENTS)
+    )
+    got = {
+        r.doc_id: (r.fp_hi, r.fp_lo)
+        for r in M.contour_fps_of(mm, None).collect()
+    }
+    assert got
+    texts = {
+        r.doc_id: r.text.encode("utf-8")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 3 = 1").collect()
+    }
+    for doc_id, fp in got.items():
+        assert fp == _contour_fp_py(texts[doc_id])
+        assert 0 <= fp[0] < (1 << 32) and 0 <= fp[1] < (1 << 32)

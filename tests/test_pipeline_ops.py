@@ -340,3 +340,70 @@ def test_boilerplate_scrub_drops_frequent_lines_in_order(spark, tmp_path):
     # case/whitespace variant shares the normalized key -> also scrubbed
     assert out[1].n_scrubbed == 1 and out[1].clean_text == "another unique"
     assert out[10].clean_text == "" and out[10].n_scrubbed == 1
+
+
+def test_quality_classifier_distill_learns_the_silver_signal(spark, tmp_path):
+    """The distilled NB classifier must learn the silver (Gopher)
+    signal from token evidence: planted corpora where keep-class docs
+    share a 'clean' vocabulary and drop-class docs share a 'junk'
+    vocabulary separate cleanly — every clean doc scores above every
+    junk doc, and pred_keep agrees with silver_keep on all of them.
+    An ambiguous doc mixing both vocabularies lands between the two
+    score groups."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        quality_classifier_distill,
+    )
+
+    def clean(i):
+        # passes the whole Gopher battery (the planted 'good' doc shape)
+        return " ".join(["the", "be"] + [f"clean{i}w{j:03d}" for j in range(60)])
+
+    def junk(i):
+        return " ".join([f"junk{i}x{j}" for j in range(10)])  # <50 words
+
+    rows = [(i, clean(i), "en") for i in range(4)]
+    rows += [(10 + i, junk(i), "en") for i in range(4)]
+    # shared markers so the model has cross-doc evidence per class
+    rows = [
+        (d, t + " sharedclean common" if d < 10 else t + " sharedjunk common", l)
+        for d, t, l in rows
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.doc_id: r for r in quality_classifier_distill(spark, sf).collect()}
+    assert len(out) == 8
+    clean_scores = [out[d].nb_score for d in range(4)]
+    junk_scores = [out[10 + i].nb_score for i in range(4)]
+    assert min(clean_scores) > max(junk_scores)
+    for d in range(4):
+        assert out[d].silver_keep == 1 and out[d].pred_keep == 1
+    for i in range(4):
+        assert out[10 + i].silver_keep == 0 and out[10 + i].pred_keep == 0
+
+
+def test_quality_classifier_distill_agreement_on_corpus(spark, sf_dir):
+    """On the real corpus the classifier must agree with its own silver
+    labels well above chance (it is distilling them), and n_terms must
+    equal each doc's distinct-token count."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        quality_classifier_distill,
+    )
+
+    rows = quality_classifier_distill(spark, sf_dir).collect()
+    assert rows
+    agree = sum(1 for r in rows if r.pred_keep == r.silver_keep)
+    n_keep = sum(1 for r in rows if r.silver_keep == 1)
+    if 0 < n_keep < len(rows):
+        # both classes present: distillation must beat the majority class
+        assert agree / len(rows) >= max(n_keep, len(rows) - n_keep) / len(rows)
+    else:
+        # the sf0.01 corpus is ONE-CLASS under Gopher (every synthetic
+        # doc fails the battery): there is no signal to separate, only
+        # the class prior to reproduce — smoothing pulls every w_t to
+        # (nd+2)/(2(cd+1)), so near-total but not perfect agreement
+        assert agree / len(rows) >= 0.95
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows[:20]:
+        assert r.n_terms == len(set(texts[r.doc_id].strip().split()))

@@ -79,6 +79,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     "doc_unigram_surprisal": (1, "1-row corpus total broadcast"),
     # broadcast of the 1-row (n, avgdl) stats aggregate (constant attach)
     "bm25_keyword_search": (1, "1-row corpus stats broadcast"),
+    # broadcast of the 1-row (nk, nd) class-totals aggregate (constant
+    # attach — the doc_unigram_surprisal shape)
+    "quality_classifier_distill": (1, "1-row class totals broadcast"),
     # composes both parents' bounded broadcasts: the <=64-row dense
     # query side (the cosine_topk_bruteforce shape) + bm25's 1-row
     # stats attach
@@ -168,6 +171,8 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "hybrid_search_rrf": (4, "composes bm25's postings + seeds + stats "
                              "documents branches unchanged"),
     "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
+    "quality_classifier_distill": (3, "NB model pass + scoring pass + "
+                                      "1-row class totals"),
     "dedup_incremental": (2, "disjoint shard/corpus slices of one scan"),
     "events_sliding_counts": (3, "per-window-offset union branches"),
 }

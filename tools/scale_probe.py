@@ -84,10 +84,21 @@ PROBE_QUERIES = [
     # occupancy stays tiny at the probe mults; the kernel cost is the
     # linear mapInPandas pass.
     "media_neardup_phash",
+    # r9 (second half): the video/audio contour near-dups — the shared
+    # energy-contour kernel (one Arrow pass, 1 row per frame/track)
+    # feeding the same capped banded join; video adds the per-pair
+    # coverage agg, whose key space is bounded by matched frame pairs.
+    "media_neardup_video",
+    "media_neardup_audio",
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "cosine_topk_ivfpq",
     "bm25_keyword_search",
+    # r9 (second half): the distilled NB classifier — its model is
+    # vocab-bounded, so on this saturating-vocabulary generator the
+    # model groupBy must stay model-scale while the scoring join
+    # scales with the corpus (linear).
+    "quality_classifier_distill",
     # r9 addition: the RRF fusion — both parents' pruned plans plus a
     # bounded rank join; its exponent should track bm25's (the dense
     # side broadcasts <= 64 queries over one linear candidate scan).
