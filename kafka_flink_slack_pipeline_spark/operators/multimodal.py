@@ -958,6 +958,34 @@ def phash_fps_of(images: DataFrame) -> DataFrame:
     )
 
 
+def _fp_bands(fps: DataFrame, carry: tuple[str, ...]) -> DataFrame:
+    """(carry..., fp_hi, fp_lo) -> one row per (unit, band) with the
+    band's 16-bit value — the LSH-index long format shared by the
+    candidate generator below and the streaming store layout
+    (streaming/media_dedup.py lands exactly these rows)."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    halves = [F.col("fp_lo"), F.col("fp_hi")]
+    cols = [*carry, "fp_hi", "fp_lo"]
+    return fps.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            halves[b // 2], (b % 2) * PHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(*cols, "bk.band", "bk.bval")
+
+
 def _banded_fp_candidates(
     fps: DataFrame, carry: tuple[str, ...], cap: int = PHASH_BUCKET_CAP
 ) -> DataFrame:
@@ -976,27 +1004,8 @@ def _banded_fp_candidates(
     over-cap buckets, mirrored in each oracle). Callers filter on ids
     (a.doc_id < b.doc_id, or != for cross-doc frame matching), apply
     the hamming threshold, and aggregate."""
-    mask = (1 << PHASH_BAND_BITS) - 1
-    halves = [F.col("fp_lo"), F.col("fp_hi")]
     cols = [*carry, "fp_hi", "fp_lo"]
-    bands = fps.select(
-        *cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            halves[b // 2], (b % 2) * PHASH_BAND_BITS
-                        )
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
-                    for b in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(*cols, "bk.band", "bk.bval")
+    bands = _fp_bands(fps, carry)
     buckets = (
         bands.groupBy("band", "bval")
         .agg(F.collect_list(F.struct(*cols)).alias("ms"))

@@ -1,0 +1,352 @@
+"""Streaming face of the perceptual media near-dup (batch semantics:
+operators/multimodal.py media_neardup_phash's fingerprints, keep-first
+verdicts): media payloads arrive as JSONL drops (doc_id, base64 payload,
+ingest_ts — JSON cannot carry raw binary; `unbase64` restores the bytes
+before the Arrow kernel); every micro-batch
+
+    1. fingerprints its arrivals with the image perceptual hash
+       (phash_fps_of — the 8x8 block-mean thumbnail kernel + the aHash
+       bit rule, the in-window hash-checked batch kernel verbatim);
+    2. lands the fingerprints BANDED (one row per (doc, band) carrying
+       (fp_hi, fp_lo, bval) — the LSH-index layout, _fp_bands) in a
+       parquet store partitioned by (band, bprefix = bval mod 8),
+       batch_id-scoped overwrite (the idempotent-replay contract every
+       store in this package uses; batch N reads batch_id < N only);
+    3. judges arrivals against history: an arrival is DROPPED iff a
+       lower-id fingerprint (landed, or same-batch) matches one of its
+       4 bands exactly and sits within hamming <= PHASH_MAX_HAMMING
+       (keep-first — the media twin of the text funnel's stage 3). The
+       store scan partition-prunes to the <= BANDS x PREFIXES touched
+       directories, then semi-joins against the batch's broadcast
+       (band, bval) key set, so per-batch cost tracks touched-bucket
+       content, not landed history (the curation funnel's measured
+       store discipline, SCALE_PROBE_FUNNEL.json).
+
+PARITY CONTRACT (tests/test_streaming_media.py, across a checkpoint
+restart): with monotone ingest (doc_id order), the accumulated verdicts
+equal `media_dedup_batch_of` on the same payloads exactly — same keep
+flags, same n_dups (distinct lower-id matches), same best_hamming.
+PARITY PRECONDITION, stated explicitly (the funnel's stage-3 shape):
+the batch op caps band buckets at PHASH_BUCKET_CAP over the WHOLE
+corpus while the stream caps them AS-OF-BATCH, so parity holds only
+while no bucket crosses the cap mid-stream. Each batch records
+`d_capped` (touched buckets over the cap) in its metrics row, and
+media_dedup_stream_report REFUSES to hand over the table while
+Σ d_capped > 0 unless the caller passes allow_capped=True (the report
+gate shape the funnel and ingest-metrics checks use).
+
+Store maintenance is the shared rails: compact_media_store folds
+committed batches into one directory ((band, bprefix) layout
+preserved; id-horizon + commits-log validation; underscore-prefixed
+crash staging every reader refuses loudly), and the runner invokes it
+every `compact_every` batches BY DEFAULT — the auto-compaction policy
+both sibling stores ship with.
+
+100 TB/day shape: the fingerprint kernel is one Arrow map (1 row per
+image); the store write is 4 band rows per doc; the near-dup join
+reads only touched buckets (pruned scan + broadcast semi-join); no
+stage holds unbounded executor state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    PHASH_MAX_HAMMING,
+    _banded_fp_candidates,
+    _fp_bands,
+    phash_fps_of,
+)
+from .curation_funnel import (
+    _assert_local_dir,
+    _assert_no_compact_leftover,
+    _compact_batch_store,
+)
+
+MEDIA_DROP_SCHEMA = "doc_id bigint, payload_b64 string, ingest_ts timestamp"
+_FP_STORE_PREFIXES = 8
+_STORE_COLS = ["doc_id", "fp_hi", "fp_lo", "band", "bval"]
+
+
+def _bprefix_col():
+    # bval is already a uniform 16-bit LSH key — no rehash needed
+    return F.pmod(F.col("bval"), F.lit(_FP_STORE_PREFIXES))
+
+
+def _hamming(a: str, b: str):
+    return (
+        F.bit_count(F.col(f"{a}.fp_lo").bitwiseXOR(F.col(f"{b}.fp_lo")))
+        + F.bit_count(F.col(f"{a}.fp_hi").bitwiseXOR(F.col(f"{b}.fp_hi")))
+    ).cast("bigint")
+
+
+def media_dedup_batch_of(media: DataFrame) -> DataFrame:
+    """Keep-first batch verdicts over (doc_id, payload) media — the
+    parity reference the stream must reproduce: keep iff no lower-id
+    fingerprint within hamming <= PHASH_MAX_HAMMING under the banded
+    plan (same bands, same bucket cap as media_neardup_phash)."""
+    fps = phash_fps_of(media)
+    dups = (
+        _banded_fp_candidates(fps, ("doc_id",))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("dup_of"),
+            "hamming",
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("hamming").alias("best_hamming"),
+        )
+    )
+    return (
+        fps.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp_hi",
+            "fp_lo",
+            F.col("n_dups").isNull().alias("keep"),
+            F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+            "best_hamming",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def compact_media_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Fold fingerprint-store batches [0, upto) into ONE batch directory
+    (id = upto - 1), preserving the (band, bprefix) layout — the
+    signature store's compaction discipline applied to the media store
+    (partition discovery across batch dirs is the pruned path's
+    residual growth term). Shares _compact_batch_store's safety rails."""
+    return _compact_batch_store(
+        spark,
+        store_dir,
+        upto,
+        cols=[*_STORE_COLS, "bprefix"],
+        partition_cols=["band", "bprefix"],
+        what="media fingerprint store dir",
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def _pruned_fp_store(
+    spark: SparkSession,
+    store_dir: str,
+    before: int,
+    touched: list[tuple[int, int]],
+):
+    """Landed band rows from batches < `before`, scan-pruned to the
+    touched (band, bprefix) partitions; None when no store exists yet.
+    `touched` is bounded (<= BANDS * _FP_STORE_PREFIXES pairs), so the
+    literal OR-chain is a static partition-pruning predicate."""
+    _assert_local_dir(store_dir, "media fingerprint store dir")
+    if not os.path.isdir(store_dir):
+        return None
+    _assert_no_compact_leftover(store_dir)
+    if not any(e.startswith("batch_id=") for e in os.listdir(store_dir)):
+        return None
+    if not touched:
+        return None
+    store = spark.read.option("basePath", store_dir).parquet(store_dir)
+    hit = None
+    for band, bprefix in touched:
+        term = (F.col("band") == band) & (F.col("bprefix") == bprefix)
+        hit = term if hit is None else (hit | term)
+    return (
+        store.filter(F.col("batch_id") < before)
+        .filter(hit)
+        .select(*_STORE_COLS)
+    )
+
+
+def media_dedup_stream(
+    spark: SparkSession,
+    drop_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1000,
+    compact_every: int | None = 64,
+):
+    """Run the stream over all available drops (availableNow) and block
+    until done; returns the finished StreamingQuery. Re-invoke with the
+    same checkpoint_dir to resume — only new files process, and replayed
+    batches overwrite their own prior store partition and verdicts.
+
+    `compact_every=N` folds the fingerprint store every N committed
+    batches from inside the runner (ON BY DEFAULT, the sibling stores'
+    policy; pass None to manage compaction externally). Replay-safe —
+    a replayed batch's repeat call is a no-op once one directory
+    remains below its horizon."""
+    store_dir = f"{state_dir}/fingerprints"
+    verdicts_dir = f"{state_dir}/verdicts"
+    metrics_dir = f"{state_dir}/metrics"
+
+    raw = (
+        spark.readStream.schema(MEDIA_DROP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+    def stage(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_media_store(
+                spark, store_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+            )
+        # cap read at call time so the parity-precondition harness can
+        # drive a bucket over it (the funnel's MINHASH_BUCKET_CAP shape)
+        from pyspark.sql import Window
+
+        from ..operators.multimodal import PHASH_BUCKET_CAP
+
+        fps = phash_fps_of(
+            batch.select(
+                "doc_id", F.unbase64("payload_b64").alias("payload")
+            )
+        ).persist()
+        try:
+            bands_batch = (
+                _fp_bands(fps, ("doc_id",))
+                .withColumn("bprefix", _bprefix_col())
+                .persist()
+            )
+            bands_batch.write.mode("overwrite").partitionBy(
+                "band", "bprefix"
+            ).parquet(f"{store_dir}/batch_id={batch_id}")
+
+            touched = [
+                (r["band"], r["bprefix"])
+                for r in bands_batch.select("band", "bprefix")
+                .distinct()
+                .collect()  # bounded: <= BANDS * _FP_STORE_PREFIXES rows
+            ]
+            store = _pruned_fp_store(spark, store_dir, batch_id, touched)
+            batch_keys = bands_batch.select("band", "bval").distinct()
+            if store is None:
+                all_touched = bands_batch.select(*_STORE_COLS)
+            else:
+                all_touched = store.join(
+                    F.broadcast(batch_keys), ["band", "bval"], "semi"
+                ).unionByName(bands_batch.select(*_STORE_COLS))
+            sized = all_touched.withColumn(
+                "bsize",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bval")),
+            ).persist()
+            bands_a = sized.filter(F.col("bsize") <= PHASH_BUCKET_CAP)
+            d_capped = (
+                sized.filter(F.col("bsize") > PHASH_BUCKET_CAP)
+                .select("band", "bval")
+                .distinct()
+                .count()
+            )
+            dups = (
+                bands_a.alias("a")
+                .join(
+                    bands_batch.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bval") == F.col("b.bval"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("b.doc_id").alias("doc_id"),
+                    F.col("a.doc_id").alias("dup_of"),
+                    _hamming("a", "b").alias("hamming"),
+                )
+                .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+                .distinct()
+                .groupBy("doc_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_dups"),
+                    F.min("hamming").alias("best_hamming"),
+                )
+            )
+            (
+                fps.join(dups, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "fp_hi",
+                    "fp_lo",
+                    F.col("n_dups").isNull().alias("keep"),
+                    F.coalesce("n_dups", F.lit(0).cast("long")).alias(
+                        "n_dups"
+                    ),
+                    "best_hamming",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{verdicts_dir}/batch_id={batch_id}")
+            )
+            (
+                fps.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.lit(d_capped).cast("long").alias("d_capped"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{metrics_dir}/batch_id={batch_id}")
+            )
+            sized.unpersist()
+            bands_batch.unpersist()
+        finally:
+            fps.unpersist()
+
+    q = (
+        raw.writeStream.queryName("media_dedup_stream")
+        .foreachBatch(stage)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def media_dedup_stream_report(
+    spark: SparkSession, state_dir: str, allow_capped: bool = False
+) -> DataFrame:
+    """Accumulated per-doc verdicts over every processed batch — the
+    same (doc_id, fp_hi, fp_lo, keep, n_dups, best_hamming) rows as
+    media_dedup_batch_of (the parity test compares them directly).
+
+    Refuses to hand over the table when any processed batch recorded
+    band buckets over PHASH_BUCKET_CAP (the stated stream/batch parity
+    precondition), naming the offending (batch_id, d_capped) pairs;
+    allow_capped=True accepts the caveat and returns the rows anyway
+    (the funnel report's honest-gate shape)."""
+    metrics_dir = f"{state_dir}/metrics"
+    if os.path.isdir(metrics_dir):
+        capped = (
+            spark.read.option("basePath", metrics_dir)
+            .parquet(metrics_dir)
+            .filter(F.col("d_capped") > 0)
+            .select("batch_id", "d_capped")
+            .collect()
+        )
+        if capped and not allow_capped:
+            pairs = sorted((r["batch_id"], r["d_capped"]) for r in capped)
+            raise AssertionError(
+                f"media_dedup_stream_report: batches {pairs} recorded "
+                "band buckets over PHASH_BUCKET_CAP — stream/batch "
+                "keep-verdict parity is not guaranteed for this horizon "
+                "(the batch operator suppresses over-cap buckets "
+                "corpus-wide; the stream caps as-of-batch). Pass "
+                "allow_capped=True to accept the caveat."
+            )
+    return (
+        spark.read.option("basePath", f"{state_dir}/verdicts")
+        .parquet(f"{state_dir}/verdicts")
+        .select(
+            "doc_id", "fp_hi", "fp_lo", "keep", "n_dups", "best_hamming"
+        )
+        .orderBy("doc_id")
+    )
