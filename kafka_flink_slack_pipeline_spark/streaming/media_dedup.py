@@ -45,7 +45,15 @@ both sibling stores ship with.
 100 TB/day shape: the fingerprint kernel is one Arrow map (1 row per
 image); the store write is 4 band rows per doc; the near-dup join
 reads only touched buckets (pruned scan + broadcast semi-join); no
-stage holds unbounded executor state.
+stage holds unbounded executor state. MEASURED (tools/media_probe.py,
+SCALE_PROBE_MEDIA.json, three decades of store growth in untouched
+buckets, 66k -> 66M rows): the shipped path's store-size exponent is
+0.148 (1.6 -> 4.5 s) while the unpartitioned-layout counterfactual
+enters its linear regime in the top decade (2.3 -> 11.4 s, exponent
+0.385 and climbing) — honest caveat: the layout's fixed overhead
+(partition discovery + semi-join) exceeds a whole-store scan below
+~10M rows and pays for itself beyond the crossover, which is the
+regime the store exists for.
 """
 
 from __future__ import annotations
