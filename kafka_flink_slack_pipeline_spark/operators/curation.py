@@ -2192,22 +2192,31 @@ GROUP BY 1 ORDER BY 1
 # and a 10-number global partial aggregate. The 5-row output explodes
 # from that single aggregate row — no single-partition window anywhere.
 _FUNNEL_STAGES = ("raw", "quality", "exact_dedup", "near_dedup",
-                  "decontaminated", "source_kept")
+                  "decontaminated", "source_kept", "classifier_kept")
 
 
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six-stage curation funnel: per-doc quality gate -> exact dedup ->
-    minhash near-dedup -> fuzzy decontamination -> SOURCE-level
+    """Seven-stage curation funnel: per-doc quality gate -> exact dedup
+    -> minhash near-dedup -> fuzzy decontamination -> SOURCE-level
     exclusion (the C4/RefinedWeb/FineWeb domain-filtering stage,
     source_quality_report's bottom-quartile rule applied AS A STAGE —
     quality lives at the source too, and a spam domain's individually
-    passable survivors get dropped together). The source rule is
-    computed over the WHOLE corpus (failers included — a source's mean
-    quality is a property of everything it shipped, not of its
-    survivors), so it lands last in the reported order: it is the one
-    stage whose decision needs global statistics rather than per-doc
-    state, which is also why the streaming twin applies it
-    retrospectively at report time over the landed horizon."""
+    passable survivors get dropped together) -> DISTILLED-CLASSIFIER
+    exclusion (the GPT-3/fastText production move: stage 1's own rule
+    battery distilled into a Bernoulli-NB token classifier — the
+    quality_classifier_distill machinery with the funnel's qk as the
+    silver label — and applied to the remaining survivors, dropping
+    docs that PASS the rules but token-profile like rule-failers; that
+    generalization beyond the rule battery is the reason production
+    pipelines run a classifier stage at all). The source and classifier
+    rules are computed over the WHOLE corpus (failers included — a
+    source's mean quality, and the classifier's model, are properties
+    of everything that was shipped, not of the survivors), so they land
+    last in the reported order: they are the stages whose decisions
+    need global statistics rather than per-doc state, which is also why
+    the streaming twin applies both retrospectively at report time over
+    the landed horizon (the classifier's model rebuilt exactly from
+    per-batch integer sufficient statistics)."""
     from .dedup import dedup_minhash_lsh
     from .textops import (
         _FILTER_MAX_DUP_BIGRAM,
@@ -2225,7 +2234,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the document from every stage including 'raw' (ADVICE r8) — the
     # sentinel ranks such docs as one ordinary source instead.
     sig = quality_signals_of(
-        table(spark, sf_dir, "documents"), keep=("source",)
+        table(spark, sf_dir, "documents"), keep=("source",), with_toks=True
     ).withColumn("source", F.coalesce(F.col("source"), F.lit("")))
     qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
         F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
@@ -2286,18 +2295,64 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+    # stage-6 classifier: distill the stage-1 rule battery (silver = qk
+    # over ALL docs) into Bernoulli NB over per-doc distinct tokens —
+    # quality_classifier_distill's exact numeric discipline (one-IEEE-op
+    # rational likelihood ratios, DECIMAL-accumulated per-doc mean,
+    # round 6, threshold > 1). Terms branch off the SAME signal subtree
+    # (with_toks carries the token projection; qk rides along — no
+    # separate documents scan and no label join-back), and the model is
+    # localCheckpoint-ed (vocab-bounded — the bigram-LM/kmeans
+    # precedent), so the scoring join re-runs the signal scan once
+    # instead of rebuilding the model per consumer.
+    dterms = sig.select(
+        "doc_id",
+        qk.cast("int").alias("y"),
+        F.explode(F.array_distinct(F.col("toks"))).alias("term"),
+    )
+    classes = flagged.agg(
+        F.sum(F.col("qk").cast("int")).cast("long").alias("nk"),
+        (F.count(F.lit(1)) - F.sum(F.col("qk").cast("int")))
+        .cast("long")
+        .alias("nd_"),
+    )
+    cmodel = dterms.groupBy("term").agg(
+        F.sum("y").cast("long").alias("ck"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("cd"),
+    ).localCheckpoint()
+    w = (
+        ((F.col("ck") + 1) * (F.col("nd_") + 2))
+        / ((F.col("cd") + 1) * (F.col("nk") + 2))
+    ).cast("double")
+    nbk = (
+        dterms.select("doc_id", "term")
+        .join(cmodel, "term")
+        .crossJoin(F.broadcast(classes))
+        .select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("w").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nb_score")
+        )
+        .select("doc_id", (F.col("nb_score") > 1.0).alias("nbk"))
+    )
     reached_col = (
         F.when(~F.col("qk"), F.lit(0))
         .when(F.col("doc_id") != F.col("canon"), F.lit(1))
         .when(F.col("nd").isNotNull(), F.lit(2))
         .when(F.col("dc").isNotNull(), F.lit(3))
         .when(F.col("kept") == 0, F.lit(4))
-        .otherwise(F.lit(5))
+        .when(~F.col("nbk"), F.lit(5))
+        .otherwise(F.lit(6))
     )
     reached = (
         flagged.join(ndv, "doc_id", "left")
         .join(dcv, "doc_id", "left")
         .join(F.broadcast(srck), "source")
+        .join(nbk, "doc_id")  # every doc tokenizes to >= 1 distinct term
         .select("n_tokens", reached_col.alias("reached"))
     )
     agg = reached.agg(
@@ -2378,6 +2433,28 @@ srck AS (
     FROM srcper
   )
 ),
+cterms AS (
+  SELECT d.doc_id, f.qk::INT AS y,
+         unnest(list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))
+           AS term
+  FROM documents d JOIN (SELECT doc_id, qk FROM flagged) f USING (doc_id)
+),
+ccls AS (
+  SELECT sum(y)::BIGINT AS nk, (count(*) - sum(y))::BIGINT AS nd_
+  FROM (SELECT qk::INT AS y FROM flagged)
+),
+cmodel AS (
+  SELECT term, sum(y)::BIGINT AS ck, (count(*) - sum(y))::BIGINT AS cd
+  FROM cterms GROUP BY term
+),
+nbk AS (
+  SELECT doc_id,
+         (round(sum(((((ck + 1) * (nd_ + 2))::DOUBLE
+                      / ((cd + 1) * (nk + 2))))::DECIMAL(25,10))::DOUBLE
+                / count(*), 6) > 1.0) AS nbk
+  FROM cterms t JOIN cmodel USING (term), ccls
+  GROUP BY t.doc_id
+),
 reached AS (
   SELECT f.n_tokens,
          CASE WHEN NOT f.qk THEN 0
@@ -2385,12 +2462,14 @@ reached AS (
               WHEN n.doc_id IS NOT NULL THEN 2
               WHEN c.doc_id IS NOT NULL THEN 3
               WHEN k.kept = 0 THEN 4
-              ELSE 5 END AS reached
+              WHEN NOT b.nbk THEN 5
+              ELSE 6 END AS reached
   FROM flagged f
   LEFT JOIN ndv n USING (doc_id)
   LEFT JOIN dcv c USING (doc_id)
   JOIN documents d USING (doc_id)
   JOIN srck k ON k.source = coalesce(d.source, '')
+  JOIN nbk b USING (doc_id)
 )
 SELECT s.stage_ord, s.stage,
        count(r.n_tokens)::BIGINT AS n_docs,

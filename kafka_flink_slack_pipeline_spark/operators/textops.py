@@ -1349,7 +1349,7 @@ def quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_signals_of(
-    docs: DataFrame, keep: tuple[str, ...] = ()
+    docs: DataFrame, keep: tuple[str, ...] = (), with_toks: bool = False
 ) -> DataFrame:
     """Frame-based core of quality_signal_frame: same signals over any
     (doc_id, text, lang) frame — batch table or micro-batch (the
@@ -1361,7 +1361,10 @@ def quality_signals_of(
     twice in the intermediate frame — the double projection only
     resolves while both share one exprId, which aliasing or joins would
     break — so base columns are filtered out here and re-selected once
-    at the end."""
+    at the end. `with_toks=True` appends the projected token array to
+    the OUTPUT (the funnel's classifier stage explodes distinct terms
+    off the same subtree instead of re-scanning and re-splitting the
+    corpus; consumers that ignore it get it pruned by Catalyst)."""
     extras = [c for c in keep if c not in ("doc_id", "text", "lang")]
     d = docs.select(
         "doc_id", "text", "lang", tokens_col().alias("toks"), *extras
@@ -1399,6 +1402,7 @@ def quality_signals_of(
         F.round(quality, 1).alias("quality_score"),
         dup_bigram.alias("dup_bigram_frac"),
         *keep,
+        *(["toks"] if with_toks else []),
     )
 
 

@@ -11,6 +11,10 @@ the full batch `corpus_curation_funnel` stage chain on an ingest stream:
                 -> retrospective SOURCE-level exclusion at report time
                    (bottom-quartile rule over the landed horizon's
                    per-source stats — the batch funnel's stage 5)
+                -> retrospective DISTILLED-CLASSIFIER exclusion at
+                   report time (Bernoulli NB distilling stage 1's own
+                   rule battery, model rebuilt exactly from per-batch
+                   integer term statistics — the batch funnel's stage 6)
 
 Every face existed individually (quality_gate_stream, dedup/crossdup
 streams, land_documents_stream); this module is the composition a real
@@ -520,22 +524,56 @@ def curation_funnel_stream(
     # funnel applies the identical rule, so a NULL-source document is
     # ranked and counted instead of silently dropped by the source join
     # (ADVICE r8).
-    ssig = quality_signals_of(raw_stats, keep=("source",)).select(
+    ssig = quality_signals_of(raw_stats, keep=("source", "text")).select(
         F.coalesce(F.col("source"), F.lit("")).alias("source"),
         F.col("quality_score").cast("decimal(18,6)").alias("q"),
+        (
+            (F.col("quality_score") >= _FILTER_MIN_QUALITY)
+            & (F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM)
+        )
+        .cast("int")
+        .alias("y"),
+        "text",
     )
+    tstats_dir = f"{state_dir}/term_stats"
 
     def stats_stage(b: DataFrame, bid: int) -> None:
-        (
-            b.groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("q").alias("sum_quality"),
+        # two persisted tables from one pass: per-source quality sums
+        # (stage 5) and per-term class counts (stage 6's NB sufficient
+        # statistics — INTEGER doc counts per distinct term and silver
+        # class, so the report's rebuilt model equals the batch one
+        # exactly). Ordered source-then-terms; the report raises if a
+        # crash between the two writes leaves the horizons unequal.
+        b = b.persist()
+        try:
+            (
+                b.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("q").alias("sum_quality"),
+                    F.sum("y").cast("long").alias("n_keep"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{stats_dir}/batch_id={bid}")
             )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{stats_dir}/batch_id={bid}")
-        )
+            (
+                b.select(
+                    "y",
+                    F.explode(F.array_distinct(tokens_col())).alias("term"),
+                )
+                .groupBy("term")
+                .agg(
+                    F.sum("y").cast("long").alias("ck"),
+                    (F.count(F.lit(1)) - F.sum("y"))
+                    .cast("long")
+                    .alias("cd"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{tstats_dir}/batch_id={bid}")
+            )
+        finally:
+            b.unpersist()
 
     sq = (
         ssig.writeStream.queryName("curation_funnel_source_stats")
@@ -743,6 +781,17 @@ def curation_funnel_stream_report(
     out_dir. It equals the batch funnel's whole-corpus rule once the run
     has drained its drops; mid-stream it reflects the horizon so far.
 
+    Stage 6 (classifier_kept) is retrospective the same way: the NB
+    model is rebuilt EXACTLY from the per-batch integer term statistics
+    (term_stats/ — distinct-term doc counts per silver class, written
+    by the stats sibling alongside the source sums), class totals from
+    the source rows' n_keep, and the stage-5 survivors re-scored with
+    the batch funnel's identical expressions (one-IEEE-op rational
+    ratios, DECIMAL-accumulated means, round 6, threshold > 1). A
+    term-stats horizon that disagrees with the source-stats horizon
+    (a crash between the sibling's two writes) raises instead of
+    silently training the model on fewer batches than the kept-set.
+
     Parity gate (default-on): stage-3 stream/batch parity holds only
     while no band bucket crossed MINHASH_BUCKET_CAP mid-stream; each
     batch's counts row records `d_capped` violations, and a report that
@@ -846,15 +895,70 @@ def curation_funnel_stream_report(
         )
         .select("source")
     )
+    # stage-6 model, rebuilt EXACTLY from the per-batch integer term
+    # statistics (the stats sibling's second table). Horizon gate: both
+    # tables are written by one foreachBatch in order (source stats,
+    # then term stats) — a crash between the writes would leave the
+    # model trained on fewer batches than the kept-set, silently.
+    from ..operators.textops import tokens_col
+
+    tstats = spark.read.option(
+        "basePath", f"{state_dir}/term_stats"
+    ).parquet(f"{state_dir}/term_stats")
+    s_ids = {r.batch_id for r in stats.select("batch_id").distinct().collect()}
+    t_ids = {r.batch_id for r in tstats.select("batch_id").distinct().collect()}
+    if s_ids != t_ids:
+        raise ValueError(
+            f"term-stats horizon {sorted(t_ids)} disagrees with the "
+            f"source-stats horizon {sorted(s_ids)}: the run crashed "
+            "between the sibling stage's two writes — resume it to "
+            "re-align before trusting stage 6."
+        )
+    cmodel = tstats.groupBy("term").agg(
+        F.sum("ck").cast("long").alias("ck"),
+        F.sum("cd").cast("long").alias("cd"),
+    )
+    ccls = stats.agg(
+        F.sum("n_keep").cast("long").alias("nk"),
+        (F.sum("n_docs") - F.sum("n_keep")).cast("long").alias("nd_"),
+    )
+    nb_w = (
+        ((F.col("ck") + 1) * (F.col("nd_") + 2))
+        / ((F.col("cd") + 1) * (F.col("nk") + 2))
+    ).cast("double")
     try:
         landed = (
             spark.read.option("basePath", out_dir)
             .parquet(out_dir)
             .withColumn("source", F.coalesce(F.col("source"), F.lit("")))
         )
-        s5 = landed.join(F.broadcast(kept), "source", "semi").agg(
+        surv5 = landed.join(F.broadcast(kept), "source", "semi")
+        s5 = surv5.agg(
             F.count(F.lit(1)).alias("d5"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t5"),
+        )
+        nbk = (
+            surv5.select(
+                "doc_id",
+                F.explode(F.array_distinct(tokens_col())).alias("term"),
+            )
+            .join(cmodel, "term")
+            .crossJoin(F.broadcast(ccls))
+            .select("doc_id", nb_w.alias("w"))
+            .groupBy("doc_id")
+            .agg(
+                F.round(
+                    F.sum(F.col("w").cast("decimal(25,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("nb_score")
+            )
+            .filter(F.col("nb_score") > 1.0)
+            .select("doc_id")
+        )
+        s6 = surv5.join(nbk, "doc_id", "semi").agg(
+            F.count(F.lit(1)).alias("d6"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t6"),
         )
     except Exception as e:  # noqa: BLE001
         # a run whose every document failed upstream writes only EMPTY
@@ -863,6 +967,7 @@ def curation_funnel_stream_report(
         if "UNABLE_TO_INFER_SCHEMA" not in str(e):
             raise
         s5 = spark.createDataFrame([(0, 0)], "d5 long, t5 long")
+        s6 = spark.createDataFrame([(0, 0)], "d6 long, t6 long")
 
     rows = F.explode(
         F.array(
@@ -880,6 +985,7 @@ def curation_funnel_stream_report(
     return (
         i.crossJoin(c)
         .crossJoin(s5)
+        .crossJoin(s6)
         .select(rows.alias("r"))
         .select("r.*")
         .orderBy("stage_ord")

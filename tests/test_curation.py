@@ -581,3 +581,81 @@ def test_rrf_fusion_both_lists_and_ordering(spark):
     assert [r.doc_id for r in sorted(rows, key=lambda r: r.rank)] == [
         11, 10, 13, 12,
     ]
+
+
+def test_curation_funnel_classifier_stage_drops_rule_passing_junk(
+    spark, tmp_path
+):
+    """Stage 6 (classifier_kept) is the distilled classifier's reason to
+    exist: a TRAP doc that PASSES the stage-1 rule battery (length,
+    stopwords, no repeated bigrams) but is composed of the junk-class
+    vocabulary must be dropped by the NB stage — the generalization
+    beyond the rules production classifier stages provide. Junk docs
+    fail stage 1 via dup_bigram_frac (their quality_score is 1.0, so
+    the source stage stays neutral); the trap interleaves stopwords
+    with pool tokens so it shares no 3-gram shingle with anything (the
+    near-dup stage cannot touch it)."""
+    import duckdb
+
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        corpus_curation_funnel,
+    )
+    from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
+
+    stops = ["the", "a", "of", "is", "and"]
+    pool = [f"junk{j:02d}" for j in range(25)]
+    rows = []
+    for d in range(8):  # clean: unique vocabulary, passes everything
+        toks = stops + [f"clean{d}x{j:02d}" for j in range(25)]
+        rows.append((d, " ".join(toks), "en", "src_clean"))
+    for d in range(24):  # junk: the whole pool TWICE -> repeated bigrams
+        # fail stage 1 (dup_bigram_frac >> 0.1) with quality_score still
+        # 1.0 (keeps the source stage neutral); every pool token appears
+        # in EVERY junk doc, so the pool is junk-typical for the model
+        toks = [f"u{d:02d}"] + stops + pool + pool
+        rows.append((100 + d, " ".join(toks), "en", "src_junk"))
+    # the trap: rule-passing surface (right length, stopwords, all
+    # bigrams distinct), junk-class vocabulary. Pool REVERSED and
+    # stopword-interleaved so it shares no 3-gram shingle with the junk
+    # docs — neither near-dup nor decontamination can touch it; only
+    # the classifier sees what it is made of.
+    trap_toks = []
+    for j, t in enumerate(reversed(pool)):
+        trap_toks.append(t)
+        if j < len(stops):
+            trap_toks.append(stops[j])
+    rows.append((200, " ".join(trap_toks), "en", "src_trap"))
+
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["stage"]: r for r in corpus_curation_funnel(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["raw"]["n_docs"] == 33
+    assert got["quality"]["n_docs"] == 9  # 8 clean + the trap
+    # the classifier stage drops EXACTLY the trap among the survivors
+    assert (
+        got["source_kept"]["n_docs"] - got["classifier_kept"]["n_docs"] == 1
+    )
+    assert (
+        got["source_kept"]["n_tokens"] - got["classifier_kept"]["n_tokens"]
+        == 30
+    )
+
+    # the oracle agrees row for row on the same file
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = all_queries()["corpus_curation_funnel"].oracle
+    want = con.execute(oracle).fetchall()
+    assert [
+        (r["stage_ord"], r["stage"], r["n_docs"], r["n_tokens"])
+        for r in corpus_curation_funnel(spark, str(tmp_path)).collect()
+    ] == [tuple(w) for w in want]

@@ -159,7 +159,7 @@ def test_funnel_report_refuses_missing_ingest_metrics(spark, funnel_dirs):
         curation_funnel_stream_report(
             spark, funnel_dirs["state"], funnel_dirs["out"]
         ).count()
-        == 6
+        == 7
     )
 
 
@@ -379,7 +379,7 @@ def test_funnel_records_capped_bucket_telemetry(
         curation_funnel_stream_report(
             spark, d["state"], d["out"], allow_capped=True
         ).count()
-        == 6
+        == 7
     )
 
 
@@ -548,7 +548,7 @@ def test_funnel_report_stats_horizon_gate(spark, funnel_dirs):
         curation_funnel_stream_report(
             spark, funnel_dirs["state"], funnel_dirs["out"]
         ).count()
-        == 6
+        == 7
     )
 
 

@@ -82,6 +82,10 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # broadcast of the 1-row (nk, nd) class-totals aggregate (constant
     # attach — the doc_unigram_surprisal shape)
     "quality_classifier_distill": (1, "1-row class totals broadcast"),
+    # the same 1-row class-totals attach inside the funnel's r9
+    # classifier stage
+    "corpus_curation_funnel": (1, "1-row class totals broadcast "
+                                  "(classifier stage)"),
     # composes both parents' bounded broadcasts: the <=64-row dense
     # query side (the cosine_topk_bruteforce shape) + bm25's 1-row
     # stats attach
@@ -158,8 +162,13 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     # second branch off the signal frame (AQE recomputes the branch) —
     # the C4/FineWeb domain-stats pass, deliberately a re-scan rather
     # than a corpus-sized materialization of the signal frame
-    "corpus_curation_funnel": (6, "signals + minhash + fuzzy-decon + "
-                                  "source-rollup stages"),
+    # +2 in r9: the classifier stage's scoring pass (distinct-term
+    # explode off the signal subtree, re-scanned per the same
+    # no-materialization policy; the vocab-bounded NB model itself is
+    # localCheckpoint-ed so it does NOT rebuild per consumer) and the
+    # 1-row class-totals branch
+    "corpus_curation_funnel": (8, "signals + minhash + fuzzy-decon + "
+                                  "source-rollup + classifier stages"),
     # the planted-dup union reads embeddings twice per branch; 3 branches
     # (one banded/assignment pass + two vector join-backs or pair sides)
     "semantic_dedup": (6, "union x (narrow assign + pair self-join sides)"),
