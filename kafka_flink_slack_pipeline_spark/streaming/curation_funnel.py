@@ -902,6 +902,15 @@ def curation_funnel_stream_report(
     # model trained on fewer batches than the kept-set, silently.
     from ..operators.textops import tokens_col
 
+    if not os.path.isdir(f"{state_dir}/term_stats"):
+        raise ValueError(
+            "term_stats/ missing from the funnel state: this state was "
+            "written by a pre-classifier-stage (r8) run. Stage 6 needs "
+            "per-batch term statistics that were never persisted for "
+            "this horizon — re-land the drops into fresh state (or "
+            "backfill term_stats from the original drop files) before "
+            "requesting the 7-stage report."
+        )
     tstats = spark.read.option(
         "basePath", f"{state_dir}/term_stats"
     ).parquet(f"{state_dir}/term_stats")

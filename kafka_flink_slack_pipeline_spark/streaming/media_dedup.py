@@ -219,10 +219,15 @@ def media_dedup_stream(
 
         from ..operators.multimodal import PHASH_BUCKET_CAP
 
+        # NULL/empty payloads carry no pixels to fingerprint and would
+        # crash the Arrow kernel (bytes(None)); they are excluded here
+        # exactly as the batch op's octet_length gate excludes them —
+        # parity-preserving, since media_dedup_batch_of never sees a
+        # row the kernel would skip either
         fps = phash_fps_of(
-            batch.select(
-                "doc_id", F.unbase64("payload_b64").alias("payload")
-            )
+            batch.filter(F.col("payload_b64").isNotNull())
+            .select("doc_id", F.unbase64("payload_b64").alias("payload"))
+            .filter(F.octet_length("payload") > 0)
         ).persist()
         try:
             bands_batch = (

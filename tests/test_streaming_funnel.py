@@ -609,3 +609,30 @@ def test_funnel_auto_compaction_bounds_store_and_keeps_parity(
         for r in corpus_curation_funnel(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_funnel_report_refuses_pre_classifier_state(spark, funnel_dirs):
+    """Upgrade-path gate: state written by a pre-stage-7 run has no
+    term_stats/ — the report must name the condition instead of dying
+    in a parquet read (or, worse, a wrong 7th row). (Runs after the
+    parity test — module-scoped dirs have real state.)"""
+    import shutil
+
+    import pytest as _pytest
+
+    tstats = os.path.join(funnel_dirs["state"], "term_stats")
+    backup = os.path.join(funnel_dirs["state"], "_backup_term_stats")
+    shutil.move(tstats, backup)
+    try:
+        with _pytest.raises(ValueError, match="pre-classifier"):
+            curation_funnel_stream_report(
+                spark, funnel_dirs["state"], funnel_dirs["out"]
+            )
+    finally:
+        shutil.move(backup, tstats)
+    assert (
+        curation_funnel_stream_report(
+            spark, funnel_dirs["state"], funnel_dirs["out"]
+        ).count()
+        == 7
+    )

@@ -219,3 +219,27 @@ def test_media_report_refuses_capped_horizon(
     assert rep.count() == len(rows)
     # with every bucket suppressed, nothing can pair: all keeps
     assert all(r["keep"] for r in rep.collect())
+
+
+def test_media_stream_skips_null_and_empty_payloads(spark, sf_dir, tmp_path):
+    """A drop with a missing or empty payload carries nothing to
+    fingerprint: the stream must exclude it (the batch op's
+    octet_length gate) rather than crash the Arrow kernel on
+    bytes(None)."""
+    rows = _media_rows(spark, sf_dir)[:5]
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_drop(f"{d['drop']}/part1.jsonl", rows, 0, 10**9)
+    with open(f"{d['drop']}/part1.jsonl", "a") as f:
+        f.write(json.dumps({"doc_id": 900, "payload_b64": None,
+                            "ingest_ts": "2025-01-01T01:00:00.000Z"}) + "\n")
+        f.write(json.dumps({"doc_id": 901, "payload_b64": "",
+                            "ingest_ts": "2025-01-01T01:00:01.000Z"}) + "\n")
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+    got = {r["doc_id"] for r in
+           media_dedup_stream_report(spark, d["state"]).collect()}
+    assert got == {doc_id for doc_id, _ in rows}
