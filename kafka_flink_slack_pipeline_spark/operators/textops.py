@@ -331,11 +331,17 @@ ORDER BY doc_id
 # fastText classifiers of Joulin et al. 2016 as used by CCNet-family
 # pipelines) is to DISTILL an expensive or rule-based quality signal
 # into a cheap token-level classifier and score the whole corpus with
-# it. Silver labels here are the corpus' own Gopher keep flags
-# (with_gopher_flags — the composition is the point: the classifier
-# learns to imitate the rule battery from token evidence alone);
-# the model is Bernoulli Naive Bayes over per-doc DISTINCT tokens with
-# Laplace smoothing.
+# it. Silver labels here are the corpus' own stage-1 battery verdicts
+# (quality_signals_of thresholds — the qk rule the curation funnel
+# gates on; the Gopher battery is one-class on the test corpora, which
+# would make the hash certify only smoothing arithmetic, while qk
+# splits it ~90/10 and exercises real two-class counts). The
+# composition is the point: the classifier learns to imitate the rule
+# battery from token evidence alone, and corpus_curation_funnel
+# composes THIS exact machinery as its stage 6 (classifier_kept) — the
+# hash-green standalone op is that stage's unit certificate. The model
+# is Bernoulli Naive Bayes over per-doc DISTINCT tokens with Laplace
+# smoothing.
 #
 # Numeric policy (the doc_bigram_lm_score precedent): the NB log-odds
 # sum is replaced by the ln-free rational surrogate — each token's
@@ -356,10 +362,15 @@ ORDER BY doc_id
 # so no fourth label join-back.
 def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    labeled = with_gopher_flags(d).select(
+    labeled = quality_signals_of(d, with_toks=True).select(
         "doc_id",
-        F.col("gopher_keep").alias("silver_keep"),
-        F.array_distinct(tokens_col()).alias("terms"),
+        (
+            (F.col("quality_score") >= _FILTER_MIN_QUALITY)
+            & (F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM)
+        )
+        .cast("int")
+        .alias("silver_keep"),
+        F.array_distinct(F.col("toks")).alias("terms"),
     )
     toks = labeled.select(
         "doc_id", "silver_keep", F.explode("terms").alias("term")
@@ -400,13 +411,15 @@ def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUALITY_CLASSIFIER_ORACLE = f"""
-WITH {_GOPHER_CTES},
+# Assembled lazily (module bottom): QUALITY_SIG_SQL is defined below
+# with the signal machinery it mirrors.
+_QUALITY_CLASSIFIER_ORACLE_TMPL = """
+WITH sig AS ({SIG}),
 labels AS (
   SELECT doc_id,
-         r_word_count * r_mean_word_len * r_symbol_ratio * r_bullet_lines
-         * r_ellipsis_lines * r_alpha_words * r_stop_words AS keep
-  FROM flagged
+         (quality_score >= {MINQ} AND dup_bigram_frac <= {MAXDB})::INT
+           AS keep
+  FROM sig
 ),
 classes AS (
   SELECT sum(keep)::BIGINT AS nk, (count(*) - sum(keep))::BIGINT AS nd
@@ -1473,6 +1486,16 @@ QUALITY_SIG_SQL = """
 """
 
 
+# Assembled here because it composes QUALITY_SIG_SQL (the classifier's
+# silver labels are the stage-1 battery verdicts — the same sig CTE the
+# funnel oracle shares, so the rule cannot drift between consumers).
+QUALITY_CLASSIFIER_ORACLE = _QUALITY_CLASSIFIER_ORACLE_TMPL.format(
+    SIG=QUALITY_SIG_SQL,
+    MINQ=_FILTER_MIN_QUALITY,
+    MAXDB=_FILTER_MAX_DUP_BIGRAM,
+)
+
+
 def _corpus_filter_oracle() -> str:
     from .dedup import DEDUP_NGRAM_CAPPED_ORACLE
 
@@ -1797,7 +1820,7 @@ QUERIES = [
               QUALITY_CLASSIFIER_ORACLE,
               "distilled quality classifier (the GPT-3/fastText "
               "production move): Bernoulli NB over distinct tokens, "
-              "Gopher keep flags as silver labels, ln-free rational "
+              "stage-1 battery verdicts as silver labels, ln-free rational "
               "likelihood-ratio scoring"),
     QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub,
               BOILERPLATE_SCRUB_ORACLE,

@@ -343,8 +343,8 @@ def test_boilerplate_scrub_drops_frequent_lines_in_order(spark, tmp_path):
 
 
 def test_quality_classifier_distill_learns_the_silver_signal(spark, tmp_path):
-    """The distilled NB classifier must learn the silver (Gopher)
-    signal from token evidence: planted corpora where keep-class docs
+    """The distilled NB classifier must learn the silver (stage-1
+    battery) signal from token evidence: planted corpora where keep-class docs
     share a 'clean' vocabulary and drop-class docs share a 'junk'
     vocabulary separate cleanly — every clean doc scores above every
     junk doc, and pred_keep agrees with silver_keep on all of them.
@@ -359,7 +359,7 @@ def test_quality_classifier_distill_learns_the_silver_signal(spark, tmp_path):
         return " ".join(["the", "be"] + [f"clean{i}w{j:03d}" for j in range(60)])
 
     def junk(i):
-        return " ".join([f"junk{i}x{j}" for j in range(10)])  # <50 words
+        return " ".join([f"junk{i}x{j}" for j in range(10)])  # <20 tokens
 
     rows = [(i, clean(i), "en") for i in range(4)]
     rows += [(10 + i, junk(i), "en") for i in range(4)]
@@ -393,13 +393,14 @@ def test_quality_classifier_distill_agreement_on_corpus(spark, sf_dir):
     agree = sum(1 for r in rows if r.pred_keep == r.silver_keep)
     n_keep = sum(1 for r in rows if r.silver_keep == 1)
     if 0 < n_keep < len(rows):
-        # both classes present: distillation must beat the majority class
+        # both classes present (the stage-1 battery splits this corpus
+        # ~90/10): distillation must at least match the majority class —
+        # the synthetic corpus' shared vocabulary carries little signal
+        # separating the classes, so matching is the honest bar here
+        # (the planted-corpus test above pins actual separation)
         assert agree / len(rows) >= max(n_keep, len(rows) - n_keep) / len(rows)
     else:
-        # the sf0.01 corpus is ONE-CLASS under Gopher (every synthetic
-        # doc fails the battery): there is no signal to separate, only
-        # the class prior to reproduce — smoothing pulls every w_t to
-        # (nd+2)/(2(cd+1)), so near-total but not perfect agreement
+        # a one-class horizon leaves only the prior to reproduce
         assert agree / len(rows) >= 0.95
     texts = {
         r.doc_id: r.text
