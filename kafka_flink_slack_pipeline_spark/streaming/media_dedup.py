@@ -300,8 +300,13 @@ def media_dedup_stream(
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
+            # n_raw counts every arrival, fingerprintable or not, so the
+            # NULL/empty-payload exclusions above stay visible in
+            # telemetry (n_raw - n_docs = skipped rows)
+            n_raw = batch.count()
             (
                 fps.agg(
+                    F.lit(n_raw).cast("long").alias("n_raw"),
                     F.count(F.lit(1)).alias("n_docs"),
                     F.lit(d_capped).cast("long").alias("d_capped"),
                 )

@@ -572,6 +572,12 @@ def test_funnel_auto_compaction_bounds_store_and_keeps_parity(
     os.makedirs(d["drop"])
     for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
         _write_drop(sf_dir, f"{d['drop']}/part{i}.jsonl", lo, hi)
+        # pin strictly increasing mtimes: FileStreamSource orders files
+        # by modification time, and a tie from this fast loop can
+        # process drops out of doc_id order (the monotone-ingest parity
+        # precondition)
+        os.utime(f"{d['drop']}/part{i}.jsonl",
+                 (1700000000 + i, 1700000000 + i))
     toked = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select("doc_id", tokens_col().alias("toks"))

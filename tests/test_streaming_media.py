@@ -174,7 +174,13 @@ def test_media_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     }
     os.makedirs(d["drop"])
     for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 10**9)]):
-        _write_drop(f"{d['drop']}/part{i}.jsonl", rows, lo, hi)
+        path = f"{d['drop']}/part{i}.jsonl"
+        _write_drop(path, rows, lo, hi)
+        # FileStreamSource orders files by modification time; three
+        # files written in one fast loop can tie on mtime and process
+        # out of doc_id order, violating the monotone-ingest parity
+        # precondition — pin strictly increasing mtimes
+        os.utime(path, (1700000000 + i, 1700000000 + i))
     media_dedup_stream(
         spark, d["drop"], d["state"], d["ckpt"],
         max_files_per_trigger=1, compact_every=1,
@@ -243,3 +249,10 @@ def test_media_stream_skips_null_and_empty_payloads(spark, sf_dir, tmp_path):
     got = {r["doc_id"] for r in
            media_dedup_stream_report(spark, d["state"]).collect()}
     assert got == {doc_id for doc_id, _ in rows}
+    # the exclusions stay visible in telemetry: n_raw counts arrivals,
+    # n_docs the fingerprintable subset
+    m = spark.read.option("basePath", f"{d['state']}/metrics").parquet(
+        f"{d['state']}/metrics"
+    ).collect()
+    assert sum(r["n_raw"] for r in m) == len(rows) + 2
+    assert sum(r["n_docs"] for r in m) == len(rows)

@@ -159,6 +159,10 @@ def test_vec_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     _os.makedirs(d["drop"])
     for i, (lo, hi) in enumerate([(0, 70), (70, 140), (140, 10**9)]):
         _write_drop(spark, sf_dir, f"{d['drop']}/part{i}.jsonl", lo, hi)
+        # pin strictly increasing mtimes (monotone-ingest precondition;
+        # FileStreamSource orders by modification time)
+        _os.utime(f"{d['drop']}/part{i}.jsonl",
+                  (1700000000 + i, 1700000000 + i))
     semantic_dedup_stream(
         spark, d["drop"], d["state"], d["ckpt"], model,
         max_files_per_trigger=1, compact_every=1,
