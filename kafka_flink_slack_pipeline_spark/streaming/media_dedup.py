@@ -229,6 +229,7 @@ def media_dedup_stream(
             .select("doc_id", F.unbase64("payload_b64").alias("payload"))
             .filter(F.octet_length("payload") > 0)
         ).persist()
+        bands_batch = sized = None
         try:
             bands_batch = (
                 _fp_bands(fps, ("doc_id",))
@@ -313,9 +314,10 @@ def media_dedup_stream(
                 .write.mode("overwrite")
                 .parquet(f"{metrics_dir}/batch_id={batch_id}")
             )
-            sized.unpersist()
-            bands_batch.unpersist()
         finally:
+            for frame in (sized, bands_batch):
+                if frame is not None:
+                    frame.unpersist()
             fps.unpersist()
 
     q = (
