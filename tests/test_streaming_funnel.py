@@ -642,3 +642,68 @@ def test_funnel_report_refuses_pre_classifier_state(spark, funnel_dirs):
         ).count()
         == 7
     )
+
+
+def test_funnel_stream_classifier_stage_drops_in_stream(
+    spark, tmp_path
+):
+    """Stage-6 stream/batch parity in the regime where the classifier
+    actually DROPS something (the corpus parity run's classifier stage
+    drops zero docs, which would leave the stream's stage-6 path
+    verified only vacuously): the planted trap corpus from
+    test_curation — a rule-passing doc made of the junk-class
+    vocabulary — must lose exactly the trap at classifier_kept on BOTH
+    faces, from the same drops."""
+    stops = ["the", "a", "of", "is", "and"]
+    pool = [f"junk{j:02d}" for j in range(25)]
+    rows = []
+    for d in range(8):
+        toks = stops + [f"clean{d}x{j:02d}" for j in range(25)]
+        rows.append((d, " ".join(toks), "en", "src_clean"))
+    for d in range(24):
+        toks = [f"u{d:02d}"] + stops + pool + pool
+        rows.append((100 + d, " ".join(toks), "en", "src_junk"))
+    trap_toks = []
+    for j, t in enumerate(reversed(pool)):
+        trap_toks.append(t)
+        if j < len(stops):
+            trap_toks.append(stops[j])
+    rows.append((200, " ".join(trap_toks), "en", "src_trap"))
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).write.parquet(f"{corpus}/documents.parquet")
+
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "out": str(tmp_path / "out"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    with open(f"{d['drop']}/part1.jsonl", "w") as f:
+        for doc_id, text, lang, source in sorted(rows):
+            ts = f"2025-01-01T00:{doc_id // 60:02d}:{doc_id % 60:02d}.000Z"
+            f.write(json.dumps({"doc_id": doc_id, "text": text,
+                                "lang": lang, "source": source,
+                                "ingest_ts": ts}) + "\n")
+    _run(spark, corpus, d)
+
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in curation_funnel_stream_report(
+            spark, d["state"], d["out"]
+        ).collect()
+    }
+    want = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in corpus_curation_funnel(spark, corpus).collect()
+    }
+    assert got == want
+    # non-vacuous on BOTH faces: exactly the trap fell at stage 6
+    assert (
+        got["source_kept"][0] - got["classifier_kept"][0] == 1
+        and got["source_kept"][1] - got["classifier_kept"][1] == 30
+    )
