@@ -23,10 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
     Flagship = the end-to-end curation funnel: quality/repetition filter
-    -> exact dedup -> MinHash-LSH near-dedup -> fuzzy decontamination,
+    -> exact dedup -> MinHash-LSH near-dedup -> fuzzy decontamination
+    -> source-level exclusion -> distilled-classifier exclusion,
     reported as per-stage doc/token survivor counts — the whole
-    training-data cleaning story in one Catalyst plan (stable 5-row,
-    4-column schema; oracle-verified at sf0.001 and sf0.01).
+    training-data cleaning story in one Catalyst plan (stable 7-row,
+    4-column schema: raw + six gates; oracle-verified at sf0.001 and
+    sf0.01).
     """
     from kafka_flink_slack_pipeline_spark.operators.curation import (
         corpus_curation_funnel,

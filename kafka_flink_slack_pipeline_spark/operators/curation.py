@@ -2345,14 +2345,21 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("nd").isNotNull(), F.lit(2))
         .when(F.col("dc").isNotNull(), F.lit(3))
         .when(F.col("kept") == 0, F.lit(4))
-        .when(~F.col("nbk"), F.lit(5))
+        .when(~F.coalesce(F.col("nbk"), F.lit(False)), F.lit(5))
         .otherwise(F.lit(6))
     )
+    # nbk attaches LEFT: a doc with no distinct terms (NULL text) has no
+    # classifier verdict, and an inner join would silently drop it from
+    # every stage including 'raw' — the same failure class as the
+    # NULL-source drop (ADVICE r8/r9). A missing verdict coalesces to
+    # drop-at-the-classifier-stage; unreachable in practice (NULL text
+    # scores quality 0.0 and exits at stage 0 first), but the raw count
+    # must still see the doc.
     reached = (
         flagged.join(ndv, "doc_id", "left")
         .join(dcv, "doc_id", "left")
         .join(F.broadcast(srck), "source")
-        .join(nbk, "doc_id")  # every doc tokenizes to >= 1 distinct term
+        .join(nbk, "doc_id", "left")
         .select("n_tokens", reached_col.alias("reached"))
     )
     agg = reached.agg(
@@ -2462,17 +2469,20 @@ reached AS (
               WHEN n.doc_id IS NOT NULL THEN 2
               WHEN c.doc_id IS NOT NULL THEN 3
               WHEN k.kept = 0 THEN 4
-              WHEN NOT b.nbk THEN 5
+              WHEN NOT coalesce(b.nbk, false) THEN 5
               ELSE 6 END AS reached
   FROM flagged f
   LEFT JOIN ndv n USING (doc_id)
   LEFT JOIN dcv c USING (doc_id)
   JOIN documents d USING (doc_id)
   JOIN srck k ON k.source = coalesce(d.source, '')
-  JOIN nbk b USING (doc_id)
+  LEFT JOIN nbk b USING (doc_id)
 )
 SELECT s.stage_ord, s.stage,
-       count(r.n_tokens)::BIGINT AS n_docs,
+       -- count(r.reached), NOT count(r.n_tokens): a NULL-text doc has
+       -- NULL n_tokens but a real reached value, and must count as a
+       -- document at every stage it reaches (ADVICE r9)
+       count(r.reached)::BIGINT AS n_docs,
        coalesce(sum(r.n_tokens), 0)::BIGINT AS n_tokens
 FROM (VALUES {stage_values}) AS s(stage_ord, stage)
 LEFT JOIN reached r ON r.reached >= s.stage_ord

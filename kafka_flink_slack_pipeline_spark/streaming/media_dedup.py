@@ -219,6 +219,13 @@ def media_dedup_stream(
 
         from ..operators.multimodal import PHASH_BUCKET_CAP
 
+        # The raw frame is persisted so n_raw (every arrival,
+        # fingerprintable or not — the telemetry that keeps the
+        # NULL/empty exclusions below visible) and the fingerprint
+        # derivation share ONE source scan per micro-batch (ADVICE r9:
+        # the trailing batch.count() re-executed the JSON read).
+        batch = batch.persist()
+        n_raw = batch.count()
         # NULL/empty payloads carry no pixels to fingerprint and would
         # crash the Arrow kernel (bytes(None)); they are excluded here
         # exactly as the batch op's octet_length gate excludes them —
@@ -301,10 +308,6 @@ def media_dedup_stream(
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
-            # n_raw counts every arrival, fingerprintable or not, so the
-            # NULL/empty-payload exclusions above stay visible in
-            # telemetry (n_raw - n_docs = skipped rows)
-            n_raw = batch.count()
             (
                 fps.agg(
                     F.lit(n_raw).cast("long").alias("n_raw"),
@@ -319,6 +322,7 @@ def media_dedup_stream(
                 if frame is not None:
                     frame.unpersist()
             fps.unpersist()
+            batch.unpersist()
 
     q = (
         raw.writeStream.queryName("media_dedup_stream")
@@ -354,7 +358,7 @@ def media_dedup_stream_report(
         )
         if capped and not allow_capped:
             pairs = sorted((r["batch_id"], r["d_capped"]) for r in capped)
-            raise AssertionError(
+            raise ValueError(
                 f"media_dedup_stream_report: batches {pairs} recorded "
                 "band buckets over PHASH_BUCKET_CAP — stream/batch "
                 "keep-verdict parity is not guaranteed for this horizon "

@@ -541,6 +541,50 @@ def test_curation_funnel_counts_null_source_docs(spark, sf_dir, tmp_path):
     ] == [tuple(w) for w in want]
 
 
+def test_curation_funnel_counts_null_text_docs(spark, sf_dir, tmp_path):
+    """ADVICE r9: the stage-6 classifier attach was an inner join on the
+    verdict — a doc with NULL text explodes to zero distinct terms,
+    gets no nbk row, and silently vanished from every stage INCLUDING
+    'raw' (the NULL-source failure class one join over). The attach is
+    now a left join with a missing verdict coalescing to
+    drop-at-the-classifier-stage; pinned by nulling text on a corpus
+    slice and checking stage-0 against the full slice, plus the oracle
+    row-for-row on the same file."""
+    import duckdb
+
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        corpus_curation_funnel,
+    )
+    from kafka_flink_slack_pipeline_spark.plans.registry import all_queries
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0, F.lit(None)).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    n_docs = docs.count()
+
+    got = corpus_curation_funnel(spark, str(tmp_path)).collect()
+    raw = [r for r in got if r["stage"] == "raw"][0]
+    assert raw["n_docs"] == n_docs  # NULL-text docs still counted
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = all_queries()["corpus_curation_funnel"].oracle
+    want = con.execute(oracle).fetchall()
+    assert [
+        (r["stage_ord"], r["stage"], r["n_docs"], r["n_tokens"]) for r in got
+    ] == [tuple(w) for w in want]
+
+
 def test_rrf_fusion_both_lists_and_ordering(spark):
     """RRF arithmetic pinned on planted overlapping ranks: a doc in
     BOTH lists scores 1/(60+r_lex) + 1/(60+r_dense) and outranks every

@@ -219,7 +219,7 @@ def test_media_report_refuses_capped_horizon(
     os.makedirs(d["drop"])
     _write_drop(f"{d['drop']}/part1.jsonl", rows, 0, 10**9)
     media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
-    with pytest.raises(AssertionError, match="PHASH_BUCKET_CAP"):
+    with pytest.raises(ValueError, match="PHASH_BUCKET_CAP"):
         media_dedup_stream_report(spark, d["state"])
     rep = media_dedup_stream_report(spark, d["state"], allow_capped=True)
     assert rep.count() == len(rows)
