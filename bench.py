@@ -150,6 +150,11 @@ HEADLINE = [
     # r9 addition: the distilled NB quality classifier (silver-label
     # pass + vocab-scale model groupBy + postings-shaped scoring join).
     "quality_classifier_distill",
+    # r10 addition: the stage-7 operating-point table — the classifier's
+    # identical scored frame + an 8-literal threshold explode and a
+    # bounded groupBy; timing it alongside the classifier prices the
+    # sweep's marginal cost (should be near-zero over the shared plan).
+    "classifier_threshold_curve",
     "embedding_random_projection",
     # r4 additions: BPE encode pass (merge learning runs at frame-build;
     # the timed pass is the corpus scan + vocab-scale literal-replace

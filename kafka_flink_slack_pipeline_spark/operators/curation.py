@@ -2208,7 +2208,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     silver label — and applied to the remaining survivors, dropping
     docs that PASS the rules but token-profile like rule-failers; that
     generalization beyond the rule battery is the reason production
-    pipelines run a classifier stage at all). The source and classifier
+    pipelines run a classifier stage at all; the stage's > 1.0 cut is
+    the deployed default whose operating-point table is
+    textops.classifier_threshold_curve — the knob a deployment reads
+    to move the cut). The source and classifier
     rules are computed over the WHOLE corpus (failers included — a
     source's mean quality, and the classifier's model, are properties
     of everything that was shipped, not of the survivors), so they land

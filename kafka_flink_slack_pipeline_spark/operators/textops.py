@@ -360,8 +360,14 @@ ORDER BY doc_id
 # scanned 3x (model pass, scoring pass, class totals — the
 # doc_unigram_surprisal budget); silver_keep rides the exploded frame
 # so no fourth label join-back.
-def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+def _nb_scored(d: DataFrame) -> DataFrame:
+    """Shared scored frame of the distilled classifier: one row per doc
+    with (doc_id, n_toks, n_terms, nb_score, silver_keep) — the
+    classifier query below selects its report columns from it and the
+    threshold-curve op sweeps its operating points over it, so the model
+    and scoring math cannot drift between the two driver rows. n_toks
+    (total whitespace tokens, the curve's kept-token weight) rides the
+    groupBy keys — functionally dependent on doc_id, no extra shuffle."""
     labeled = quality_signals_of(d, with_toks=True).select(
         "doc_id",
         (
@@ -370,10 +376,11 @@ def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("silver_keep"),
+        F.size("toks").cast("long").alias("n_toks"),
         F.array_distinct(F.col("toks")).alias("terms"),
     )
     toks = labeled.select(
-        "doc_id", "silver_keep", F.explode("terms").alias("term")
+        "doc_id", "silver_keep", "n_toks", F.explode("terms").alias("term")
     )
     classes = labeled.agg(
         F.sum("silver_keep").cast("long").alias("nk"),
@@ -390,8 +397,8 @@ def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.join(model, "term")  # every corpus term is in the model
         .crossJoin(F.broadcast(classes))
-        .select("doc_id", "silver_keep", w.alias("w"))
-        .groupBy("doc_id", "silver_keep")
+        .select("doc_id", "silver_keep", "n_toks", w.alias("w"))
+        .groupBy("doc_id", "silver_keep", "n_toks")
         .agg(
             F.count(F.lit(1)).alias("n_terms"),
             F.round(
@@ -400,6 +407,12 @@ def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("nb_score"),
         )
+    )
+
+
+def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _nb_scored(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "n_terms",
@@ -412,9 +425,10 @@ def quality_classifier_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Assembled lazily (module bottom): QUALITY_SIG_SQL is defined below
-# with the signal machinery it mirrors.
-_QUALITY_CLASSIFIER_ORACLE_TMPL = """
-WITH sig AS ({SIG}),
+# with the signal machinery it mirrors. The CTE body (everything up to
+# `scored`) is SHARED between the classifier report's oracle and the
+# threshold-curve oracle — one definition, two consumers, no drift.
+_CLASSIFIER_SCORED_CTES_TMPL = """sig AS ({SIG}),
 labels AS (
   SELECT doc_id,
          (quality_score >= {MINQ} AND dup_bigram_frac <= {MAXDB})::INT
@@ -427,6 +441,7 @@ classes AS (
 ),
 toks AS (
   SELECT d.doc_id, l.keep,
+         len(regexp_split_to_array(trim(d.text), '\\s+'))::BIGINT AS n_toks,
          unnest(list_distinct(regexp_split_to_array(trim(d.text), '\\s+')))
            AS term
   FROM documents d JOIN labels l USING (doc_id)
@@ -436,16 +451,131 @@ model AS (
   FROM toks GROUP BY term
 ),
 scored AS (
-  SELECT t.doc_id, t.keep AS silver_keep, count(*)::BIGINT AS n_terms,
+  SELECT t.doc_id, t.keep AS silver_keep, t.n_toks,
+         count(*)::BIGINT AS n_terms,
          round(sum(((((ck + 1) * (nd + 2))::DOUBLE
                      / ((cd + 1) * (nk + 2))))::DECIMAL(25,10))::DOUBLE
                / count(*), 6) AS nb_score
   FROM toks t JOIN model USING (term), classes
-  GROUP BY t.doc_id, t.keep
-)
+  GROUP BY t.doc_id, t.keep, t.n_toks
+)"""
+
+_QUALITY_CLASSIFIER_ORACLE_TMPL = """
+WITH {CTES}
 SELECT doc_id, n_terms, nb_score, silver_keep,
        (nb_score > 1.0)::INT AS pred_keep
 FROM scored ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Classifier operating-point table — the knob the deployment reads to
+# pick the stage-7 cut (the tuning-curve precedent: ivf_nprobe_recall_
+# curve, minhash_banding_tradeoff). quality_classifier_distill ships
+# pred_keep = score > 1.0 as a stated diagnostic threshold; this table
+# sweeps the threshold over a fixed literal grid and reports precision /
+# recall / F1 against the stage-1 silver labels plus the kept-doc and
+# kept-token fractions — the retention cost of each operating point.
+# The grid brackets the rational-surrogate score's observed band
+# (means of per-term likelihood ratios land in ~[1.5, 1.9] on these
+# corpora; 1.0 is the deployed keep-everything-the-model-likes default)
+# — the sweep is a LITERAL, like every knob table here, so the driver
+# hash pins the whole curve.
+#
+# Exactness: tp/fp/fn are integer counts of (rounded score) > (literal)
+# comparisons; each reported ratio is ONE double division of exact
+# integers, rounded 6, with zero denominators guarded by CASE on both
+# engines. Recall is monotone non-increasing in the threshold BY
+# CONSTRUCTION (raising the cut only shrinks the predicted-keep set),
+# which the test pins.
+#
+# 100 TB shape: one scored frame (the classifier's own bounded plan),
+# then ONE narrow explode over an 8-literal array + a groupBy on the
+# 8-value threshold key — bounded aggregate, no new shuffle shapes.
+_CLS_THRESHOLDS = (1.0, 1.65, 1.7, 1.725, 1.75, 1.775, 1.8, 1.85)
+
+
+def classifier_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _nb_scored(table(spark, sf_dir, "documents"))
+    sw = scored.select(
+        "silver_keep",
+        "n_toks",
+        "nb_score",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in _CLS_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    pred = F.col("nb_score") > F.col("threshold")
+    kept = F.col("silver_keep") == 1
+
+    def n(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, F.lit(1))), F.lit(0)
+        ).cast("long")
+
+    agg = sw.groupBy("threshold").agg(
+        n(pred & kept).alias("tp"),
+        n(pred & ~kept).alias("fp"),
+        n(~pred & kept).alias("fn"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(pred, F.col("n_toks"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+
+    def ratio(num, den):
+        return F.when(den > 0, F.round(num.cast("double") / den, 6))
+
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        ratio(tp, tp + fp).alias("precision"),
+        ratio(tp, tp + fn).alias("recall"),
+        ratio(2 * tp, 2 * tp + fp + fn).alias("f1"),
+        ratio(tp + fp, F.col("n_docs")).alias("kept_doc_frac"),
+        ratio(F.col("kept_tokens"), F.col("total_tokens")).alias(
+            "kept_token_frac"
+        ),
+    ).orderBy("threshold")
+
+
+_CLS_CURVE_ORACLE_TMPL = """
+WITH {CTES},
+sweep AS (
+  SELECT s.silver_keep, s.n_toks, s.nb_score, u.threshold
+  FROM scored s, unnest([{THRESHOLDS}]::DOUBLE[]) AS u(threshold)
+),
+agg AS (
+  SELECT threshold,
+         coalesce(sum((nb_score > threshold AND silver_keep = 1)::INT),
+                  0)::BIGINT AS tp,
+         coalesce(sum((nb_score > threshold AND silver_keep = 0)::INT),
+                  0)::BIGINT AS fp,
+         coalesce(sum((nb_score <= threshold AND silver_keep = 1)::INT),
+                  0)::BIGINT AS fn,
+         count(*)::BIGINT AS n_docs,
+         coalesce(sum(CASE WHEN nb_score > threshold THEN n_toks END),
+                  0)::BIGINT AS kept_tokens,
+         sum(n_toks)::BIGINT AS total_tokens
+  FROM sweep GROUP BY threshold
+)
+SELECT threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN round((2 * tp)::DOUBLE / (2 * tp + fp + fn), 6) END AS f1,
+       CASE WHEN n_docs > 0
+            THEN round((tp + fp)::DOUBLE / n_docs, 6) END AS kept_doc_frac,
+       CASE WHEN total_tokens > 0
+            THEN round(kept_tokens::DOUBLE / total_tokens, 6) END
+         AS kept_token_frac
+FROM agg ORDER BY threshold
 """
 
 
@@ -1489,10 +1619,17 @@ QUALITY_SIG_SQL = """
 # Assembled here because it composes QUALITY_SIG_SQL (the classifier's
 # silver labels are the stage-1 battery verdicts — the same sig CTE the
 # funnel oracle shares, so the rule cannot drift between consumers).
-QUALITY_CLASSIFIER_ORACLE = _QUALITY_CLASSIFIER_ORACLE_TMPL.format(
+_CLASSIFIER_SCORED_CTES = _CLASSIFIER_SCORED_CTES_TMPL.format(
     SIG=QUALITY_SIG_SQL,
     MINQ=_FILTER_MIN_QUALITY,
     MAXDB=_FILTER_MAX_DUP_BIGRAM,
+)
+QUALITY_CLASSIFIER_ORACLE = _QUALITY_CLASSIFIER_ORACLE_TMPL.format(
+    CTES=_CLASSIFIER_SCORED_CTES
+)
+CLS_THRESHOLD_CURVE_ORACLE = _CLS_CURVE_ORACLE_TMPL.format(
+    CTES=_CLASSIFIER_SCORED_CTES,
+    THRESHOLDS=", ".join(str(t) for t in _CLS_THRESHOLDS),
 )
 
 
@@ -1822,6 +1959,11 @@ QUERIES = [
               "production move): Bernoulli NB over distinct tokens, "
               "stage-1 battery verdicts as silver labels, ln-free rational "
               "likelihood-ratio scoring"),
+    QuerySpec("classifier_threshold_curve", classifier_threshold_curve,
+              CLS_THRESHOLD_CURVE_ORACLE,
+              "classifier operating-point table: precision/recall/F1 + "
+              "kept-doc/kept-token fractions per threshold over the NB "
+              "score, against the stage-1 silver labels"),
     QuerySpec("boilerplate_line_scrub", boilerplate_line_scrub,
               BOILERPLATE_SCRUB_ORACLE,
               "RefinedWeb line-wise correction: corpus-frequent "

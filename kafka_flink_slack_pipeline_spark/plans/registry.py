@@ -552,6 +552,17 @@ _DEMOTED = (
     # tests; both oracles stay verify_local-covered each round.
     "media_neardup_video",
     "media_neardup_audio",
+    # r10: one slot for classifier_threshold_curve (new-code rule: the
+    # stage-7 operating-point table — precision/recall/F1 + kept-doc/
+    # kept-token fractions per threshold against the silver labels).
+    # ivf_nprobe_recall_curve rotates out on the ann_recall_report /
+    # lsh_radius_recall_curve precedent: it is an EVALUATION COMPOSITION
+    # whose member pipeline (the nprobe-pruned IVF list scan + exact
+    # re-rank) keeps TWO in-window hash rows — cosine_topk_ivfpq's stage
+    # 1 and, arriving this round, hybrid_search_rrf_ivf's list-pruned
+    # dense ranker; its nprobe-monotonicity contract is pinned by a
+    # dedicated test and its composed oracle stays verify_local-covered.
+    "ivf_nprobe_recall_curve",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score

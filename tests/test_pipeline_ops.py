@@ -380,6 +380,34 @@ def test_quality_classifier_distill_learns_the_silver_signal(spark, tmp_path):
         assert out[10 + i].silver_keep == 0 and out[10 + i].pred_keep == 0
 
 
+def test_classifier_threshold_curve_monotone_and_consistent(spark, sf_dir):
+    """The operating-point table's structural contracts: recall and the
+    kept-doc/kept-token fractions are monotone NON-INCREASING in the
+    threshold (raising the cut only shrinks the predicted-keep set);
+    tp+fn is the constant silver-keep count on every row; and the
+    deployed 1.0 row's kept docs (tp+fp) equal the standalone
+    classifier's pred_keep sum — the curve and the classifier cannot
+    disagree about the default operating point."""
+    from kafka_flink_slack_pipeline_spark.operators.textops import (
+        classifier_threshold_curve,
+        quality_classifier_distill,
+    )
+
+    rows = classifier_threshold_curve(spark, sf_dir).orderBy(
+        "threshold"
+    ).collect()
+    assert len(rows) == 8
+    for a, b in zip(rows, rows[1:]):
+        assert a.recall is None or b.recall is None or a.recall >= b.recall
+        assert a.kept_doc_frac >= b.kept_doc_frac
+        assert a.kept_token_frac >= b.kept_token_frac
+    silver = {r.tp + r.fn for r in rows}
+    assert len(silver) == 1  # constant positives across thresholds
+    cls = quality_classifier_distill(spark, sf_dir).collect()
+    deployed = [r for r in rows if r.threshold == 1.0][0]
+    assert deployed.tp + deployed.fp == sum(r.pred_keep for r in cls)
+
+
 def test_quality_classifier_distill_agreement_on_corpus(spark, sf_dir):
     """On the real corpus the classifier must agree with its own silver
     labels well above chance (it is distilling them), and n_terms must

@@ -82,6 +82,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # broadcast of the 1-row (nk, nd) class-totals aggregate (constant
     # attach — the doc_unigram_surprisal shape)
     "quality_classifier_distill": (1, "1-row class totals broadcast"),
+    # the threshold sweep runs over the classifier's identical scored
+    # frame — same 1-row class-totals attach
+    "classifier_threshold_curve": (1, "1-row class totals broadcast"),
     # the same 1-row class-totals attach inside the funnel's r9
     # classifier stage
     "corpus_curation_funnel": (1, "1-row class totals broadcast "
@@ -180,6 +183,9 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "hybrid_search_rrf": (4, "composes bm25's postings + seeds + stats "
                              "documents branches unchanged"),
     "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
+    "classifier_threshold_curve": (3, "the classifier's scored-frame "
+                                      "budget (model + scoring + class "
+                                      "totals); the sweep adds no scan"),
     "quality_classifier_distill": (3, "NB model pass + scoring pass + "
                                       "1-row class totals"),
     "dedup_incremental": (2, "disjoint shard/corpus slices of one scan"),
