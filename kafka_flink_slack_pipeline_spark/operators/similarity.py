@@ -576,11 +576,16 @@ def _assign_cid(model: list[tuple[int, list[float]]], sims_col):
 
 
 def _ivf_index(
-    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = IVF_NPROBE,
+    query_pred=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, probes) shared by the IVF and IVF-PQ searchers:
     inverted lists keyed by nearest centroid, and each query's NPROBE
-    nearest lists.
+    nearest lists. `query_pred` overrides the default vec_id < 10 query
+    workload (hybrid_search_rrf_ivf passes the BM25 seed rule so the
+    fused retrievers share one information need per query).
 
     r4 rewrite: the codebook is collected once as model state and enters
     the plan as literals. Assignment becomes argmax over a PROJECTED
@@ -612,7 +617,9 @@ def _ivf_index(
         nprobe,
     )
     probes = (
-        emb.filter(F.col("vec_id") < 10)
+        emb.filter(
+            F.col("vec_id") < 10 if query_pred is None else query_pred
+        )
         .select("vec_id", "emb", norm(F.col("emb")).alias("nrm"))
         .select(
             F.col("vec_id").alias("query_id"),
