@@ -1,51 +1,72 @@
-"""Streaming face of the perceptual media near-dup (batch semantics:
-operators/multimodal.py media_neardup_phash's fingerprints, keep-first
-verdicts): media payloads arrive as JSONL drops (doc_id, base64 payload,
-ingest_ts — JSON cannot carry raw binary; `unbase64` restores the bytes
-before the Arrow kernel); every micro-batch
+"""Streaming face of the perceptual media near-dup, ALL THREE
+modalities (batch semantics: operators/multimodal.py — the image aHash
+of media_neardup_phash, the video frame-coverage rule of
+media_neardup_video, the audio whole-track contour of
+media_neardup_audio; keep-first verdicts): media payloads arrive as
+JSONL drops (doc_id, base64 payload, mimetype, ingest_ts — JSON cannot
+carry raw binary; `unbase64` restores the bytes before the Arrow
+kernels); every micro-batch
 
-    1. fingerprints its arrivals with the image perceptual hash
-       (phash_fps_of — the 8x8 block-mean thumbnail kernel + the aHash
-       bit rule, the in-window hash-checked batch kernel verbatim);
-    2. lands the fingerprints BANDED (one row per (doc, band) carrying
-       (fp_hi, fp_lo, bval) — the LSH-index layout, _fp_bands) in a
-       parquet store partitioned by (band, bprefix = bval mod 8),
-       batch_id-scoped overwrite (the idempotent-replay contract every
-       store in this package uses; batch N reads batch_id < N only);
-    3. judges arrivals against history: an arrival is DROPPED iff a
-       lower-id fingerprint (landed, or same-batch) matches one of its
-       4 bands exactly and sits within hamming <= PHASH_MAX_HAMMING
-       (keep-first — the media twin of the text funnel's stage 3). The
-       store scan partition-prunes to the <= BANDS x PREFIXES touched
-       directories, then semi-joins against the batch's broadcast
-       (band, bval) key set, so per-batch cost tracks touched-bucket
-       content, not landed history (the curation funnel's measured
-       store discipline, SCALE_PROBE_FUNNEL.json).
+    1. ROUTES arrivals by mimetype to the right fingerprint kernel
+       (the reference's files[] mimetype dispatch,
+       slackEventServer.js:160,245): image/* -> phash_fps_of (the 8x8
+       block-mean thumbnail kernel + the aHash bit rule, 1 unit/doc),
+       video/* -> contour_fps_of(., FRAME_BYTES) (per-frame 64-bit
+       energy contours), audio/* -> contour_fps_of(., None) (one
+       whole-track contour). All kernels emit the same long format
+       (modality, doc_id, frame_idx, n_frames, fp_hi, fp_lo); a row
+       with a NULL/unroutable mimetype carries nothing we can
+       fingerprint and is EXCLUDED, visible as n_raw - n_docs in the
+       batch metrics (the NULL-payload telemetry rule);
+    2. lands the fingerprints BANDED (one row per (unit, band) carrying
+       the full fingerprint — the LSH-index layout, _fp_bands) in a
+       parquet store partitioned by (modality, band, bprefix =
+       bval mod 8), batch_id-scoped overwrite (the idempotent-replay
+       contract every store in this package uses; batch N reads
+       batch_id < N only);
+    3. judges arrivals against history under ONE unified rule: a pair
+       (a < b) QUALIFIES when greatest(cov_a, cov_b) >=
+       VIDEO_MIN_COVERAGE over its hamming <= PHASH_MAX_HAMMING matched
+       units, where cov_x = round(matched_x / n_frames_x, 6). For
+       single-unit modalities (image, audio) this reduces exactly to
+       "any banded hamming<=3 match qualifies" (cov = 1/1), so the one
+       expression IS the batch ops' three rules; an arrival is DROPPED
+       iff any lower-id doc qualifies (keep-first — the media twin of
+       the text funnel's stage 3). The store scan partition-prunes to
+       the <= 3 x BANDS x PREFIXES touched directories, then semi-joins
+       against the batch's broadcast (modality, band, bval) key set, so
+       per-batch cost tracks touched-bucket content, not landed history
+       (the curation funnel's measured store discipline,
+       SCALE_PROBE_MEDIA.json).
 
 PARITY CONTRACT (tests/test_streaming_media.py, across a checkpoint
-restart): with monotone ingest (doc_id order), the accumulated verdicts
-equal `media_dedup_batch_of` on the same payloads exactly — same keep
-flags, same n_dups (distinct lower-id matches), same best_hamming.
+restart, mixed-modality drops): with monotone ingest (doc_id order),
+the accumulated verdicts equal `media_dedup_batch_of` on the same
+(payload, mimetype) rows exactly — same keep flags, same n_dups
+(distinct qualifying lower-id docs), same best_hamming (min matched-
+unit hamming over qualifying docs), same best_coverage.
 PARITY PRECONDITION, stated explicitly (the funnel's stage-3 shape):
-the batch op caps band buckets at PHASH_BUCKET_CAP over the WHOLE
-corpus while the stream caps them AS-OF-BATCH, so parity holds only
-while no bucket crosses the cap mid-stream. Each batch records
-`d_capped` (touched buckets over the cap) in its metrics row, and
+the batch op caps (modality, band, bval) buckets over the WHOLE corpus
+while the stream caps them AS-OF-BATCH, so parity holds only while no
+bucket crosses the cap mid-stream. Each batch records `d_capped`
+(touched buckets over the cap) in its metrics row, and
 media_dedup_stream_report REFUSES to hand over the table while
 Σ d_capped > 0 unless the caller passes allow_capped=True (the report
 gate shape the funnel and ingest-metrics checks use).
 
 Store maintenance is the shared rails: compact_media_store folds
-committed batches into one directory ((band, bprefix) layout
+committed batches into one directory ((modality, band, bprefix) layout
 preserved; id-horizon + commits-log validation; underscore-prefixed
 crash staging every reader refuses loudly), and the runner invokes it
 every `compact_every` batches BY DEFAULT — the auto-compaction policy
 both sibling stores ship with.
 
-100 TB/day shape: the fingerprint kernel is one Arrow map (1 row per
-image); the store write is 4 band rows per doc; the near-dup join
-reads only touched buckets (pruned scan + broadcast semi-join); no
-stage holds unbounded executor state. MEASURED (tools/media_probe.py,
+100 TB/day shape: each fingerprint kernel is one Arrow map (1 row per
+image/track, 1 per video frame); the store write is BANDS rows per
+unit; the near-dup join reads only touched buckets (pruned scan +
+broadcast semi-join); the coverage agg keys on matched (doc_a, doc_b)
+pairs — bounded by actual matches, never all-pairs; no stage holds
+unbounded executor state. MEASURED (tools/media_probe.py,
 SCALE_PROBE_MEDIA.json, three decades of store growth in untouched
 buckets, 66k -> 66M rows): the shipped path's store-size exponent is
 0.148 (1.6 -> 4.5 s) while the unpartitioned-layout counterfactual
@@ -53,7 +74,9 @@ enters its linear regime in the top decade (2.3 -> 11.4 s, exponent
 0.385 and climbing) — honest caveat: the layout's fixed overhead
 (partition discovery + semi-join) exceeds a whole-store scan below
 ~10M rows and pays for itself beyond the crossover, which is the
-regime the store exists for.
+regime the store exists for. Video is the store's fastest-growing
+modality (one row per frame per band); SCALE_PROBE_MEDIA's video face
+measures that growth term separately.
 """
 
 from __future__ import annotations
@@ -64,9 +87,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    CONTOUR_SEGMENTS,
+    FRAME_BYTES,
     PHASH_MAX_HAMMING,
-    _banded_fp_candidates,
+    VIDEO_MIN_COVERAGE,
     _fp_bands,
+    contour_fps_of,
     phash_fps_of,
 )
 from .curation_funnel import (
@@ -75,9 +101,17 @@ from .curation_funnel import (
     _compact_batch_store,
 )
 
-MEDIA_DROP_SCHEMA = "doc_id bigint, payload_b64 string, ingest_ts timestamp"
+MEDIA_DROP_SCHEMA = (
+    "doc_id bigint, payload_b64 string, mimetype string, "
+    "ingest_ts timestamp"
+)
 _FP_STORE_PREFIXES = 8
-_STORE_COLS = ["doc_id", "fp_hi", "fp_lo", "band", "bval"]
+_STORE_COLS = [
+    "modality", "doc_id", "frame_idx", "n_frames", "fp_hi", "fp_lo",
+    "band", "bval",
+]
+_BAND_CARRY = ("modality", "doc_id", "frame_idx", "n_frames")
+_BUCKET_KEY = ["modality", "band", "bval"]
 
 
 def _bprefix_col():
@@ -92,40 +126,147 @@ def _hamming(a: str, b: str):
     ).cast("bigint")
 
 
-def media_dedup_batch_of(media: DataFrame) -> DataFrame:
-    """Keep-first batch verdicts over (doc_id, payload) media — the
-    parity reference the stream must reproduce: keep iff no lower-id
-    fingerprint within hamming <= PHASH_MAX_HAMMING under the banded
-    plan (same bands, same bucket cap as media_neardup_phash)."""
-    fps = phash_fps_of(media)
-    dups = (
-        _banded_fp_candidates(fps, ("doc_id",))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .select(
-            F.col("b.doc_id").alias("doc_id"),
-            F.col("a.doc_id").alias("dup_of"),
-            "hamming",
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.min("hamming").alias("best_hamming"),
-        )
-    )
-    return (
-        fps.join(dups, "doc_id", "left")
-        .select(
+def _routed_fps(media: DataFrame) -> DataFrame:
+    """(doc_id, payload, mimetype) -> the unified per-unit fingerprint
+    long format (modality, doc_id, frame_idx, n_frames, fp_hi, fp_lo):
+    mimetype routes each payload to its batch op's kernel and gate —
+    image/* through the aHash thumbnail kernel (one unit), video/*
+    through per-frame contours, audio/* through one whole-track contour.
+    Unroutable mimetypes (NULL or anything else) produce no rows — the
+    caller's n_raw - n_docs telemetry keeps them visible."""
+    img = media.filter(
+        F.col("mimetype").startswith("image/")
+        & (F.octet_length("payload") > 0)  # F7 gate, batch-op parity
+    ).select("doc_id", "payload")
+    vid = media.filter(
+        F.col("mimetype").startswith("video/")
+        & (F.octet_length("payload") > 0)
+    ).select("doc_id", "payload")
+    aud = media.filter(
+        F.col("mimetype").startswith("audio/")
+        & (F.octet_length("payload") >= CONTOUR_SEGMENTS)
+    ).select("doc_id", "payload")
+
+    def unit(fps: DataFrame, modality: str) -> DataFrame:
+        return fps.select(
+            F.lit(modality).alias("modality"),
             "doc_id",
+            F.lit(0).cast("long").alias("frame_idx"),
+            F.lit(1).cast("long").alias("n_frames"),
             "fp_hi",
             "fp_lo",
-            F.col("n_dups").isNull().alias("keep"),
-            F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
-            "best_hamming",
         )
-        .orderBy("doc_id")
+
+    framed = contour_fps_of(vid, FRAME_BYTES).select(
+        F.lit("video").alias("modality"),
+        "doc_id", "frame_idx", "n_frames", "fp_hi", "fp_lo",
     )
+    return (
+        unit(phash_fps_of(img), "image")
+        .unionByName(framed)
+        .unionByName(
+            unit(
+                contour_fps_of(aud, None).select("doc_id", "fp_hi", "fp_lo"),
+                "audio",
+            )
+        )
+    )
+
+
+def _verdicts_of(
+    bands_a: DataFrame, bands_b: DataFrame, fps: DataFrame
+) -> DataFrame:
+    """Keep-first verdicts for the arrival side `bands_b`, judged
+    against `bands_a` (the capped history ∪ same-batch band rows) —
+    shared VERBATIM by media_dedup_batch_of and the stream stage, so
+    the parity contract is enforced by construction.
+
+    The unified rule: units pair on an exact band match at hamming <=
+    PHASH_MAX_HAMMING (pigeonhole: 4 disjoint 16-bit bands cover
+    hamming <= 3); a doc pair (a < b) QUALIFIES when
+    greatest(cov_a, cov_b) >= VIDEO_MIN_COVERAGE over its matched
+    units. Single-unit modalities reduce to "any match qualifies"
+    (cov = 1/1) — exactly the batch image/audio rule — while video
+    reproduces video_neardup_pairs_of's re-encode AND clip classes."""
+    matched = (
+        bands_a.alias("a")
+        .join(
+            bands_b.alias("b"),
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.modality").alias("modality"),
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("dup_of"),
+            F.col("a.n_frames").alias("n_frames_a"),
+            F.col("b.n_frames").alias("n_frames_b"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.frame_idx").alias("fb"),
+            _hamming("a", "b").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )
+    cov_a = F.round(F.col("matched_a") / F.col("n_frames_a"), 6)
+    cov_b = F.round(F.col("matched_b") / F.col("n_frames_b"), 6)
+    qual = (
+        matched.groupBy(
+            "modality", "doc_id", "dup_of", "n_frames_a", "n_frames_b"
+        )
+        .agg(
+            F.countDistinct("fa").alias("matched_a"),
+            F.countDistinct("fb").alias("matched_b"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .withColumn("coverage", F.greatest(cov_a, cov_b))
+        .filter(F.col("coverage") >= F.lit(VIDEO_MIN_COVERAGE))
+    )
+    verd = qual.groupBy("modality", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("min_hamming").alias("best_hamming"),
+        F.max("coverage").alias("best_coverage"),
+    )
+    # one row per fingerprinted doc; single-unit docs carry their
+    # fingerprint into the verdict (the r9 image-face certificate),
+    # multi-frame videos carry NULL fps and their unit count
+    roster = fps.groupBy("modality", "doc_id").agg(
+        F.max("n_frames").alias("n_units"),
+        F.max(F.when(F.col("n_frames") == 1, F.col("fp_hi"))).alias("fp_hi"),
+        F.max(F.when(F.col("n_frames") == 1, F.col("fp_lo"))).alias("fp_lo"),
+    )
+    return roster.join(verd, ["modality", "doc_id"], "left").select(
+        "modality",
+        "doc_id",
+        "n_units",
+        "fp_hi",
+        "fp_lo",
+        F.col("n_dups").isNull().alias("keep"),
+        F.coalesce("n_dups", F.lit(0).cast("long")).alias("n_dups"),
+        "best_hamming",
+        "best_coverage",
+    )
+
+
+def media_dedup_batch_of(media: DataFrame) -> DataFrame:
+    """Keep-first batch verdicts over (doc_id, payload, mimetype) media
+    — the parity reference the stream must reproduce, all three
+    modalities: keep iff no lower-id doc qualifies under the unified
+    coverage rule (same kernels, same bands, same per-(modality, band,
+    bval) bucket cap as the registered batch ops)."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import PHASH_BUCKET_CAP
+
+    fps = _routed_fps(media)
+    bands = _fp_bands(fps, _BAND_CARRY)
+    sized = bands.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy(*_BUCKET_KEY))
+    )
+    bands_a = sized.filter(F.col("bsize") <= PHASH_BUCKET_CAP).drop("bsize")
+    return _verdicts_of(bands_a, bands, fps).orderBy("modality", "doc_id")
 
 
 def compact_media_store(
@@ -135,16 +276,16 @@ def compact_media_store(
     checkpoint_dir: str | None = None,
 ) -> int:
     """Fold fingerprint-store batches [0, upto) into ONE batch directory
-    (id = upto - 1), preserving the (band, bprefix) layout — the
-    signature store's compaction discipline applied to the media store
-    (partition discovery across batch dirs is the pruned path's
+    (id = upto - 1), preserving the (modality, band, bprefix) layout —
+    the signature store's compaction discipline applied to the media
+    store (partition discovery across batch dirs is the pruned path's
     residual growth term). Shares _compact_batch_store's safety rails."""
     return _compact_batch_store(
         spark,
         store_dir,
         upto,
         cols=[*_STORE_COLS, "bprefix"],
-        partition_cols=["band", "bprefix"],
+        partition_cols=["modality", "band", "bprefix"],
         what="media fingerprint store dir",
         checkpoint_dir=checkpoint_dir,
     )
@@ -154,12 +295,13 @@ def _pruned_fp_store(
     spark: SparkSession,
     store_dir: str,
     before: int,
-    touched: list[tuple[int, int]],
+    touched: list[tuple[str, int, int]],
 ):
     """Landed band rows from batches < `before`, scan-pruned to the
-    touched (band, bprefix) partitions; None when no store exists yet.
-    `touched` is bounded (<= BANDS * _FP_STORE_PREFIXES pairs), so the
-    literal OR-chain is a static partition-pruning predicate."""
+    touched (modality, band, bprefix) partitions; None when no store
+    exists yet. `touched` is bounded (<= 3 modalities x BANDS x
+    _FP_STORE_PREFIXES triples), so the literal OR-chain is a static
+    partition-pruning predicate."""
     _assert_local_dir(store_dir, "media fingerprint store dir")
     if not os.path.isdir(store_dir):
         return None
@@ -170,8 +312,12 @@ def _pruned_fp_store(
         return None
     store = spark.read.option("basePath", store_dir).parquet(store_dir)
     hit = None
-    for band, bprefix in touched:
-        term = (F.col("band") == band) & (F.col("bprefix") == bprefix)
+    for modality, band, bprefix in touched:
+        term = (
+            (F.col("modality") == modality)
+            & (F.col("band") == band)
+            & (F.col("bprefix") == bprefix)
+        )
         hit = term if hit is None else (hit | term)
     return (
         store.filter(F.col("batch_id") < before)
@@ -221,97 +367,69 @@ def media_dedup_stream(
 
         # The raw frame is persisted so n_raw (every arrival,
         # fingerprintable or not — the telemetry that keeps the
-        # NULL/empty exclusions below visible) and the fingerprint
-        # derivation share ONE source scan per micro-batch (ADVICE r9:
-        # the trailing batch.count() re-executed the JSON read).
+        # NULL/empty/unroutable exclusions below visible) and the
+        # fingerprint derivation share ONE source scan per micro-batch
+        # (ADVICE r9: the trailing batch.count() re-executed the JSON
+        # read).
         batch = batch.persist()
         n_raw = batch.count()
-        # NULL/empty payloads carry no pixels to fingerprint and would
-        # crash the Arrow kernel (bytes(None)); they are excluded here
-        # exactly as the batch op's octet_length gate excludes them —
-        # parity-preserving, since media_dedup_batch_of never sees a
-        # row the kernel would skip either
-        fps = phash_fps_of(
-            batch.filter(F.col("payload_b64").isNotNull())
-            .select("doc_id", F.unbase64("payload_b64").alias("payload"))
-            .filter(F.octet_length("payload") > 0)
+        # NULL payloads carry no pixels to fingerprint and would crash
+        # the Arrow kernels (bytes(None)); _routed_fps applies each
+        # modality's batch-op gate (octet_length / CONTOUR_SEGMENTS)
+        # and drops unroutable mimetypes — parity-preserving, since
+        # media_dedup_batch_of routes through the same function
+        fps = _routed_fps(
+            batch.filter(F.col("payload_b64").isNotNull()).select(
+                "doc_id",
+                F.unbase64("payload_b64").alias("payload"),
+                "mimetype",
+            )
         ).persist()
         bands_batch = sized = None
         try:
             bands_batch = (
-                _fp_bands(fps, ("doc_id",))
+                _fp_bands(fps, _BAND_CARRY)
                 .withColumn("bprefix", _bprefix_col())
                 .persist()
             )
             bands_batch.write.mode("overwrite").partitionBy(
-                "band", "bprefix"
+                "modality", "band", "bprefix"
             ).parquet(f"{store_dir}/batch_id={batch_id}")
 
             touched = [
-                (r["band"], r["bprefix"])
-                for r in bands_batch.select("band", "bprefix")
+                (r["modality"], r["band"], r["bprefix"])
+                for r in bands_batch.select("modality", "band", "bprefix")
                 .distinct()
-                .collect()  # bounded: <= BANDS * _FP_STORE_PREFIXES rows
+                .collect()  # bounded: <= 3 * BANDS * _FP_STORE_PREFIXES
             ]
             store = _pruned_fp_store(spark, store_dir, batch_id, touched)
-            batch_keys = bands_batch.select("band", "bval").distinct()
+            batch_keys = bands_batch.select(*_BUCKET_KEY).distinct()
             if store is None:
                 all_touched = bands_batch.select(*_STORE_COLS)
             else:
                 all_touched = store.join(
-                    F.broadcast(batch_keys), ["band", "bval"], "semi"
+                    F.broadcast(batch_keys), _BUCKET_KEY, "semi"
                 ).unionByName(bands_batch.select(*_STORE_COLS))
             sized = all_touched.withColumn(
                 "bsize",
-                F.count(F.lit(1)).over(Window.partitionBy("band", "bval")),
+                F.count(F.lit(1)).over(Window.partitionBy(*_BUCKET_KEY)),
             ).persist()
             bands_a = sized.filter(F.col("bsize") <= PHASH_BUCKET_CAP)
             d_capped = (
                 sized.filter(F.col("bsize") > PHASH_BUCKET_CAP)
-                .select("band", "bval")
+                .select(*_BUCKET_KEY)
                 .distinct()
                 .count()
             )
-            dups = (
-                bands_a.alias("a")
-                .join(
-                    bands_batch.alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bval") == F.col("b.bval"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")),
-                )
-                .select(
-                    F.col("b.doc_id").alias("doc_id"),
-                    F.col("a.doc_id").alias("dup_of"),
-                    _hamming("a", "b").alias("hamming"),
-                )
-                .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-                .distinct()
-                .groupBy("doc_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n_dups"),
-                    F.min("hamming").alias("best_hamming"),
-                )
-            )
             (
-                fps.join(dups, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    "fp_hi",
-                    "fp_lo",
-                    F.col("n_dups").isNull().alias("keep"),
-                    F.coalesce("n_dups", F.lit(0).cast("long")).alias(
-                        "n_dups"
-                    ),
-                    "best_hamming",
-                )
+                _verdicts_of(bands_a, bands_batch, fps)
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
             (
                 fps.agg(
                     F.lit(n_raw).cast("long").alias("n_raw"),
-                    F.count(F.lit(1)).alias("n_docs"),
+                    F.countDistinct("modality", "doc_id").alias("n_docs"),
                     F.lit(d_capped).cast("long").alias("d_capped"),
                 )
                 .write.mode("overwrite")
@@ -339,8 +457,9 @@ def media_dedup_stream_report(
     spark: SparkSession, state_dir: str, allow_capped: bool = False
 ) -> DataFrame:
     """Accumulated per-doc verdicts over every processed batch — the
-    same (doc_id, fp_hi, fp_lo, keep, n_dups, best_hamming) rows as
-    media_dedup_batch_of (the parity test compares them directly).
+    same (modality, doc_id, n_units, fp_hi, fp_lo, keep, n_dups,
+    best_hamming, best_coverage) rows as media_dedup_batch_of (the
+    parity test compares them directly).
 
     Refuses to hand over the table when any processed batch recorded
     band buckets over PHASH_BUCKET_CAP (the stated stream/batch parity
@@ -370,7 +489,8 @@ def media_dedup_stream_report(
         spark.read.option("basePath", f"{state_dir}/verdicts")
         .parquet(f"{state_dir}/verdicts")
         .select(
-            "doc_id", "fp_hi", "fp_lo", "keep", "n_dups", "best_hamming"
+            "modality", "doc_id", "n_units", "fp_hi", "fp_lo", "keep",
+            "n_dups", "best_hamming", "best_coverage",
         )
-        .orderBy("doc_id")
+        .orderBy("modality", "doc_id")
     )

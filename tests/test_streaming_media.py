@@ -1,11 +1,13 @@
-"""Stream/batch parity for the streaming perceptual media-dedup face.
+"""Stream/batch parity for the streaming perceptual media-dedup face,
+all three modalities.
 
 The contract (streaming/media_dedup.py): with monotone ingest (doc_id
 order), the accumulated keep-first verdicts equal media_dedup_batch_of
-on the same payloads exactly — across a checkpoint restart — the
-per-batch pair stage reads only touched (band, bprefix) store
-partitions, auto-compaction preserves the verdicts, and the report
-refuses a horizon whose batches recorded over-cap buckets.
+on the same (payload, mimetype) rows exactly — across a checkpoint
+restart, with image/video/audio arrivals routed by mimetype in the same
+drops — the per-batch pair stage reads only touched (modality, band,
+bprefix) store partitions, auto-compaction preserves the verdicts, and
+the report refuses a horizon whose batches recorded over-cap buckets.
 """
 
 from __future__ import annotations
@@ -26,40 +28,88 @@ from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
 )
 
 _COPY_OFFSET = 10**6
+_CLIP_OFFSET = 2 * 10**6
+
+
+def _reencode(payload: bytes) -> bytes:
+    """The fake codec's quality-loss class (quantize-to-even) — caught
+    by the perceptual kernels of all three modalities, missed by every
+    byte-level op (the planted batch tests' transform)."""
+    return bytes(b - (b % 2) for b in payload)
+
+
+_SYNTH_VIDEO_ID = 5000  # above the sf0.001 corpus, below the copies
 
 
 def _media_rows(spark, sf_dir):
-    """Image payloads from the corpus plus planted RE-ENCODE copies
-    (quantize-to-even, the fake codec's quality-loss class) at
-    doc_id + 1M — the keep-first verdicts must drop every copy."""
+    """(doc_id, payload, mimetype) rows of ALL THREE modalities from the
+    corpus — plus two synthetic MULTI-FRAME videos (every sf0.001 video
+    payload is under FRAME_BYTES, so the frame-coverage rule would
+    otherwise never see a second frame) — plus planted near-dups the
+    keep-first verdicts must drop: re-encode copies at doc_id + 1M for
+    images (first 10), for both multi-frame videos, and for the two
+    longest audio tracks; a CLIP (the first 2 frames) of the first
+    multi-frame video at doc_id + 2M."""
     base = [
-        (r.doc_id, bytes(r.payload))
+        (r.doc_id, bytes(r.payload), r.mimetype)
         for r in M.multimodal_view(spark, sf_dir)
-        .filter(
-            F.col("mimetype").startswith("image/")
-            & (F.octet_length("payload") > 0)
-        )
-        .select("doc_id", "payload")
+        .filter(F.octet_length("payload") > 0)
+        .select("doc_id", "payload", "mimetype")
         .orderBy("doc_id")
         .collect()
     ]
-    copies = [
-        (doc_id + _COPY_OFFSET, bytes(b - (b % 2) for b in payload))
-        for doc_id, payload in base[:20]
+    images = [r for r in base if r[2].startswith("image/")]
+    audios = sorted(
+        (r for r in base if r[2].startswith("audio/")),
+        key=lambda r: -len(r[1]),
+    )
+    longest = max((p for _, p, _ in base), key=len)
+    videos = [
+        (_SYNTH_VIDEO_ID, (longest * 20)[:5000], "video/mp4"),
+        (
+            _SYNTH_VIDEO_ID + 1,
+            (longest[::-1] * 20)[:4000],
+            "video/mp4",
+        ),
     ]
-    return base + copies
+    base = base + videos
+    planted = [
+        (d + _COPY_OFFSET, _reencode(p), m) for d, p, m in images[:10]
+    ]
+    planted += [
+        (d + _COPY_OFFSET, _reencode(p), m) for d, p, m in videos
+    ]
+    planted += [
+        (d + _COPY_OFFSET, _reencode(p), m) for d, p, m in audios[:2]
+    ]
+    # the clip source spans 5 full frames, so the clip (2 frames) is a
+    # strict prefix with coverage 1.0 on its own side only
+    clip_src = videos[0]
+    planted.append(
+        (
+            clip_src[0] + _CLIP_OFFSET,
+            clip_src[1][: 2 * M.FRAME_BYTES],
+            clip_src[2],
+        )
+    )
+    return base + planted, {
+        "image_copies": [d + _COPY_OFFSET for d, _, _ in images[:10]],
+        "video_copies": [d + _COPY_OFFSET for d, _, _ in videos],
+        "audio_copies": [d + _COPY_OFFSET for d, _, _ in audios[:2]],
+        "clip": clip_src[0] + _CLIP_OFFSET,
+    }
 
 
 def _media_frame(spark, rows):
     return spark.createDataFrame(
-        [(d, bytearray(p)) for d, p in rows],
-        "doc_id bigint, payload binary",
+        [(d, bytearray(p), m) for d, p, m in rows],
+        "doc_id bigint, payload binary, mimetype string",
     )
 
 
 def _write_drop(path, rows, lo, hi):
     with open(path, "w") as f:
-        for i, (doc_id, payload) in enumerate(
+        for i, (doc_id, payload, mimetype) in enumerate(
             sorted(r for r in rows if lo <= r[0] < hi)
         ):
             f.write(
@@ -67,12 +117,24 @@ def _write_drop(path, rows, lo, hi):
                     {
                         "doc_id": doc_id,
                         "payload_b64": base64.b64encode(payload).decode(),
+                        "mimetype": mimetype,
                         "ingest_ts": f"2025-01-01T00:{i // 60:02d}"
                         f":{i % 60:02d}.000Z",
                     }
                 )
                 + "\n"
             )
+
+
+def _verdict_key(r):
+    return (r["modality"], r["doc_id"])
+
+
+def _verdict_val(r):
+    return (
+        r["n_units"], r["fp_hi"], r["fp_lo"], r["keep"], r["n_dups"],
+        r["best_hamming"], r["best_coverage"],
+    )
 
 
 @pytest.fixture(scope="module")
@@ -88,68 +150,81 @@ def media_dirs(tmp_path_factory):
 
 
 def test_media_stream_batch_parity_across_restart(spark, sf_dir, media_dirs):
-    rows = _media_rows(spark, sf_dir)
+    rows, planted = _media_rows(spark, sf_dir)
 
-    # first drop: the base images; run to completion
+    # first drop: the base corpus (all three modalities); run to done
     _write_drop(f"{media_dirs['drop']}/part1.jsonl", rows, 0, 300)
     media_dedup_stream(
         spark, media_dirs["drop"], media_dirs["state"], media_dirs["ckpt"]
     )
     mid = media_dedup_stream_report(spark, media_dirs["state"])
-    assert mid.count() == sum(1 for d, _ in rows if d < 300)
+    assert mid.count() > 0
 
-    # the rest (including every planted re-encode copy) lands; RESUME
-    # from the same checkpoint — only the new file processes
+    # the rest (including every planted copy/clip) lands; RESUME from
+    # the same checkpoint — only the new file processes
     _write_drop(f"{media_dirs['drop']}/part2.jsonl", rows, 300, 10**9)
     media_dedup_stream(
         spark, media_dirs["drop"], media_dirs["state"], media_dirs["ckpt"]
     )
 
     got = {
-        r["doc_id"]: (
-            r["fp_hi"], r["fp_lo"], r["keep"], r["n_dups"],
-            r["best_hamming"],
-        )
+        _verdict_key(r): _verdict_val(r)
         for r in media_dedup_stream_report(
             spark, media_dirs["state"]
         ).collect()
     }
     want = {
-        r["doc_id"]: (
-            r["fp_hi"], r["fp_lo"], r["keep"], r["n_dups"],
-            r["best_hamming"],
-        )
+        _verdict_key(r): _verdict_val(r)
         for r in media_dedup_batch_of(_media_frame(spark, rows)).collect()
     }
     assert got == want
-    # non-vacuous: every planted re-encode copy was dropped
-    for doc_id, _ in rows:
-        if doc_id >= _COPY_OFFSET:
-            assert got[doc_id][2] is False
+    by_doc = {d: (m, v) for (m, d), v in got.items()}
+    assert {m for m, _ in by_doc.values()} == {"image", "video", "audio"}
+
+    # non-vacuous, per modality: every planted re-encode copy dropped
+    for doc_id in planted["image_copies"]:
+        assert by_doc[doc_id][0] == "image"
+        assert by_doc[doc_id][1][3] is False
+    for doc_id in planted["video_copies"]:
+        assert by_doc[doc_id][0] == "video"
+        assert by_doc[doc_id][1][3] is False
+    for doc_id in planted["audio_copies"]:
+        assert by_doc[doc_id][0] == "audio"
+        assert by_doc[doc_id][1][3] is False
+    # the CLIP is caught through its own side's coverage 1.0 (the
+    # greatest(cov_a, cov_b) rule); multi-frame docs carry NULL fps
+    m, v = by_doc[planted["clip"]]
+    assert m == "video" and v[3] is False
+    assert v[0] == 2 and v[1] is None and v[2] is None  # 2 units, no fp
+    assert v[6] == 1.0  # best_coverage
 
 
 def test_media_store_scan_prunes_to_touched_buckets(spark, media_dirs):
     """Runs after the parity test (module-scoped dirs hold a real
-    store): a probe touching ONE (band, bprefix) pair must read only
-    that partition's files, and the store must hold others."""
+    store): a probe touching ONE (modality, band, bprefix) triple must
+    read only that partition's files, and the store must hold others."""
     store_dir = f"{media_dirs['state']}/fingerprints"
     full = spark.read.option("basePath", store_dir).parquet(store_dir)
-    pairs = sorted(
-        (r["band"], r["bprefix"])
-        for r in full.select("band", "bprefix").distinct().collect()
+    triples = sorted(
+        (r["modality"], r["band"], r["bprefix"])
+        for r in full.select("modality", "band", "bprefix")
+        .distinct()
+        .collect()
     )
-    assert len(pairs) > 1
-    band, bprefix = pairs[0]
-    pruned = _pruned_fp_store(spark, store_dir, 10**9, [(band, bprefix)])
+    assert len({m for m, _, _ in triples}) == 3  # all modalities landed
+    modality, band, bprefix = triples[0]
+    pruned = _pruned_fp_store(
+        spark, store_dir, 10**9, [(modality, band, bprefix)]
+    )
     read_files = [
         r[0]
         for r in pruned.select(F.input_file_name()).distinct().collect()
     ]
     assert read_files
     for f in read_files:
-        assert f"/band={band}/bprefix={bprefix}/" in f, (
-            f"read untouched partition: {f}"
-        )
+        assert (
+            f"/modality={modality}/band={band}/bprefix={bprefix}/" in f
+        ), f"read untouched partition: {f}"
     all_files = [
         r[0] for r in full.select(F.input_file_name()).distinct().collect()
     ]
@@ -158,7 +233,7 @@ def test_media_store_scan_prunes_to_touched_buckets(spark, media_dirs):
 
 def test_media_store_rejects_remote_uri(spark):
     with pytest.raises(ValueError, match="driver-local"):
-        _pruned_fp_store(spark, "hdfs://nn/fps", 2, [(0, 0)])
+        _pruned_fp_store(spark, "hdfs://nn/fps", 2, [("image", 0, 0)])
 
 
 def test_media_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
@@ -166,7 +241,7 @@ def test_media_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     the runner: directory count ends below the batch count, pruning
     still works on the folded layout, and the accumulated verdicts
     equal the batch rows exactly (output identity)."""
-    rows = _media_rows(spark, sf_dir)
+    rows, _ = _media_rows(spark, sf_dir)
     d = {
         "drop": str(tmp_path / "drop"),
         "state": str(tmp_path / "state"),
@@ -193,11 +268,11 @@ def test_media_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     assert n_dirs < 3  # folded from inside the runner
 
     got = {
-        r["doc_id"]: (r["keep"], r["n_dups"], r["best_hamming"])
+        _verdict_key(r): _verdict_val(r)
         for r in media_dedup_stream_report(spark, d["state"]).collect()
     }
     want = {
-        r["doc_id"]: (r["keep"], r["n_dups"], r["best_hamming"])
+        _verdict_key(r): _verdict_val(r)
         for r in media_dedup_batch_of(_media_frame(spark, rows)).collect()
     }
     assert got == want
@@ -210,7 +285,7 @@ def test_media_report_refuses_capped_horizon(
     touched bucket is over it) and pin the report's refusal plus the
     allow_capped acceptance path (the funnel report's gate shape)."""
     monkeypatch.setattr(M, "PHASH_BUCKET_CAP", 0)
-    rows = _media_rows(spark, sf_dir)[:10]
+    rows = _media_rows(spark, sf_dir)[0][:10]
     d = {
         "drop": str(tmp_path / "drop"),
         "state": str(tmp_path / "state"),
@@ -222,17 +297,25 @@ def test_media_report_refuses_capped_horizon(
     with pytest.raises(ValueError, match="PHASH_BUCKET_CAP"):
         media_dedup_stream_report(spark, d["state"])
     rep = media_dedup_stream_report(spark, d["state"], allow_capped=True)
-    assert rep.count() == len(rows)
+    n_routable = sum(
+        1
+        for _, p, m in rows
+        if (m.startswith(("image/", "video/")) and len(p) > 0)
+        or (m.startswith("audio/") and len(p) >= M.CONTOUR_SEGMENTS)
+    )
+    assert rep.count() == n_routable
     # with every bucket suppressed, nothing can pair: all keeps
     assert all(r["keep"] for r in rep.collect())
 
 
-def test_media_stream_skips_null_and_empty_payloads(spark, sf_dir, tmp_path):
-    """A drop with a missing or empty payload carries nothing to
-    fingerprint: the stream must exclude it (the batch op's
-    octet_length gate) rather than crash the Arrow kernel on
-    bytes(None)."""
-    rows = _media_rows(spark, sf_dir)[:5]
+def test_media_stream_skips_unroutable_and_empty_payloads(
+    spark, sf_dir, tmp_path
+):
+    """A drop with a missing/empty payload, or a mimetype no kernel can
+    fingerprint, carries nothing to dedup: the stream must exclude it
+    (the batch ops' gates) rather than crash the Arrow kernels on
+    bytes(None) — and the exclusions stay visible in telemetry."""
+    rows = _media_rows(spark, sf_dir)[0][:5]
     d = {
         "drop": str(tmp_path / "drop"),
         "state": str(tmp_path / "state"),
@@ -240,19 +323,39 @@ def test_media_stream_skips_null_and_empty_payloads(spark, sf_dir, tmp_path):
     }
     os.makedirs(d["drop"])
     _write_drop(f"{d['drop']}/part1.jsonl", rows, 0, 10**9)
+    extras = [
+        {"doc_id": 900, "payload_b64": None, "mimetype": "image/png",
+         "ingest_ts": "2025-01-01T01:00:00.000Z"},
+        {"doc_id": 901, "payload_b64": "", "mimetype": "image/png",
+         "ingest_ts": "2025-01-01T01:00:01.000Z"},
+        # routable payload, unroutable mimetype: no kernel to run
+        {"doc_id": 902,
+         "payload_b64": base64.b64encode(b"x" * 500).decode(),
+         "mimetype": "application/pdf",
+         "ingest_ts": "2025-01-01T01:00:02.000Z"},
+        # the r9 drop layout carried no mimetype at all: parses to NULL
+        {"doc_id": 903,
+         "payload_b64": base64.b64encode(b"y" * 500).decode(),
+         "ingest_ts": "2025-01-01T01:00:03.000Z"},
+    ]
     with open(f"{d['drop']}/part1.jsonl", "a") as f:
-        f.write(json.dumps({"doc_id": 900, "payload_b64": None,
-                            "ingest_ts": "2025-01-01T01:00:00.000Z"}) + "\n")
-        f.write(json.dumps({"doc_id": 901, "payload_b64": "",
-                            "ingest_ts": "2025-01-01T01:00:01.000Z"}) + "\n")
+        for e in extras:
+            f.write(json.dumps(e) + "\n")
     media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+    n_routable = sum(
+        1
+        for _, p, m in rows
+        if (m.startswith(("image/", "video/")) and len(p) > 0)
+        or (m.startswith("audio/") and len(p) >= M.CONTOUR_SEGMENTS)
+    )
     got = {r["doc_id"] for r in
            media_dedup_stream_report(spark, d["state"]).collect()}
-    assert got == {doc_id for doc_id, _ in rows}
+    assert not {900, 901, 902, 903} & got
+    assert len(got) == n_routable
     # the exclusions stay visible in telemetry: n_raw counts arrivals,
     # n_docs the fingerprintable subset
     m = spark.read.option("basePath", f"{d['state']}/metrics").parquet(
         f"{d['state']}/metrics"
     ).collect()
-    assert sum(r["n_raw"] for r in m) == len(rows) + 2
-    assert sum(r["n_docs"] for r in m) == len(rows)
+    assert sum(r["n_raw"] for r in m) == len(rows) + len(extras)
+    assert sum(r["n_docs"] for r in m) == n_routable

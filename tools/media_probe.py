@@ -55,33 +55,63 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import Window  # noqa: E402
 
 from kafka_flink_slack_pipeline_spark.operators.multimodal import (  # noqa: E402
+    FRAME_BYTES,
     PHASH_BUCKET_CAP,
     PHASH_MAX_HAMMING,
+    VIDEO_MIN_COVERAGE,
     _fp_bands,
+    contour_fps_of,
     phash_fps_of,
 )
 from kafka_flink_slack_pipeline_spark.session import get_spark  # noqa: E402
 from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (  # noqa: E402
+    _BAND_CARRY,
+    _BUCKET_KEY,
     _STORE_COLS,
     _bprefix_col,
     _pruned_fp_store,
 )
 
 CORPUS_MULT = 10            # 50k-doc base corpus (5k/sf0.1 x 10)
-BATCH_SRC_N = 50            # landed images the probe batch duplicates
+BATCH_SRC_N = 50            # landed docs the probe batch duplicates
 BATCH_ID_OFFSET = 100_000_000
 STORE_REPLICAS = {"base": 0, "x10": 9, "x100": 99, "x1000": 999}
 LAND_BATCH_DOCS = 6_000     # docs per landed batch_id directory
 
 
-def _image_fps(spark, corpus_dir: str):
-    """(doc_id, fp_hi, fp_lo) for the corpus' image-typed documents —
-    the rows a media ingest stream would fingerprint."""
+def _face_fps(spark, corpus_dir: str, face: str):
+    """Unified-long-format fingerprints (modality, doc_id, frame_idx,
+    n_frames, fp_hi, fp_lo) for the probe face — the rows a media
+    ingest stream would land. face='image': the corpus' image-typed
+    docs through the aHash kernel (one unit/doc). face='video': the
+    video-typed docs through the per-frame contour kernel, payloads
+    repeated x10 so each doc spans multiple FRAME_BYTES frames (the
+    generator's docs are mostly single-frame; the video face exists to
+    measure the store's fastest-growing modality — several band rows
+    per doc per FRAME)."""
     d = spark.read.parquet(f"{corpus_dir}/documents.parquet")
-    images = d.filter(
-        (F.col("doc_id") % 3 == 0) & (F.octet_length("text") > 0)
-    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return phash_fps_of(images)
+    if face == "image":
+        images = d.filter(
+            (F.col("doc_id") % 3 == 0) & (F.octet_length("text") > 0)
+        ).select("doc_id", F.col("text").cast("binary").alias("payload"))
+        return phash_fps_of(images).select(
+            F.lit("image").alias("modality"),
+            "doc_id",
+            F.lit(0).cast("long").alias("frame_idx"),
+            F.lit(1).cast("long").alias("n_frames"),
+            "fp_hi",
+            "fp_lo",
+        )
+    videos = d.filter(
+        (F.col("doc_id") % 3 == 2) & (F.octet_length("text") > 0)
+    ).select(
+        "doc_id",
+        F.repeat(F.col("text"), 10).cast("binary").alias("payload"),
+    )
+    return contour_fps_of(videos, FRAME_BYTES).select(
+        F.lit("video").alias("modality"),
+        "doc_id", "frame_idx", "n_frames", "fp_hi", "fp_lo",
+    )
 
 
 def _build_base_store(spark, fps_dir: str, store_dir: str,
@@ -95,11 +125,11 @@ def _build_base_store(spark, fps_dir: str, store_dir: str,
                 (F.col("doc_id") >= lo)
                 & (F.col("doc_id") < lo + LAND_BATCH_DOCS)
             ),
-            ("doc_id",),
+            _BAND_CARRY,
         ).withColumn("bprefix", _bprefix_col())
         w = bands.write.mode("overwrite")
         if partitioned:
-            w = w.partitionBy("band", "bprefix")
+            w = w.partitionBy("modality", "band", "bprefix")
         w.parquet(f"{store_dir}/batch_id={batch_id}")
         batch_id += 1
     return batch_id
@@ -119,9 +149,12 @@ def _add_replicas(spark, base_dir: str, store_dir: str, next_id: int,
     rep = (
         base.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
         .select(
+            "modality",
             (F.col("doc_id") + F.col("r") * F.lit(1_000_000)).alias(
                 "doc_id"
             ),
+            "frame_idx",
+            "n_frames",
             "fp_hi",
             "fp_lo",
             "band",
@@ -129,12 +162,12 @@ def _add_replicas(spark, base_dir: str, store_dir: str, next_id: int,
                 F.col("bval") * 31 + F.col("r") * 9973, F.lit(1 << 16)
             ).alias("bval"),
         )
-        .join(F.broadcast(batch_bvals), ["band", "bval"], "anti")
+        .join(F.broadcast(batch_bvals), _BUCKET_KEY, "anti")
         .withColumn("bprefix", _bprefix_col())
     )
     w = rep.write.mode("overwrite")
     if partitioned:
-        w = w.partitionBy("band", "bprefix")
+        w = w.partitionBy("modality", "band", "bprefix")
     w.parquet(f"{store_dir}/batch_id={next_id}")
     return next_id + 1
 
@@ -145,15 +178,15 @@ def _dropped_count(spark, store_dir: str, before: int, batch_bands,
     media_dedup_stream's foreachBatch body verbatim."""
     if pruned:
         touched = [
-            (r["band"], r["bprefix"])
-            for r in batch_bands.select("band", "bprefix")
+            (r["modality"], r["band"], r["bprefix"])
+            for r in batch_bands.select("modality", "band", "bprefix")
             .distinct()
             .collect()
         ]
         store = _pruned_fp_store(spark, store_dir, before, touched)
-        keys = batch_bands.select("band", "bval").distinct()
+        keys = batch_bands.select(*_BUCKET_KEY).distinct()
         all_t = store.join(
-            F.broadcast(keys), ["band", "bval"], "semi"
+            F.broadcast(keys), _BUCKET_KEY, "semi"
         ).unionByName(batch_bands.select(*_STORE_COLS))
     else:
         store = (
@@ -164,23 +197,49 @@ def _dropped_count(spark, store_dir: str, before: int, batch_bands,
         )
         all_t = store.unionByName(batch_bands.select(*_STORE_COLS))
     sized = all_t.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bval"))
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy(*_BUCKET_KEY))
     )
     bands_a = sized.filter(F.col("bsize") <= PHASH_BUCKET_CAP)
     hamming = (
         F.bit_count(F.col("a.fp_lo").bitwiseXOR(F.col("b.fp_lo")))
         + F.bit_count(F.col("a.fp_hi").bitwiseXOR(F.col("b.fp_hi")))
-    )
-    return (
+    ).cast("bigint")
+    matched = (
         bands_a.alias("a")
         .join(
             batch_bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= PHASH_MAX_HAMMING)
-        .select(F.col("b.doc_id"))
+        .select(
+            F.col("b.modality").alias("modality"),
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("dup_of"),
+            F.col("a.n_frames").alias("n_frames_a"),
+            F.col("b.n_frames").alias("n_frames_b"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.frame_idx").alias("fb"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .distinct()
+    )
+    cov_a = F.round(F.col("matched_a") / F.col("n_frames_a"), 6)
+    cov_b = F.round(F.col("matched_b") / F.col("n_frames_b"), 6)
+    return (
+        matched.groupBy(
+            "modality", "doc_id", "dup_of", "n_frames_a", "n_frames_b"
+        )
+        .agg(
+            F.countDistinct("fa").alias("matched_a"),
+            F.countDistinct("fb").alias("matched_b"),
+        )
+        .filter(
+            F.greatest(cov_a, cov_b) >= F.lit(VIDEO_MIN_COVERAGE)
+        )
+        .select("modality", "doc_id")
         .distinct()
         .count()
     )
@@ -189,6 +248,12 @@ def _dropped_count(spark, store_dir: str, before: int, batch_bands,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALE_PROBE_MEDIA.json")
+    ap.add_argument(
+        "--face", choices=("image", "video"), default="image",
+        help="which modality's store growth to measure (video lands "
+             "several band rows per doc per FRAME — the store's "
+             "fastest-growing modality)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("media_probe")
@@ -199,18 +264,30 @@ def main() -> None:
         corpus_dir = f"{work}/corpus"
         os.makedirs(corpus_dir)
         generate(CORPUS_MULT, corpus_dir)
-        _image_fps(spark, corpus_dir).write.parquet(f"{work}/fps")
+        _face_fps(spark, corpus_dir, args.face).write.parquet(
+            f"{work}/fps"
+        )
 
-        # probe batch: duplicates of 50 landed images under fresh high
-        # ids (pairs do real work), parquet-round-tripped so bvals are
-        # runtime data
+        # probe batch: duplicates of 50 landed docs (every frame of
+        # each, for the video face) under fresh high ids (pairs do real
+        # work), parquet-round-tripped so bvals are runtime data
+        batch_ids = (
+            spark.read.parquet(f"{work}/fps")
+            .select("doc_id").distinct().orderBy("doc_id")
+            .limit(BATCH_SRC_N)
+        )
         (
             _fp_bands(
-                spark.read.parquet(f"{work}/fps").limit(BATCH_SRC_N),
-                ("doc_id",),
+                spark.read.parquet(f"{work}/fps").join(
+                    F.broadcast(batch_ids), "doc_id", "semi"
+                ),
+                _BAND_CARRY,
             )
             .select(
+                "modality",
                 (F.col("doc_id") + F.lit(BATCH_ID_OFFSET)).alias("doc_id"),
+                "frame_idx",
+                "n_frames",
                 "fp_hi",
                 "fp_lo",
                 "band",
@@ -221,7 +298,7 @@ def main() -> None:
         )
         batch_bands = spark.read.parquet(f"{work}/batch").localCheckpoint()
         batch_bvals = batch_bands.select(
-            "band", "bval"
+            *_BUCKET_KEY
         ).distinct().localCheckpoint()
 
         stores: dict[str, dict[bool, tuple[str, int]]] = {}
@@ -291,8 +368,9 @@ def main() -> None:
             "metric": "media_store_growth",
             "store_rows": store_rows,
             "batch_docs": BATCH_SRC_N,
+            "face": args.face,
             "methodology": (
-                "fixed probe batch (50 duplicated images, parquet-round-"
+                "fixed probe batch (50 duplicated docs, parquet-round-"
                 "tripped) vs stores three decades apart; growth = remapped-"
                 "bval replicas in buckets the batch never touches (batch-"
                 "colliding replicas filtered); counterfactual = identical "
