@@ -128,6 +128,11 @@ HEADLINE = [
     # full-outer join); the recurring serving-path composition a
     # RAG/curation deployment actually runs.
     "hybrid_search_rrf",
+    # r10 addition: the list-pruned fusion sibling — same lexical parent
+    # and fusion, dense side = IVF probe + exact re-rank inside probed
+    # lists; benched alongside the brute-force parent so the pruning's
+    # price/win at each SF is a read-off.
+    "hybrid_search_rrf_ivf",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

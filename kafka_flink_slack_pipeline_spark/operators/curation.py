@@ -1640,6 +1640,86 @@ ORDER BY query_id, rank
 """
 
 
+def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the dense side LIST-PRUNED — the deployable
+    variant of hybrid_search_rrf (r9 verdict item 2).
+
+    Same lexical parent (BM25 postings, broadcast-seeded), same
+    rrf_fuse, same shared query workload (the BM25 seed rule, passed to
+    the IVF probe branch as query_pred). The dense ranker swaps the
+    brute-force full-corpus cosine for cosine_topk_ivf's machinery:
+    nearest-centroid inverted lists, nprobe=3 probes, exact re-rank
+    INSIDE the probed lists only (_ivf_topk, similarity.py). At bench
+    scale both variants read the embeddings once; at 100 TB the
+    brute-force side streams the whole corpus per query batch while
+    this one touches nprobe/k of it — the memory-bandwidth win that
+    makes IVF the production dense retriever. Approximation surfaces
+    honestly in the fusion: a true dense neighbor outside the probed
+    lists simply never enters the dense rank list (in_dense=0), exactly
+    how a deployed IVF-backed hybrid behaves.
+    """
+    from .similarity import IVF_NPROBE, _ivf_topk
+
+    lex = bm25_keyword_search(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    seed = (F.col("vec_id") % _BM25_EVERY == 0) & (
+        F.col("vec_id") < _BM25_EVERY * _BM25_MAX_QUERIES
+    )
+    dense = _ivf_topk(
+        spark, sf_dir, IVF_NPROBE, query_pred=seed, topk=_RRF_TOPK
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+    return rrf_fuse(lex, dense)
+
+
+def _hybrid_rrf_ivf_oracle() -> str:
+    """Composes the BM25 oracle with the IVF oracle (seed workload,
+    fusion-depth top-k) through the same RRF fusion SQL — the dense CTE
+    is _ivf_oracle_at verbatim, so the list-pruned ranker cannot drift
+    between its standalone row and the fused one."""
+    from .similarity import IVF_NPROBE, _ivf_oracle_at
+
+    ivf_sql = _ivf_oracle_at(
+        IVF_NPROBE,
+        query_where=(
+            f"vec_id % {_BM25_EVERY} = 0"
+            f" AND vec_id < {_BM25_EVERY * _BM25_MAX_QUERIES}"
+        ),
+        topk=_RRF_TOPK,
+    )
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank
+  FROM ({BM25_SEARCH_ORACLE}) bm
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+  FROM ({ivf_sql}) iv
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0::DOUBLE / ({_RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0::DOUBLE / ({_RRF_K} + d.dense_rank), 0.0),
+               9) AS rrf_score,
+         (l.lex_rank IS NOT NULL)::INT AS in_lex,
+         (d.dense_rank IS NOT NULL)::INT AS in_dense
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {_RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) assignment: split each 64-dim embedding into
 # M=8 subvectors of 8 dims; encode each subvector as the id of its
@@ -2652,6 +2732,12 @@ QUERIES = [
               "of the BM25 lexical top-k and the dense cosine top-k "
               "over the shared bounded query workload — rank "
               "full-outer join + bounded per-query top-k window"),
+    QuerySpec("hybrid_search_rrf_ivf", hybrid_search_rrf_ivf,
+              _hybrid_rrf_ivf_oracle(),
+              "hybrid RRF with the dense side list-pruned (IVF "
+              "nprobe=3 + exact re-rank inside probed lists) — the "
+              "deployable fusion: same lexical parent, same rrf_fuse, "
+              "dense side touches nprobe/k of the corpus"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
               "BM25 top-k keyword retrieval (rational log-free idf)"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,

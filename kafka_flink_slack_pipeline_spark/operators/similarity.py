@@ -641,9 +641,16 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_topk(
-    spark: SparkSession, sf_dir: str, nprobe: int
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int,
+    query_pred=None,
+    topk: int = 5,
 ) -> DataFrame:
-    cand, probes = _ivf_index(spark, sf_dir, nprobe)
+    """The list-pruned IVF ranker: probe nprobe lists, exact re-rank
+    inside them. `query_pred`/`topk` let hybrid_search_rrf_ivf reuse it
+    with the BM25 seed workload and the fusion's deeper top-k."""
+    cand, probes = _ivf_index(spark, sf_dir, nprobe, query_pred=query_pred)
     rescored = (
         cand.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -652,7 +659,7 @@ def _ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
         .orderBy("query_id", "rank")
     )
@@ -872,9 +879,14 @@ ORDER BY query_id, rank
 """
 
 
-def _ivf_oracle_at(nprobe: int) -> str:
-    """The IVF oracle parameterized by nprobe (feeds both the standalone
-    query's oracle and the nprobe-sweep report's per-row CTEs)."""
+def _ivf_oracle_at(
+    nprobe: int,
+    query_where: str = "vec_id < 10",
+    topk: int = 5,
+) -> str:
+    """The IVF oracle parameterized by nprobe (feeds the standalone
+    query's oracle, the nprobe-sweep report's per-row CTEs, and — via
+    query_where/topk — hybrid_search_rrf_ivf's dense-side CTE)."""
     return f"""
 WITH exploded AS (
   SELECT vec_id, label, u.x, u.pos
@@ -900,7 +912,7 @@ ranked AS (
 ),
 assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
 probes AS (SELECT vec_id AS query_id, cid FROM ranked
-           WHERE rk <= {nprobe} AND vec_id < 10),
+           WHERE rk <= {nprobe} AND ({query_where})),
 emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
 FROM (
@@ -915,7 +927,7 @@ FROM (
   JOIN emb qe ON qe.vec_id = p.query_id
   JOIN emb ne ON ne.vec_id = a.vec_id
 )
-WHERE rank <= 5
+WHERE rank <= {topk}
 ORDER BY query_id, rank
 """
 

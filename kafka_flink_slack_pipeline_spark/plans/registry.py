@@ -563,6 +563,33 @@ _DEMOTED = (
     # dense ranker; its nprobe-monotonicity contract is pinned by a
     # dedicated test and its composed oracle stays verify_local-covered.
     "ivf_nprobe_recall_curve",
+    # r10: one slot for media_video_reencode_pairs (new-code rule: the
+    # contour pair plan's first NON-EMPTY driver certificate — r9
+    # verdict item 7; until now the video/audio pair ops hash-checked
+    # empty frames on the all-distinct corpora and the pair machinery
+    # rode phash's certificate). media_cdc_chunk_stats rotates out
+    # WITHIN the multimodal family on the learner-inside-apply
+    # precedent: its chunk-token kernel (_cdc_toked — the LBFS min/max
+    # thinning fold) EXECUTES AND HASH-CHECKS IN-WINDOW as
+    # media_neardup_cdc's chunker (same subtree; a thinning bug changes
+    # the in-window pair hash), its max-chunk/runt bounds stay pinned by
+    # its own tests, and its recursive-CTE oracle stays
+    # verify_local-covered.
+    "media_cdc_chunk_stats",
+    # r10: one slot for hybrid_search_rrf_ivf (new-code rule: the
+    # list-pruned fusion — the deployable dense side, r9 verdict item
+    # 2). hybrid_search_rrf, its brute-force parent, rotates out in a
+    # PARENT-SWAP: the fusion machinery (rrf_fuse — the full-outer rank
+    # join, coalesce order, rounding, tie-breaks) and the lexical parent
+    # (bm25_keyword_search, itself in-window) execute AND hash-check
+    # in-window inside the arriving op on the identical seed workload;
+    # the brute-force dense ranker is the in-window
+    # cosine_topk_bruteforce shape (bounded broadcast queries over one
+    # scan); the two-term-sum fusion contract stays pinned by the
+    # planted rrf_fuse unit test, the brute-force op remains the bench
+    # headliner for the unpruned path, and its oracle stays
+    # verify_local-covered.
+    "hybrid_search_rrf",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score

@@ -703,3 +703,52 @@ def test_curation_funnel_classifier_stage_drops_rule_passing_junk(
         (r["stage_ord"], r["stage"], r["n_docs"], r["n_tokens"])
         for r in corpus_curation_funnel(spark, str(tmp_path)).collect()
     ] == [tuple(w) for w in want]
+
+
+def test_hybrid_ivf_dense_side_is_list_pruned(spark, sf_dir):
+    """The fused op's pruning claim, behaviorally: every in_dense doc of
+    hybrid_search_rrf_ivf lies inside that query's nprobe probed
+    inverted lists, and the pruning is REAL on this corpus — the
+    brute-force sibling ranks at least one dense doc OUTSIDE the probed
+    lists (so the two ops genuinely differ in candidate reach, which is
+    what the fused certificate + this test together pin)."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _BM25_EVERY,
+        _BM25_MAX_QUERIES,
+        hybrid_search_rrf,
+        hybrid_search_rrf_ivf,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        IVF_NPROBE,
+        _ivf_index,
+    )
+
+    seed = (F.col("vec_id") % _BM25_EVERY == 0) & (
+        F.col("vec_id") < _BM25_EVERY * _BM25_MAX_QUERIES
+    )
+    cand, probes = _ivf_index(spark, sf_dir, IVF_NPROBE, query_pred=seed)
+    allowed = {
+        (r.query_id, r.neighbor_id)
+        for r in probes.join(cand, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    fused = hybrid_search_rrf_ivf(spark, sf_dir).collect()
+    ivf_dense = {(r.query_id, r.doc_id) for r in fused if r.in_dense == 1}
+    assert ivf_dense, "fused output carries no dense-ranked docs"
+    assert ivf_dense <= allowed, (
+        "a dense doc escaped the probed lists: "
+        f"{sorted(ivf_dense - allowed)[:5]}"
+    )
+    brute_dense = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_search_rrf(spark, sf_dir).collect()
+        if r.in_dense == 1
+    }
+    assert brute_dense - allowed, (
+        "brute-force dense never left the probed lists — the pruning "
+        "test is vacuous on this corpus; plant a wider one"
+    )

@@ -94,6 +94,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # stats attach
     "hybrid_search_rrf": (2, "bounded query-side + 1-row stats "
                              "broadcasts (both parents')"),
+    # the IVF dense side replaces the bounded-query BNLJ with a cid
+    # equi-join (list-pruned); only bm25's 1-row stats attach remains
+    "hybrid_search_rrf_ivf": (1, "bm25's 1-row stats broadcast"),
     # broadcast of 1-row count aggregates composed into the report row
     "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
     "dedup_method_report": (8, "2 x 1-row count-aggregate crossJoins per "
@@ -182,6 +185,9 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "bm25_keyword_search": (4, "postings + bounded query seeds + stats"),
     "hybrid_search_rrf": (4, "composes bm25's postings + seeds + stats "
                              "documents branches unchanged"),
+    "hybrid_search_rrf_ivf": (4, "bm25's documents branches unchanged; "
+                                 "embeddings: cand + probes (the "
+                                 "cosine_topk_ivf pair)"),
     "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
     "classifier_threshold_curve": (3, "the classifier's scored-frame "
                                       "budget (model + scoring + class "

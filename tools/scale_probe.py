@@ -103,6 +103,11 @@ PROBE_QUERIES = [
     # bounded rank join; its exponent should track bm25's (the dense
     # side broadcasts <= 64 queries over one linear candidate scan).
     "hybrid_search_rrf",
+    # r10 addition: the list-pruned fusion — the dense side swaps the
+    # brute-force full-corpus cosine for the IVF probe (nprobe/k of the
+    # lists), so its exponent should run BELOW the brute-force parent's
+    # (the pruning claim, measured).
+    "hybrid_search_rrf_ivf",
     "sequence_pack",
     # r8 addition (r7 verdict item 7): the filter+pack composition with a
     # derived shard count — the one heavy headliner that had no probe
