@@ -588,3 +588,24 @@ def test_audio_fingerprints_rederive_from_python_ints(spark, sf_dir):
     for doc_id, fp in got.items():
         assert fp == _contour_fp_py(texts[doc_id])
         assert 0 <= fp[0] < (1 << 32) and 0 <= fp[1] < (1 << 32)
+
+
+def test_video_reencode_pairs_certificate(spark, sf_dir):
+    """The non-empty contour-pair certificate: every fingerprinted
+    video pairs with its own quantize-to-even copy at coverage 1.0/1.0
+    (every frame's contour moves <= PHASH_MAX_HAMMING bits under the
+    fake codec), and on this all-distinct corpus with nothing else."""
+    rows = M.media_video_reencode_pairs(spark, sf_dir).collect()
+    vids = {
+        r.doc_id
+        for r in M.media_video_fingerprints(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == {
+        (d, d + M._REENC_OFFSET) for d in vids
+    }
+    for r in rows:
+        assert r.cov_a == 1.0 and r.cov_b == 1.0
+        assert r.n_frames_a == r.n_frames_b
