@@ -90,6 +90,11 @@ HEADLINE = [
     # inside these two (the media_cdc_chunk_stats precedent).
     "media_neardup_video",
     "media_neardup_audio",
+    # r10 addition: the contour pair plan timed on NON-EMPTY output —
+    # the corpus vs its quantize-to-even re-encode (double kernel pass
+    # + banded frame join + coverage agg doing real pair work; the two
+    # entries above run the same plan over empty match sets).
+    "media_video_reencode_pairs",
     "email_clean_chain",
     "email_chunk_blocks",
     # r2 addition: vocabulary building (two reused shuffles + window top-k).

@@ -1720,6 +1720,87 @@ ORDER BY query_id, rank
 """
 
 
+def hybrid_fusion_agreement_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query agreement between the deployable list-pruned fusion
+    (hybrid_search_rrf_ivf) and its brute-force parent — the acceptance
+    table a deployment reads next to the scaling exponents (0.471 vs
+    0.779, SCALE_PROBE_R10.json): how much of the fused top-k does the
+    IVF dense side's bounded candidate reach actually cost?
+
+    One row per query: both variants' fused result sizes, the overlap
+    of their doc sets, overlap@k as a recall-style fraction, and
+    whether the two top-1 docs agree (the answer a RAG serving path
+    returns). The evaluation-composition shape (ann_recall_report /
+    dedup_recall_report precedent): composes the two registered ops
+    verbatim so the report can never drift from what it measures; the
+    oracle composes their oracle SQLs the same way."""
+    b = hybrid_search_rrf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_b")
+    )
+    v = hybrid_search_rrf_ivf(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_v")
+    )
+    j = b.join(v, ["query_id", "doc_id"], "full_outer")
+    both = F.col("rank_b").isNotNull() & F.col("rank_v").isNotNull()
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum(F.col("rank_b").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_brute"),
+            F.sum(F.col("rank_v").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_ivf"),
+            F.sum(both.cast("int")).cast("long").alias("n_overlap"),
+            F.max(
+                ((F.col("rank_b") == 1) & (F.col("rank_v") == 1)).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("top1_agree"),
+        )
+        .select(
+            "query_id",
+            "n_brute",
+            "n_ivf",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(_RRF_TOPK), 6).alias(
+                "overlap_at_k"
+            ),
+            "top1_agree",
+        )
+        .orderBy("query_id")
+    )
+
+
+def _hybrid_agreement_oracle() -> str:
+    return f"""
+WITH b AS (SELECT query_id, doc_id, rank AS rank_b
+           FROM ({HYBRID_RRF_ORACLE}) hb),
+v AS (SELECT query_id, doc_id, rank AS rank_v
+      FROM ({_hybrid_rrf_ivf_oracle()}) hv),
+j AS (
+  SELECT coalesce(b.query_id, v.query_id) AS query_id,
+         b.rank_b, v.rank_v
+  FROM b FULL OUTER JOIN v
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+)
+SELECT query_id,
+       sum((rank_b IS NOT NULL)::INT)::BIGINT AS n_brute,
+       sum((rank_v IS NOT NULL)::INT)::BIGINT AS n_ivf,
+       sum((rank_b IS NOT NULL AND rank_v IS NOT NULL)::INT)::BIGINT
+         AS n_overlap,
+       round(sum((rank_b IS NOT NULL AND rank_v IS NOT NULL)::INT)
+             / {_RRF_TOPK}.0, 6) AS overlap_at_k,
+       max((rank_b = 1 AND rank_v = 1)::INT)::BIGINT AS top1_agree
+FROM j GROUP BY query_id
+ORDER BY query_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ) assignment: split each 64-dim embedding into
 # M=8 subvectors of 8 dims; encode each subvector as the id of its
@@ -2755,6 +2836,12 @@ QUERIES = [
               "nprobe=3 + exact re-rank inside probed lists) — the "
               "deployable fusion: same lexical parent, same rrf_fuse, "
               "dense side touches nprobe/k of the corpus"),
+    QuerySpec("hybrid_fusion_agreement_report",
+              hybrid_fusion_agreement_report,
+              _hybrid_agreement_oracle(),
+              "per-query agreement of the list-pruned fusion vs its "
+              "brute-force parent: overlap@k + top-1 agreement — the "
+              "acceptance table next to the scaling exponents"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
               "BM25 top-k keyword retrieval (rational log-free idf)"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,

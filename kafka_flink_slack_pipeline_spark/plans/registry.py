@@ -563,6 +563,17 @@ _DEMOTED = (
     # dense ranker; its nprobe-monotonicity contract is pinned by a
     # dedicated test and its composed oracle stays verify_local-covered.
     "ivf_nprobe_recall_curve",
+    # r10: one slot for hybrid_fusion_agreement_report (new-code rule:
+    # the acceptance table for the list-pruned fusion — per-query
+    # overlap@k + top-1 agreement vs the brute-force parent, the number
+    # a deployment reads next to the probe exponents).
+    # bloom_membership_report rotates out WITHIN the sketch family:
+    # r7-green, body untouched since, its no-false-negative guarantee
+    # is pinned by its own computed-ground-truth test, the family keeps
+    # token_quantile_histogram in-window, and its md5-seeded oracle
+    # stays verify_local-covered. (user_history_window, the W1 parity
+    # row, stays at the window edge as every round.)
+    "bloom_membership_report",
     # r10: one slot for media_video_reencode_pairs (new-code rule: the
     # contour pair plan's first NON-EMPTY driver certificate — r9
     # verdict item 7; until now the video/audio pair ops hash-checked

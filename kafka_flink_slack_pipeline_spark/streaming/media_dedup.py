@@ -430,6 +430,12 @@ def media_dedup_stream(
                 fps.agg(
                     F.lit(n_raw).cast("long").alias("n_raw"),
                     F.countDistinct("modality", "doc_id").alias("n_docs"),
+                    *[
+                        F.countDistinct(
+                            F.when(F.col("modality") == m, F.col("doc_id"))
+                        ).alias(f"n_{m}")
+                        for m in ("image", "video", "audio")
+                    ],
                     F.lit(d_capped).cast("long").alias("d_capped"),
                 )
                 .write.mode("overwrite")

@@ -752,3 +752,24 @@ def test_hybrid_ivf_dense_side_is_list_pruned(spark, sf_dir):
         "brute-force dense never left the probed lists — the pruning "
         "test is vacuous on this corpus; plant a wider one"
     )
+
+
+def test_hybrid_fusion_agreement_bounds(spark, sf_dir):
+    """The acceptance table's invariants: overlap is bounded by both
+    fused sizes, overlap_at_k is its k-fraction, top1_agree is a flag —
+    and the report is non-vacuous (the two variants genuinely differ
+    somewhere on this corpus, else it certifies nothing)."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        _RRF_TOPK,
+        hybrid_fusion_agreement_report,
+    )
+
+    rows = hybrid_fusion_agreement_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_overlap <= min(r.n_brute, r.n_ivf)
+        assert r.overlap_at_k == round(r.n_overlap / _RRF_TOPK, 6)
+        assert r.top1_agree in (0, 1)
+    assert any(r.n_overlap < r.n_brute for r in rows), (
+        "variants identical everywhere — agreement report vacuous here"
+    )

@@ -359,3 +359,7 @@ def test_media_stream_skips_unroutable_and_empty_payloads(
     ).collect()
     assert sum(r["n_raw"] for r in m) == len(rows) + len(extras)
     assert sum(r["n_docs"] for r in m) == n_routable
+    # per-modality telemetry decomposes the total
+    assert sum(
+        r["n_image"] + r["n_video"] + r["n_audio"] for r in m
+    ) == n_routable

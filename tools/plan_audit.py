@@ -97,6 +97,9 @@ _ALLOWED_BNLJ: dict[str, tuple[int, str]] = {
     # the IVF dense side replaces the bounded-query BNLJ with a cid
     # equi-join (list-pruned); only bm25's 1-row stats attach remains
     "hybrid_search_rrf_ivf": (1, "bm25's 1-row stats broadcast"),
+    # composes both hybrid variants: brute parent's 2 + ivf parent's 1
+    "hybrid_fusion_agreement_report": (3, "both parents' bounded "
+                                          "broadcasts composed"),
     # broadcast of 1-row count aggregates composed into the report row
     "dedup_recall_report": (2, "1-row count aggregates crossJoin"),
     "dedup_method_report": (8, "2 x 1-row count-aggregate crossJoins per "
@@ -188,6 +191,11 @@ _SCAN_BUDGET: dict[str, tuple[int, str]] = {
     "hybrid_search_rrf_ivf": (4, "bm25's documents branches unchanged; "
                                  "embeddings: cand + probes (the "
                                  "cosine_topk_ivf pair)"),
+    # evaluation composition over BOTH hybrid variants (each re-derives
+    # bm25's 4 documents branches — the dedup/ann_recall_report
+    # composition allowance)
+    "hybrid_fusion_agreement_report": (8, "composes both hybrid "
+                                          "variants' bm25 sides"),
     "doc_unigram_surprisal": (3, "postings + vocab + total branches"),
     "classifier_threshold_curve": (3, "the classifier's scored-frame "
                                       "budget (model + scoring + class "
