@@ -120,6 +120,57 @@ def compact_index_store(
     )
 
 
+def _land_text(batch: DataFrame, batch_id: int, state_dir: str) -> None:
+    """Land one micro-batch's lexical index state: tp-partitioned
+    term-sorted postings, integer corpus statistics (exact avgdl/N
+    reconstruction — dl sums are integers, double addition order-free),
+    and the bounded seed-query sidecar (<= _BM25_MAX_QUERIES docs
+    ever). Shared by bm25_index_stream and hybrid_index_stream."""
+    toked = _toked_of(batch)
+    postings = (
+        toked.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("tp", _tp_col())
+    )
+    (
+        postings.repartition("tp")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("tp")
+        .parquet(f"{state_dir}/postings/batch_id={batch_id}")
+    )
+    (
+        toked.select(F.size("toks").alias("l"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("l").cast("long").alias("n_len"),
+            F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/stats/batch_id={batch_id}")
+    )
+    (
+        toked.filter(
+            (F.col("doc_id") % _BM25_EVERY == 0)
+            & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice("toks", *_BM25_QSLICE))
+            ).alias("term"),
+        )
+        .withColumn("tp", _tp_col())
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/seeds/batch_id={batch_id}")
+    )
+
+
 def bm25_index_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -134,8 +185,6 @@ def bm25_index_stream(
     only new files process, and replayed batches overwrite their own
     prior store partitions (idempotent replay, the shared contract)."""
     postings_dir = f"{state_dir}/postings"
-    stats_dir = f"{state_dir}/stats"
-    seeds_dir = f"{state_dir}/seeds"
 
     raw = (
         spark.readStream.schema(INDEX_DROP_SCHEMA)
@@ -151,54 +200,7 @@ def bm25_index_stream(
             )
         batch = batch.persist()
         try:
-            toked = _toked_of(batch)
-            postings = (
-                toked.select(
-                    "doc_id",
-                    F.size("toks").cast("long").alias("dl"),
-                    F.explode("toks").alias("term"),
-                )
-                .groupBy("term", "doc_id", "dl")
-                .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-                .withColumn("tp", _tp_col())
-            )
-            (
-                postings.repartition("tp")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("tp")
-                .parquet(f"{postings_dir}/batch_id={batch_id}")
-            )
-            # integer corpus statistics: exact avgdl/N reconstruction
-            # (dl sums are integers — double addition order-free)
-            (
-                toked.select(F.size("toks").alias("l"))
-                .agg(
-                    F.count(F.lit(1)).cast("long").alias("n_docs"),
-                    F.count("l").cast("long").alias("n_len"),
-                    F.coalesce(F.sum("l"), F.lit(0))
-                    .cast("long")
-                    .alias("sum_dl"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{stats_dir}/batch_id={batch_id}")
-            )
-            # bounded seed-query sidecar (<= _BM25_MAX_QUERIES docs ever)
-            (
-                toked.filter(
-                    (F.col("doc_id") % _BM25_EVERY == 0)
-                    & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
-                )
-                .select(
-                    F.col("doc_id").alias("query_id"),
-                    F.explode(
-                        F.array_distinct(F.slice("toks", *_BM25_QSLICE))
-                    ).alias("term"),
-                )
-                .withColumn("tp", _tp_col())
-                .write.mode("overwrite")
-                .parquet(f"{seeds_dir}/batch_id={batch_id}")
-            )
+            _land_text(batch, batch_id, state_dir)
         finally:
             batch.unpersist()
 
