@@ -59,8 +59,16 @@ from ..operators.similarity import (
     cosine,
     norm,
 )
-from .curation_funnel import _assert_local_dir, _assert_no_compact_leftover
-from .retrieval_index import _land_text, bm25_index_search
+from .curation_funnel import (
+    _assert_local_dir,
+    _assert_no_compact_leftover,
+    _compact_batch_store,
+)
+from .retrieval_index import (
+    _land_text,
+    bm25_index_search,
+    compact_index_store,
+)
 
 HYBRID_DROP_SCHEMA = (
     "doc_id bigint, text string, embedding array<double>, "
@@ -85,6 +93,27 @@ def _ranked_probe_cids(model, csims_col):
     )
 
 
+def compact_hybrid_vector_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Fold vector-store batches [0, upto) into ONE directory,
+    preserving the cid layout (the shared _compact_batch_store rails —
+    also the RETRAIN path: re-partitioning under a new codebook is this
+    fold with reassignment applied first)."""
+    return _compact_batch_store(
+        spark,
+        store_dir,
+        upto,
+        cols=["doc_id", "emb", "cid"],
+        partition_cols=["cid"],
+        what="hybrid vector store dir",
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
 def hybrid_index_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -92,12 +121,15 @@ def hybrid_index_stream(
     checkpoint_dir: str,
     codebook: list[tuple[int, list[float]]],
     max_files_per_trigger: int = 1000,
+    compact_every: int | None = 64,
 ):
     """Run the hybrid index-maintenance stream over all available drops
     (availableNow) and block until done. `codebook` is the fixed coarse
     quantizer ((cid, centroid) pairs — similarity._centroid_model's
     shape), held as driver model state and entering each batch's
-    assignment as literals."""
+    assignment as literals. `compact_every=N` folds BOTH stores every N
+    committed batches from inside the runner (on by default, the
+    sibling stores' policy)."""
     vectors_dir = f"{state_dir}/vectors"
     vecseeds_dir = f"{state_dir}/vecseeds"
 
@@ -108,6 +140,15 @@ def hybrid_index_stream(
     )
 
     def stage(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_index_store(
+                spark, f"{state_dir}/postings", upto=batch_id,
+                checkpoint_dir=checkpoint_dir,
+            )
+            compact_hybrid_vector_store(
+                spark, vectors_dir, upto=batch_id,
+                checkpoint_dir=checkpoint_dir,
+            )
         batch = batch.persist()
         try:
             _land_text(batch, batch_id, state_dir)

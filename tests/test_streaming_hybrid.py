@@ -150,3 +150,43 @@ def test_hybrid_index_single_query_and_cid_pruning(spark, hybrid_dirs):
 def test_hybrid_vector_store_rejects_remote_uri(spark):
     with pytest.raises(ValueError, match="driver-local"):
         _pruned_vectors(spark, "hdfs://nn/vectors", [0])
+
+
+def test_hybrid_index_compaction_preserves_search(spark, sf_dir, tmp_path):
+    """A 3-batch run with compact_every=1 folds BOTH stores from inside
+    the runner; the folded index serves identical fused results."""
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        hybrid_index_stream as run,
+    )
+
+    codebook = _centroid_model(spark, sf_dir)
+    rows = _drop_rows(spark, sf_dir)
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    for i, (lo, hi) in enumerate([(0, 200), (200, 400), (400, 10**9)]):
+        path = f"{d['drop']}/part{i}.jsonl"
+        _write_drop(path, rows, lo, hi)
+        os.utime(path, (1700000000 + i, 1700000000 + i))  # mtime order
+    run(
+        spark, d["drop"], d["state"], d["ckpt"], codebook,
+        max_files_per_trigger=1, compact_every=1,
+    )
+    for store in ("postings", "vectors"):
+        n_dirs = len(
+            [
+                e
+                for e in os.listdir(f"{d['state']}/{store}")
+                if e.startswith("batch_id=")
+            ]
+        )
+        assert n_dirs < 3, f"{store} not folded"
+    got = [
+        tuple(r)
+        for r in hybrid_index_search(spark, d["state"], codebook).collect()
+    ]
+    want = [tuple(r) for r in hybrid_search_rrf_ivf(spark, sf_dir).collect()]
+    assert got == want
