@@ -42,6 +42,8 @@ SCALE_PROBE_INDEX.json and the IVF probe family.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -208,6 +210,11 @@ def _pruned_vectors(
     """Landed vectors pruned to the probed cid partitions (bounded:
     <= min(|queries| * nprobe, k) cids — a static literal predicate)."""
     _assert_local_dir(vectors_dir, "hybrid vector store dir")
+    if not os.path.isdir(vectors_dir):
+        raise ValueError(
+            f"no vector store at {vectors_dir!r}: nothing has landed "
+            "yet (run hybrid_index_stream first)"
+        )
     _assert_no_compact_leftover(vectors_dir)
     store = spark.read.option("basePath", vectors_dir).parquet(vectors_dir)
     return store.filter(F.col("cid").isin(sorted(set(cids))))

@@ -226,6 +226,11 @@ def _pruned_postings(
     files). `terms` is bounded (the seed workload), so both predicates
     are static literals."""
     _assert_local_dir(postings_dir, "postings index store dir")
+    if not os.path.isdir(postings_dir):
+        raise ValueError(
+            f"no postings index at {postings_dir!r}: nothing has landed "
+            "yet (run bm25_index_stream / hybrid_index_stream first)"
+        )
     _assert_no_compact_leftover(postings_dir)
     store = spark.read.option("basePath", postings_dir).parquet(
         postings_dir

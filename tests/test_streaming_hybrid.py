@@ -190,3 +190,8 @@ def test_hybrid_index_compaction_preserves_search(spark, sf_dir, tmp_path):
     ]
     want = [tuple(r) for r in hybrid_search_rrf_ivf(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_hybrid_vector_store_refuses_empty_store(spark, tmp_path):
+    with pytest.raises(ValueError, match="nothing has landed"):
+        _pruned_vectors(spark, f"{tmp_path}/vectors", [0])

@@ -183,3 +183,8 @@ def test_index_compaction_preserves_search(spark, sf_dir, tmp_path):
 def test_index_store_rejects_remote_uri(spark):
     with pytest.raises(ValueError, match="driver-local"):
         _pruned_postings(spark, "s3://bucket/postings", [("x", 0)])
+
+
+def test_index_search_refuses_empty_store(spark, tmp_path):
+    with pytest.raises(ValueError, match="nothing has landed"):
+        _pruned_postings(spark, f"{tmp_path}/postings", [("x", 0)])
