@@ -138,6 +138,14 @@ HEADLINE = [
     # lists; benched alongside the brute-force parent so the pruning's
     # price/win at each SF is a read-off.
     "hybrid_search_rrf_ivf",
+    # r11 addition: the incremental index's update/delete SERVING path —
+    # store landing, the wave-1 fold, and the bounded model-state
+    # collects (seed terms, snapshot-corrected stats) run at frame-build
+    # (the ANN index-build precedent: a production index pays build
+    # once), so the timed passes measure the recurring cost: the
+    # tp-pruned + term-pushed postings read, the tail visibility mask,
+    # and the scoring/top-k plan.
+    "bm25_index_served_lww",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

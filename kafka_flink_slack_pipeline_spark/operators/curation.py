@@ -1457,11 +1457,16 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BM25_SEARCH_ORACLE = f"""
-WITH toked AS (
+def _bm25_oracle_over(table_expr: str, prelude: str = "") -> str:
+    """The BM25 oracle parameterized by its corpus relation — the
+    store-serving certificate (bm25_index_served_lww) reuses the
+    IDENTICAL scoring SQL over an LWW-updated CTE, so the batch oracle
+    and the update/delete serving oracle cannot drift apart."""
+    return f"""
+WITH {prelude}toked AS (
   SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              t -> t <> '') AS toks
-  FROM documents
+  FROM {table_expr}
 ),
 queries AS (
   SELECT doc_id AS query_id, unnest(list_distinct(
@@ -1476,7 +1481,7 @@ postings AS (
   GROUP BY doc_id, len(toks), term
 ),
 stats AS (
-  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+  SELECT (SELECT count(*)::DOUBLE FROM {table_expr}) AS n,
          (SELECT avg(len(toks)::DOUBLE) FROM toked) AS avgdl
 ),
 df_counts AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY term),
@@ -1502,6 +1507,84 @@ FROM (SELECT *, row_number() OVER (
 WHERE rank <= {_BM25_TOPK}
 ORDER BY query_id, rank
 """
+
+
+BM25_SEARCH_ORACLE = _bm25_oracle_over("documents")
+
+
+def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental index's UPDATE/DELETE serving path under the
+    driver's hash: land the corpus as wave 1 of a real postings/docmeta
+    store (streaming/retrieval_index._land_text — the exact kernels the
+    checkpointed stream runs), land a deterministic wave 2 of
+    re-ingested versions and tombstones (every doc_id%10==7 doubled,
+    every seed with doc_id%3==0 prefixed — the token slice shifts, so
+    the seed's QUERY changes too — every doc_id%10==3 plus seed doc 100
+    tombstoned), fold wave 1 (stats snapshot + physical LWW drop), and
+    SERVE: bm25_index_search over snapshot-corrected corpus stats and
+    the tail visibility mask. The oracle runs the IDENTICAL BM25 SQL
+    (_bm25_oracle_over) over the LWW-updated corpus CTE — so the whole
+    round-trip (ingest kernels, compaction fold, snapshot correction,
+    tail mask, serving expressions) is value-hash-checked end to end.
+    Reference anchor: the history lookup re-reads CURRENT Slack state
+    per query because messages get edited (slackEventServer.js:187-202).
+
+    Scale shape: identical to the streaming deployment's — ingest is
+    append-only writes, the fold is the amortized heavy step, serving
+    reads the query terms' pruned lists + a broadcast-sized tail mask
+    + <= _DOC_PREFIXES snapshot rows (store build here is a bounded
+    fixture of that pipeline, the media-store fixture discipline)."""
+    import tempfile
+
+    from ..streaming.retrieval_index import (
+        _land_text,
+        bm25_index_search,
+        compact_retrieval_store,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="bm25_served_lww_")
+    seed_upd = (F.col("doc_id") % _BM25_EVERY == 0) & (
+        F.col("doc_id") % 3 == 0
+    )
+    text_upd = F.col("doc_id") % 10 == 7
+    tomb = (F.col("doc_id") % 10 == 3) | (F.col("doc_id") == _BM25_EVERY)
+    wave1 = d.select(
+        "doc_id",
+        "text",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ingest_ts"),
+        F.lit(False).alias("deleted"),
+    )
+    wave2 = d.filter(seed_upd | text_upd | tomb).select(
+        "doc_id",
+        F.when(tomb, F.lit(None).cast("string"))
+        .when(seed_upd, F.concat(F.lit("seed refresh "), F.col("text")))
+        .otherwise(F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .alias("text"),
+        F.lit("2025-01-02 00:00:00").cast("timestamp").alias("ingest_ts"),
+        tomb.alias("deleted"),
+    )
+    _land_text(wave1, 0, state)
+    _land_text(wave2, 1, state)
+    # fold wave 1 only: wave 2 stays the uncompacted tail, so the serve
+    # below exercises BOTH masking regimes (folded store pre-masked
+    # physically; tail masked at read) and the snapshot-corrected stats
+    compact_retrieval_store(spark, state, upto=1)
+    return bm25_index_search(spark, state)
+
+
+BM25_INDEX_SERVED_LWW_ORACLE = _bm25_oracle_over(
+    "updated",
+    prelude=f"""updated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_BM25_EVERY} = 0 AND doc_id % 3 = 0
+                THEN 'seed refresh ' || text
+              WHEN doc_id % 10 = 7 THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 10 <> 3 AND doc_id <> {_BM25_EVERY}
+), """,
+)
 
 
 # --------------------------------------------------------------------------
@@ -1640,7 +1723,9 @@ ORDER BY query_id, rank
 """
 
 
-def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_search_rrf_ivf(
+    spark: SparkSession, sf_dir: str, model=None
+) -> DataFrame:
     """Hybrid RRF with the dense side LIST-PRUNED — the deployable
     variant of hybrid_search_rrf (r9 verdict item 2).
 
@@ -1657,6 +1742,10 @@ def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     honestly in the fusion: a true dense neighbor outside the probed
     lists simply never enters the dense rank list (in_dense=0), exactly
     how a deployed IVF-backed hybrid behaves.
+
+    `model` overrides the IVF codebook (default: this corpus's label
+    centroids) — the comparator hook for the streaming store's retrain
+    parity test (streaming/hybrid_index.retrain_hybrid_vector_store).
     """
     from .similarity import IVF_NPROBE, _ivf_topk
 
@@ -1667,7 +1756,8 @@ def hybrid_search_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < _BM25_EVERY * _BM25_MAX_QUERIES
     )
     dense = _ivf_topk(
-        spark, sf_dir, IVF_NPROBE, query_pred=seed, topk=_RRF_TOPK
+        spark, sf_dir, IVF_NPROBE, query_pred=seed, topk=_RRF_TOPK,
+        model=model,
     ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
@@ -2382,7 +2472,15 @@ def corpus_curation_funnel(
     need global statistics rather than per-doc state, which is also why
     the streaming twin applies both retrospectively at report time over
     the landed horizon (the classifier's model rebuilt exactly from
-    per-batch integer sufficient statistics)."""
+    per-batch integer sufficient statistics).
+
+    `materialize_signals=True` persists the tokenized signal projection
+    DISK_ONLY for the returned (lazy) plan's consumers; the CALLER owns
+    that cache's lifetime — unpersist it (spark.catalog.clearCache() or
+    the persisted plan's own handle) after the consuming action, or
+    repeated invocations in one session accumulate disk-backed RDDs
+    (ADVICE r10). The default (off, measured tie at sf0.1/10x) has no
+    cache to manage."""
     from .dedup import dedup_minhash_lsh
     from .textops import (
         _FILTER_MAX_DUP_BIGRAM,
@@ -2844,6 +2942,12 @@ QUERIES = [
               "acceptance table next to the scaling exponents"),
     QuerySpec("bm25_keyword_search", bm25_keyword_search, BM25_SEARCH_ORACLE,
               "BM25 top-k keyword retrieval (rational log-free idf)"),
+    QuerySpec("bm25_index_served_lww", bm25_index_served_lww,
+              BM25_INDEX_SERVED_LWW_ORACLE,
+              "update/delete serving certificate: land corpus + an "
+              "update/tombstone wave into the real postings/docmeta "
+              "store, fold wave 1, serve via snapshot-corrected stats "
+              "and the tail mask; oracle = BM25 over the LWW CTE"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,
               _curation_funnel_oracle(),
               "end-to-end curation funnel: quality -> exact dedup -> "

@@ -580,12 +580,16 @@ def _ivf_index(
     sf_dir: str,
     nprobe: int = IVF_NPROBE,
     query_pred=None,
+    model: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(candidates, probes) shared by the IVF and IVF-PQ searchers:
     inverted lists keyed by nearest centroid, and each query's NPROBE
     nearest lists. `query_pred` overrides the default vec_id < 10 query
     workload (hybrid_search_rrf_ivf passes the BM25 seed rule so the
-    fused retrievers share one information need per query).
+    fused retrievers share one information need per query). `model`
+    overrides the corpus-trained codebook — the retrain comparator:
+    streaming/hybrid_index's retrain test pins store-serving parity
+    under a codebook that is NOT this corpus's label centroids.
 
     r4 rewrite: the codebook is collected once as model state and enters
     the plan as literals. Assignment becomes argmax over a PROJECTED
@@ -595,7 +599,8 @@ def _ivf_index(
     the probe branch ranks the same array with array_sort on
     (-csim, cid) structs, so tie-breaks match the old window exactly."""
     emb = _emb(spark, sf_dir)
-    model = _centroid_model(spark, sf_dir)
+    if model is None:
+        model = _centroid_model(spark, sf_dir)
     sims = _centroid_sims(model, F.col("emb"), F.col("nrm"))
     cand = emb.select(
         "vec_id", "emb", norm(F.col("emb")).alias("nrm")
@@ -646,11 +651,15 @@ def _ivf_topk(
     nprobe: int,
     query_pred=None,
     topk: int = 5,
+    model: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """The list-pruned IVF ranker: probe nprobe lists, exact re-rank
     inside them. `query_pred`/`topk` let hybrid_search_rrf_ivf reuse it
-    with the BM25 seed workload and the fusion's deeper top-k."""
-    cand, probes = _ivf_index(spark, sf_dir, nprobe, query_pred=query_pred)
+    with the BM25 seed workload and the fusion's deeper top-k; `model`
+    overrides the codebook (see _ivf_index)."""
+    cand, probes = _ivf_index(
+        spark, sf_dir, nprobe, query_pred=query_pred, model=model
+    )
     rescored = (
         cand.join(F.broadcast(probes), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

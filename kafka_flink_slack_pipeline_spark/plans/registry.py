@@ -601,6 +601,19 @@ _DEMOTED = (
     # headliner for the unpruned path, and its oracle stays
     # verify_local-covered.
     "hybrid_search_rrf",
+    # r11: one slot for bm25_index_served_lww (new-code rule: the
+    # incremental index's UPDATE/DELETE serving path — r10 verdict item
+    # 1 — land + update/tombstone + fold + snapshot-corrected,
+    # tail-masked serve, value-hashed against the BM25 oracle over the
+    # LWW CTE). bm25_keyword_search rotates out in a PARENT-SWAP, the
+    # hybrid_search_rrf precedent: its ENTIRE body executes AND
+    # hash-checks in-window as hybrid_search_rrf_ivf's lexical side
+    # (that op literally calls bm25_keyword_search — any scoring bug
+    # flips the fused hash), the arriving serving certificate embeds
+    # the identical scoring expressions over the landed store, it
+    # remains a bench headliner (bench membership is window-
+    # independent), and its own oracle stays verify_local-covered.
+    "bm25_keyword_search",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score

@@ -212,12 +212,23 @@ def _compact_batch_store(
     partition_cols: list[str],
     what: str,
     checkpoint_dir: str | None = None,
+    transform=None,
+    force: bool = False,
 ) -> int:
     """Shared compaction kernel for the batch_id-scoped parquet stores
     (signature store: (band, bprefix) layout; semantic vector store:
     cid layout). Rewrites batches [0, upto) into ONE directory with id
     upto - 1, preserving the partition layout. Returns directories
     removed.
+
+    `transform` (optional) maps the folded frame before the staged
+    write — the update/delete hook: the retrieval index folds drop
+    superseded-version and tombstoned-doc rows here (and the IVF
+    retrain reassigns cids), so compaction is where logical deletes
+    become physical. It must preserve `cols` (partition cols included).
+    `force=True` rewrites even a single batch directory — a no-op fold
+    for the identity transform, but required when the transform itself
+    changes rows (retrain, first masked fold after a tombstone).
 
     Safety rails (both loud, per ADVICE r8):
       - `upto` must not exceed the store's own id horizon (max existing
@@ -261,16 +272,20 @@ def _compact_batch_store(
                 "overwrite) its own pre-compaction directory."
             )
     olds = [f"batch_id={i}" for i in sorted(ids) if i < upto]
-    if len(olds) <= 1:
+    if len(olds) <= (0 if force else 1):
         return 0
     tmp = os.path.join(
         store_dir, f"{_COMPACT_TMP_PREFIX}batch_id={upto - 1}"
     )
-    (
+    folded = (
         spark.read.option("basePath", store_dir)
         .parquet(*[os.path.join(store_dir, e) for e in olds])
         .select(*cols)
-        .write.mode("overwrite")
+    )
+    if transform is not None:
+        folded = transform(folded).select(*cols)
+    (
+        folded.write.mode("overwrite")
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )

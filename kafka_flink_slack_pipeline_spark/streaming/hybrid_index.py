@@ -4,18 +4,35 @@ serving path (lexical BM25 ∪ list-pruned dense ANN, RRF-fused) served
 from stores that a single checkpointed stream maintains as documents
 arrive.
 
-Every micro-batch of (doc_id, text, embedding, ingest_ts) drops lands
-BOTH index faces:
+Every micro-batch of (doc_id, text, embedding, ingest_ts[, deleted])
+drops lands BOTH index faces:
 
     lexical — the bm25_index_stream state verbatim (shared _land_text:
-      tp-partitioned term-sorted postings + integer corpus stats + the
-      bounded seed-query sidecar);
-    dense — each arrival's vector is assigned to its nearest coarse
-      centroid under a FIXED codebook (the production IVF discipline:
-      the coarse quantizer is trained offline and vectors are assigned
-      at insert time; retraining means re-partitioning, which is the
-      compaction story) and landed in a store partitioned by cid, plus
-      a bounded dense seed sidecar (the seed docs' query vectors).
+      tp-partitioned version-stamped postings + the dp-partitioned
+      docmeta version ledger + the bounded seed-query sidecar);
+    dense — each live arrival's vector is assigned to its nearest
+      coarse centroid under a FIXED codebook (the production IVF
+      discipline: the coarse quantizer is trained offline and vectors
+      are assigned at insert time) and landed version-stamped in a
+      store partitioned by cid, plus a bounded dense seed sidecar (the
+      seed docs' query vectors, version-stamped).
+
+UPDATE/DELETE: the retrieval_index LWW-by-ingest_ts + tombstone
+semantics apply to both faces — a re-ingested doc's new embedding may
+land in a DIFFERENT cid than its old version; the old vector is masked
+at serve time (the bounded tail mask, shared _mask_visible) and
+physically dropped at compaction. Same ordering contract (per-doc
+nondecreasing distinct ingest_ts; compaction repairs violations).
+
+CODEBOOK RETRAIN: retrain_hybrid_vector_store re-partitions the ENTIRE
+landed vector store under a new codebook — the fold-with-reassignment:
+every surviving (LWW-masked) vector's cid is recomputed with the new
+centroids and the store is rewritten in the new cid layout through the
+shared crash-staged rails. Resume the stream with the new codebook
+afterwards (inserts must assign against the layout they land into);
+the rails' committed-horizon guard enforces that the stream is
+stopped. This is how a drifted corpus migrates without losing the
+incremental store.
 
 hybrid_index_search then serves the landed horizon:
 bm25_index_search's lexical ranks, the IVF dense ranks (probes = the
@@ -26,18 +43,21 @@ _centroid_sims' Python-side literal norms so tie-breaks are
 bit-identical), fused by the unit-tested rrf_fuse.
 
 PARITY CONTRACT (tests/test_streaming_hybrid.py, across a checkpoint
-restart): once the corpus has landed, hybrid_index_search with the
-codebook trained on that corpus equals hybrid_search_rrf_ivf over the
-same (documents, embeddings) tables EXACTLY — same fused ranks, same
-rrf scores, same in_lex/in_dense flags. Unconditional (no cap caveat:
-neither BM25 nor the IVF probe caps candidates).
+restart, pre- and post-compaction, and across a retrain): once the
+corpus has landed, hybrid_index_search under codebook C equals
+hybrid_search_rrf_ivf(model=C) over the LWW-current (documents,
+embeddings) tables EXACTLY — same fused ranks, same rrf scores, same
+in_lex/in_dense flags. Unconditional (no cap caveat: neither BM25 nor
+the IVF probe caps candidates), given idempotent replay and the
+ordering contract.
 
 100 TB/day shape: per-batch cost is one tokenize pass + one narrow
 vector-assignment map (centroids enter the plan as literals — no
 broadcast join, no shuffle beyond the postings groupBy); serving cost
 tracks the query's own posting lists + its nprobe/k share of the
-vector store (cid directory pruning), both measured flat/sublinear by
-SCALE_PROBE_INDEX.json and the IVF probe family.
+vector store (cid directory pruning) + one broadcast-sized tail mask,
+measured flat/sublinear by SCALE_PROBE_INDEX.json /
+SCALE_PROBE_HYBRID.json and the IVF probe family.
 """
 
 from __future__ import annotations
@@ -61,21 +81,24 @@ from ..operators.similarity import (
     cosine,
     norm,
 )
-from .curation_funnel import (
-    _assert_local_dir,
-    _assert_no_compact_leftover,
-    _compact_batch_store,
-)
+from .curation_funnel import _compact_batch_store
 from .retrieval_index import (
+    _fold_horizon,
     _land_text,
+    _lww,
+    _mask_visible,
+    _read_store,
+    _tail_live,
     bm25_index_search,
-    compact_index_store,
+    compact_retrieval_store,
 )
 
 HYBRID_DROP_SCHEMA = (
     "doc_id bigint, text string, embedding array<double>, "
-    "ingest_ts timestamp"
+    "ingest_ts timestamp, deleted boolean"
 )
+_VECTOR_COLS = ["doc_id", "emb", "ts", "cid"]
+_VECSEED_COLS = ["query_id", "qe", "ts"]
 
 
 def _ranked_probe_cids(model, csims_col):
@@ -95,24 +118,125 @@ def _ranked_probe_cids(model, csims_col):
     )
 
 
-def compact_hybrid_vector_store(
+def _assigned(vecs: DataFrame, codebook) -> DataFrame:
+    """(doc_id, emb, ts) -> + cid under the given codebook — the batch
+    op's exact assignment expressions (projected norm, literal-side
+    centroid norms, argmax with lowest-cid ties)."""
+    return (
+        vecs.select("doc_id", "emb", "ts", norm(F.col("emb")).alias("nrm"))
+        .select(
+            "doc_id",
+            "emb",
+            "ts",
+            _centroid_sims(codebook, F.col("emb"), F.col("nrm")).alias(
+                "csims"
+            ),
+        )
+        .select(
+            "doc_id",
+            "emb",
+            "ts",
+            _assign_cid(codebook, F.col("csims")).alias("cid"),
+        )
+    )
+
+
+def _alive_of(spark: SparkSession, state_dir: str, upto: int):
+    """(doc_id, ts) of LWW winners that are not tombstones, over
+    docmeta batches [0, upto) — the physical-drop mask shared by the
+    dense-face folds."""
+    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
+    return (
+        _lww(dm.filter(F.col("batch_id") < upto))
+        .filter(~F.col("deleted"))
+        .select("doc_id", "ts")
+    )
+
+
+def compact_hybrid_store(
     spark: SparkSession,
-    store_dir: str,
+    state_dir: str,
     upto: int,
     checkpoint_dir: str | None = None,
 ) -> int:
-    """Fold vector-store batches [0, upto) into ONE directory,
-    preserving the cid layout (the shared _compact_batch_store rails —
-    also the RETRAIN path: re-partitioning under a new codebook is this
-    fold with reassignment applied first)."""
-    return _compact_batch_store(
+    """Fold batches [0, upto) of ALL SIX hybrid stores: the four
+    text-face stores (compact_retrieval_store: postings, seeds,
+    docmeta, stats snapshot) plus the cid-partitioned vector store and
+    the dense seed sidecar — each through the shared crash-staged
+    rails, with superseded-version and tombstoned-doc rows physically
+    dropped (the LWW mask). Returns directories removed."""
+    removed = compact_retrieval_store(
+        spark, state_dir, upto, checkpoint_dir=checkpoint_dir
+    )
+    alive = _alive_of(spark, state_dir, upto)
+    removed += _compact_batch_store(
         spark,
-        store_dir,
+        f"{state_dir}/vectors",
         upto,
-        cols=["doc_id", "emb", "cid"],
+        cols=_VECTOR_COLS,
         partition_cols=["cid"],
         what="hybrid vector store dir",
         checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
+    )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/vecseeds",
+        upto,
+        cols=_VECSEED_COLS,
+        partition_cols=[],
+        what="dense seed sidecar dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(
+            alive.select(F.col("doc_id").alias("query_id"), "ts"),
+            ["query_id", "ts"],
+        ),
+        force=True,
+    )
+    return removed
+
+
+def retrain_hybrid_vector_store(
+    spark: SparkSession,
+    state_dir: str,
+    codebook: list[tuple[int, list[float]]],
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Re-partition the ENTIRE landed vector store under a NEW coarse
+    codebook: one crash-staged rewrite in which every LWW-surviving
+    vector's cid is recomputed with the new centroids (the batch
+    assignment expressions verbatim) and the store lands in the new
+    cid layout. Covers the full store horizon by construction — a
+    partial retrain would leave two layouts and mis-prune — and the
+    rails' committed-horizon guard (pass checkpoint_dir) enforces that
+    the maintenance stream is stopped. Serve and resume with the new
+    codebook afterwards. Returns directories removed (>= 0; the
+    single-directory case still rewrites — force=True — because the
+    content changes)."""
+    vectors_dir = f"{state_dir}/vectors"
+    _read_store(spark, vectors_dir, "hybrid vector store dir")  # guards
+    # full horizon: every landed batch must move to the new layout
+    ids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(vectors_dir)
+        if e.startswith("batch_id=") and e.split("=", 1)[1].isdigit()
+    ]
+    upto = max(ids) + 1
+    alive = _alive_of(spark, state_dir, upto)
+    return _compact_batch_store(
+        spark,
+        vectors_dir,
+        upto,
+        cols=_VECTOR_COLS,
+        partition_cols=["cid"],
+        what="hybrid vector store dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: _assigned(
+            df.join(alive, ["doc_id", "ts"]).select("doc_id", "emb", "ts"),
+            codebook,
+        ),
+        force=True,
     )
 
 
@@ -129,9 +253,10 @@ def hybrid_index_stream(
     (availableNow) and block until done. `codebook` is the fixed coarse
     quantizer ((cid, centroid) pairs — similarity._centroid_model's
     shape), held as driver model state and entering each batch's
-    assignment as literals. `compact_every=N` folds BOTH stores every N
-    committed batches from inside the runner (on by default, the
-    sibling stores' policy)."""
+    assignment as literals. `compact_every=N` folds ALL SIX stores
+    every N committed batches from inside the runner (on by default,
+    the sibling stores' policy). Drops may carry deleted=true
+    tombstones and re-ingested versions (LWW by ingest_ts)."""
     vectors_dir = f"{state_dir}/vectors"
     vecseeds_dir = f"{state_dir}/vecseeds"
 
@@ -143,33 +268,23 @@ def hybrid_index_stream(
 
     def stage(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_index_store(
-                spark, f"{state_dir}/postings", upto=batch_id,
-                checkpoint_dir=checkpoint_dir,
-            )
-            compact_hybrid_vector_store(
-                spark, vectors_dir, upto=batch_id,
+            compact_hybrid_store(
+                spark, state_dir, upto=batch_id,
                 checkpoint_dir=checkpoint_dir,
             )
         batch = batch.persist()
         try:
             _land_text(batch, batch_id, state_dir)
-            vecs = (
-                batch.filter(F.col("embedding").isNotNull())
-                .select("doc_id", F.col("embedding").alias("emb"))
-                .select("doc_id", "emb", norm(F.col("emb")).alias("nrm"))
-                .select(
+            live = batch.filter(
+                ~F.coalesce(F.col("deleted"), F.lit(False))
+            )
+            vecs = _assigned(
+                live.filter(F.col("embedding").isNotNull()).select(
                     "doc_id",
-                    "emb",
-                    _centroid_sims(
-                        codebook, F.col("emb"), F.col("nrm")
-                    ).alias("csims"),
-                )
-                .select(
-                    "doc_id",
-                    "emb",
-                    _assign_cid(codebook, F.col("csims")).alias("cid"),
-                )
+                    F.col("embedding").alias("emb"),
+                    F.col("ingest_ts").alias("ts"),
+                ),
+                codebook,
             )
             (
                 vecs.write.mode("overwrite")
@@ -178,7 +293,7 @@ def hybrid_index_stream(
             )
             # bounded dense seed sidecar: the seed docs' query vectors
             (
-                batch.filter(
+                live.filter(
                     (F.col("doc_id") % _BM25_EVERY == 0)
                     & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
                     & F.col("embedding").isNotNull()
@@ -186,6 +301,7 @@ def hybrid_index_stream(
                 .select(
                     F.col("doc_id").alias("query_id"),
                     F.col("embedding").alias("qe"),
+                    F.col("ingest_ts").alias("ts"),
                 )
                 .write.mode("overwrite")
                 .parquet(f"{vecseeds_dir}/batch_id={batch_id}")
@@ -208,15 +324,9 @@ def _pruned_vectors(
     spark: SparkSession, vectors_dir: str, cids: list[int]
 ):
     """Landed vectors pruned to the probed cid partitions (bounded:
-    <= min(|queries| * nprobe, k) cids — a static literal predicate)."""
-    _assert_local_dir(vectors_dir, "hybrid vector store dir")
-    if not os.path.isdir(vectors_dir):
-        raise ValueError(
-            f"no vector store at {vectors_dir!r}: nothing has landed "
-            "yet (run hybrid_index_stream first)"
-        )
-    _assert_no_compact_leftover(vectors_dir)
-    store = spark.read.option("basePath", vectors_dir).parquet(vectors_dir)
+    <= min(|queries| * nprobe, k) cids — a static literal predicate).
+    Rows are version-stamped; callers mask visibility."""
+    store = _read_store(spark, vectors_dir, "hybrid vector store dir")
     return store.filter(F.col("cid").isin(sorted(set(cids))))
 
 
@@ -229,16 +339,20 @@ def hybrid_index_search(
     """Serve the landed horizon: hybrid_search_rrf_ivf's output schema
     (query_id, rank, doc_id, rrf_score, in_lex, in_dense) computed from
     the stores — bm25_index_search's lexical ranks fused with the
-    list-pruned dense ranks by the same rrf_fuse."""
+    list-pruned dense ranks by the same rrf_fuse, both faces under the
+    update/delete tail mask."""
     lex = bm25_index_search(spark, state_dir, query_ids=query_ids).select(
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
+    fold_id = _fold_horizon(state_dir)
+    tail = _tail_live(spark, state_dir, fold_id)
 
-    seeds = spark.read.option(
-        "basePath", f"{state_dir}/vecseeds"
-    ).parquet(f"{state_dir}/vecseeds")
+    seeds = _read_store(
+        spark, f"{state_dir}/vecseeds", "dense seed sidecar dir"
+    )
     if query_ids is not None:
         seeds = seeds.filter(F.col("query_id").isin(list(query_ids)))
+    seeds = _mask_visible(seeds, tail, key="query_id")
     probes = (
         seeds.select("query_id", "qe", norm(F.col("qe")).alias("nrm"))
         .select(
@@ -260,7 +374,9 @@ def hybrid_index_search(
     # bounded collect: <= |queries| * nprobe cid literals for the
     # directory-pruning predicate (the store-touch discipline)
     cids = [r["cid"] for r in probes.select("cid").distinct().collect()]
-    cand = _pruned_vectors(spark, f"{state_dir}/vectors", cids).select(
+    cand = _mask_visible(
+        _pruned_vectors(spark, f"{state_dir}/vectors", cids), tail
+    ).select(
         F.col("doc_id").alias("neighbor_id"),
         F.col("emb").alias("ne"),
         "cid",

@@ -6,60 +6,99 @@ queryable history, slackEventServer.js:186-192).
 A production search/RAG deployment does not re-tokenize its corpus per
 query; it maintains a POSTINGS INDEX incrementally as documents arrive
 and serves queries from it. Every micro-batch of (doc_id, text,
-ingest_ts) drops:
+ingest_ts[, deleted]) drops:
 
-    1. tokenizes with the batch op's exact rule (tokens_col + ''-filter)
-       and lands one posting row per (term, doc) — (term, doc_id, tf,
-       dl) — in a parquet store partitioned by tp = xxhash64(term) mod
-       _TERM_PREFIXES and SORTED BY term within partitions, so a
-       bounded query workload prunes both at the directory level (tp
-       literals) and at the row-group level (term IN (...) pushed to
-       the parquet scan against the sorted column's min/max stats);
-    2. lands the batch's integer corpus statistics (n_docs, n_len,
-       sum_dl) — dl values are integers, so double summation at report
-       time is order-independent and avgdl reconstructs EXACTLY;
+    1. tokenizes live (non-tombstone) rows with the batch op's exact
+       rule (tokens_col + ''-filter) and lands one posting row per
+       (term, doc version) — (term, doc_id, tf, dl, ts) — in a parquet
+       store partitioned by tp = xxhash64(term) mod _TERM_PREFIXES and
+       SORTED BY term within partitions, so a bounded query workload
+       prunes both at the directory level (tp literals) and at the
+       row-group level (term IN (...) pushed to the parquet scan
+       against the sorted column's min/max stats);
+    2. lands one DOCMETA row per arrival — (doc_id, ts, deleted, dl) —
+       partitioned by dp = xxhash64(doc_id) mod _DOC_PREFIXES: the
+       version ledger that makes updates and deletes first-class (a
+       real deployment re-crawls and deletes; the reference's serving
+       analogue re-reads CURRENT Slack state per lookup precisely
+       because messages get edited, slackEventServer.js:187-202);
     3. lands the batch's SEED QUERIES (the registered workload rule:
        doc_id % _BM25_EVERY == 0, capped at _BM25_MAX_QUERIES seeds;
        query terms = the seed doc's token slice) in a bounded sidecar,
-       carrying each term's tp so the search face never rehashes.
+       version-stamped with ts and carrying each term's tp so the
+       search face never rehashes.
 
-bm25_index_search then serves the landed horizon: corpus constants
-from the summed integer stats, df/tf/dl from the pruned postings scan,
-and the batch op's scoring expressions VERBATIM (one-IEEE-op rational
-idf, decimal-accumulated term scores, round 6, (score DESC, doc_id)
-top-k) — so the PARITY CONTRACT holds exactly: search-over-the-store
-equals bm25_keyword_search over the same documents, across a
-checkpoint restart (tests/test_streaming_index.py). Unlike the dedup
+UPDATE/DELETE SEMANTICS (last-write-wins by ingest_ts + tombstones):
+re-ingesting doc_id 42 with new text supersedes every older version —
+its old postings stop matching, df/N/avgdl reflect only the new text —
+and a deleted=true drop (a tombstone; text ignored) removes the doc
+from results AND from the corpus statistics. Ingest stays append-only
+(no read-before-write); the masking happens at the two places that can
+afford it:
+
+    serve time — visibility is decided against the UNCOMPACTED TAIL
+      only (docmeta batches newer than the last fold): a posting/seed
+      row is visible iff its doc has no tail version, or its ts equals
+      the tail winner's ts and that winner is not a tombstone. The
+      tail frame is bounded by compaction cadence (compact_every), so
+      the mask join is broadcast-sized and serving stays FLAT in
+      corpus size — the folded store needs no mask because compaction
+      already applied one.
+    compaction — compact_retrieval_store computes the global LWW
+      winner per doc over the folded range, physically DROPS
+      superseded postings/seeds and tombstoned docs' rows, folds
+      docmeta to one row per doc (tombstones RETAINED — they must
+      outlive the fold to suppress any not-yet-folded older version),
+      and writes a per-dp STATS SNAPSHOT so corpus constants never
+      need an O(corpus) pass at serve time.
+
+ORDERING CONTRACT: versions of one doc must arrive in nondecreasing
+ingest_ts order with DISTINCT ts per version (the CDC/Kafka shape —
+a keyed topic preserves per-key order, kafkaProducer.js's fixed-key
+sends land in one partition). The tail-only mask relies on it; an
+out-of-order late version is repaired at the next compaction (global
+LWW), never earlier. ingest_ts must be non-null.
+
+CORPUS STATISTICS stay exact and bounded: N and avgdl derive from
+integer (count, sum-of-dl) triplets — the last snapshot's totals,
+minus the fold-live contribution of docs the tail touched (a dp-pruned
+point lookup, bounded by the tail's dp spread), plus the tail winners'
+contribution. dl values are integers, so double summation is
+order-independent and avgdl reconstructs EXACTLY.
+
+bm25_index_search then serves the landed horizon: corpus constants as
+above, df/tf/dl from the pruned + tail-masked postings scan, and the
+batch op's scoring expressions VERBATIM (one-IEEE-op rational idf,
+decimal-accumulated term scores, round 6, (score DESC, doc_id) top-k)
+— so the PARITY CONTRACT holds exactly: search-over-the-store equals
+bm25_keyword_search over the LWW-current corpus (updated texts in,
+tombstoned docs out), across a checkpoint restart, pre- and
+post-compaction (tests/test_streaming_index.py). Unlike the dedup
 stores there is no bucket-cap caveat — BM25 has no candidate cap — so
 parity is unconditional given idempotent replay (batch_id-scoped
-overwrite, the shared store contract).
+overwrite, the shared store contract) and the ordering contract above.
 
 100 TB/day shape: the per-batch work is one tokenize pass + one
 shuffle to (term, doc) groups; the store write appends only the
 batch's own postings; a query's serving cost tracks ITS TERMS' posting
 lists (directory + row-group pruning make the rest of the store
-invisible), which is the inherent cost of BM25 — df grows with the
-corpus, the scan of unrelated terms does not. MEASURED
-(tools/index_probe.py, SCALE_PROBE_INDEX.json, 1.17M -> 1.17B posting
-rows with the workload's own lists held FIXED): the shipped layout's
-serving time is FLAT across three decades (3.64 -> 3.54 s, exponent
--0.004). Honest caveat: the flat-unsorted counterfactual is largely
-rescued by parquet DICTIONARY filtering on the term IN predicate
-(3.29 -> 3.98 s, exponent 0.028) — pushdown does most of the work in
-both layouts on a string key; the partitioned layout adds the bounded
-file listing and the guaranteed skip (11% ahead at 1.17B rows and
-widening), and is the shape that still holds when dictionaries
-overflow or the filter degrades to stats-only.
+invisible) plus one broadcast-sized tail mask — which is the inherent
+cost of BM25 — df grows with the corpus, the scan of unrelated terms
+does not. MEASURED (tools/index_probe.py, SCALE_PROBE_INDEX.json):
+serving time is FLAT across three decades of store growth with the
+workload's own lists held fixed.
 
-Store maintenance is the shared rails: compact_index_store folds
-committed batches into one directory (tp layout + term sort
-preserved; id-horizon + commits-log validation; underscore-prefixed
-crash staging), invoked every `compact_every` batches by default.
+Store maintenance is the shared rails: compact_retrieval_store folds
+committed batches of ALL FOUR text-face stores (postings, docmeta,
+seeds, stats snapshot) into one directory each (layouts preserved;
+id-horizon + commits-log validation; underscore-prefixed crash
+staging), invoked every `compact_every` batches by default.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,18 +114,34 @@ from ..operators.curation import (
 )
 from ..operators.textops import tokens_col
 from .curation_funnel import (
+    _COMPACT_TMP_PREFIX,
     _assert_local_dir,
     _assert_no_compact_leftover,
     _compact_batch_store,
 )
 
-INDEX_DROP_SCHEMA = "doc_id bigint, text string, ingest_ts timestamp"
+INDEX_DROP_SCHEMA = (
+    "doc_id bigint, text string, ingest_ts timestamp, deleted boolean"
+)
 _TERM_PREFIXES = 64
-_POSTING_COLS = ["term", "doc_id", "tf", "dl"]
+_DOC_PREFIXES = 32
+# stats-correction point-lookup cap: tails up to this many touched docs
+# resolve their fold-side lookups via a doc_id IN literal pushed into
+# the doc_id-sorted folded docmeta (row-group skipping); larger tails
+# fall back to the dp-pruned scan. Sized to keep the literal list and
+# the driver round-trip trivial at streaming cadence.
+_STATS_LOOKUP_CAP = 8192
+_POSTING_COLS = ["term", "doc_id", "tf", "dl", "ts"]
+_DOCMETA_COLS = ["doc_id", "ts", "deleted", "dl", "dp"]
+_SEED_COLS = ["query_id", "term", "tp", "ts"]
 
 
 def _tp_col(term_col="term"):
     return F.pmod(F.xxhash64(F.col(term_col)), F.lit(_TERM_PREFIXES))
+
+
+def _dp_col(doc_col="doc_id"):
+    return F.pmod(F.xxhash64(F.col(doc_col)), F.lit(_DOC_PREFIXES))
 
 
 def _toked_of(batch: DataFrame) -> DataFrame:
@@ -97,43 +152,58 @@ def _toked_of(batch: DataFrame) -> DataFrame:
     )
 
 
-def compact_index_store(
-    spark: SparkSession,
-    store_dir: str,
-    upto: int,
-    checkpoint_dir: str | None = None,
-) -> int:
-    """Fold postings batches [0, upto) into ONE directory, preserving
-    the tp layout (the shared _compact_batch_store rails). Term order
-    within the folded files follows the kernel's read order and is NOT
-    guaranteed sorted — the search face never relies on sortedness for
-    correctness (the IN predicate is exact either way; sortedness only
-    sharpens row-group skipping on freshly-landed batches)."""
-    return _compact_batch_store(
-        spark,
-        store_dir,
-        upto,
-        cols=[*_POSTING_COLS, "tp"],
-        partition_cols=["tp"],
-        what="postings index store dir",
-        checkpoint_dir=checkpoint_dir,
+def _read_store(spark: SparkSession, store_dir: str, what: str):
+    """Guarded store read: loud on remote URIs (os.path probes would
+    misread them), loud when nothing has landed, loud on interrupted-
+    compaction leftovers — the cdfe06a discipline, applied uniformly to
+    every store and sidecar this module reads."""
+    _assert_local_dir(store_dir, what)
+    if not os.path.isdir(store_dir):
+        raise ValueError(
+            f"no {what} at {store_dir!r}: nothing has landed yet "
+            "(run bm25_index_stream / hybrid_index_stream first)"
+        )
+    _assert_no_compact_leftover(store_dir)
+    return spark.read.option("basePath", store_dir).parquet(store_dir)
+
+
+def _lww(docmeta: DataFrame) -> DataFrame:
+    """One winner row per doc under last-write-wins: max (ts, deleted,
+    dl) struct — latest ts wins; an exact-ts tie (ordering-contract
+    violation) resolves delete-over-update deterministically."""
+    return docmeta.groupBy("doc_id").agg(
+        F.max(F.struct("ts", "deleted", "dl")).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.ts").alias("ts"),
+        F.col("w.deleted").alias("deleted"),
+        F.col("w.dl").alias("dl"),
     )
 
 
 def _land_text(batch: DataFrame, batch_id: int, state_dir: str) -> None:
     """Land one micro-batch's lexical index state: tp-partitioned
-    term-sorted postings, integer corpus statistics (exact avgdl/N
-    reconstruction — dl sums are integers, double addition order-free),
-    and the bounded seed-query sidecar (<= _BM25_MAX_QUERIES docs
-    ever). Shared by bm25_index_stream and hybrid_index_stream."""
-    toked = _toked_of(batch)
+    term-sorted version-stamped postings, the dp-partitioned docmeta
+    version ledger (tombstones included), and the bounded version-
+    stamped seed-query sidecar (<= _BM25_MAX_QUERIES docs ever). Shared
+    by bm25_index_stream and hybrid_index_stream. Append-only: updates
+    and deletes are resolved at serve time (tail mask) and at
+    compaction (global LWW fold), never by reading the store here."""
+    deleted = F.coalesce(F.col("deleted"), F.lit(False))
+    live = batch.filter(~deleted)
+    toked = live.select(
+        "doc_id",
+        F.col("ingest_ts").alias("ts"),
+        F.filter(tokens_col(), lambda t: t != "").alias("toks"),
+    )
     postings = (
         toked.select(
             "doc_id",
+            "ts",
             F.size("toks").cast("long").alias("dl"),
             F.explode("toks").alias("term"),
         )
-        .groupBy("term", "doc_id", "dl")
+        .groupBy("term", "doc_id", "dl", "ts")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("tp", _tp_col())
     )
@@ -145,14 +215,23 @@ def _land_text(batch: DataFrame, batch_id: int, state_dir: str) -> None:
         .parquet(f"{state_dir}/postings/batch_id={batch_id}")
     )
     (
-        toked.select(F.size("toks").alias("l"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.count("l").cast("long").alias("n_len"),
-            F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("sum_dl"),
+        batch.select(
+            "doc_id",
+            F.col("ingest_ts").alias("ts"),
+            deleted.alias("deleted"),
+            F.when(deleted, F.lit(None).cast("long"))
+            .otherwise(
+                F.size(
+                    F.filter(tokens_col(), lambda t: t != "")
+                ).cast("long")
+            )
+            .alias("dl"),
         )
+        .withColumn("dp", _dp_col())
+        .repartition("dp")
         .write.mode("overwrite")
-        .parquet(f"{state_dir}/stats/batch_id={batch_id}")
+        .partitionBy("dp")
+        .parquet(f"{state_dir}/docmeta/batch_id={batch_id}")
     )
     (
         toked.filter(
@@ -161,14 +240,254 @@ def _land_text(batch: DataFrame, batch_id: int, state_dir: str) -> None:
         )
         .select(
             F.col("doc_id").alias("query_id"),
+            "ts",
             F.explode(
                 F.array_distinct(F.slice("toks", *_BM25_QSLICE))
             ).alias("term"),
         )
         .withColumn("tp", _tp_col())
+        .select(*_SEED_COLS)
         .write.mode("overwrite")
         .parquet(f"{state_dir}/seeds/batch_id={batch_id}")
     )
+
+
+def _fold_horizon(state_dir: str) -> int:
+    """Last stats-snapshot id S: docmeta batches with id <= S are
+    covered by the snapshot (and, barring a crash window that the next
+    fold repairs, physically folded). -1 when never compacted."""
+    snap_dir = f"{state_dir}/statsnap"
+    if not os.path.isdir(snap_dir):
+        return -1
+    _assert_no_compact_leftover(snap_dir)
+    ids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(snap_dir)
+        if e.startswith("batch_id=") and e.split("=", 1)[1].isdigit()
+    ]
+    return max(ids) if ids else -1
+
+
+def _tail_live(spark: SparkSession, state_dir: str, fold_id: int):
+    """LWW winners among docmeta batches NEWER than the last fold —
+    the serve-time visibility mask. Bounded by compaction cadence
+    (everything older was already masked physically by the fold), so
+    the join against it broadcasts; before the first fold it is the
+    global LWW (exact for any arrival order)."""
+    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
+    return _lww(dm.filter(F.col("batch_id") > fold_id))
+
+
+def _mask_visible(rows: DataFrame, tail: DataFrame, key: str = "doc_id"):
+    """Visibility under the tail mask: a version-stamped row survives
+    iff its doc has no tail version, or it IS the tail winner and that
+    winner is not a tombstone. Requires the ordering contract (per-doc
+    nondecreasing ts); compaction repairs violations globally."""
+    t = tail.select(
+        F.col("doc_id").alias(key),
+        F.col("ts").alias("_t_ts"),
+        F.col("deleted").alias("_t_del"),
+    )
+    return (
+        rows.join(t, key, "left")
+        .filter(
+            F.col("_t_ts").isNull()
+            | ((F.col("ts") == F.col("_t_ts")) & ~F.col("_t_del"))
+        )
+        .drop("_t_ts", "_t_del")
+    )
+
+
+def _stats_triplet(docmeta_live: DataFrame) -> tuple[int, int, int]:
+    """(n_docs, n_len, sum_dl) integer contribution of live winner rows
+    — tombstones excluded, null-text docs count toward N but not avgdl
+    (the batch op's count(*) vs avg(len) split)."""
+    r = (
+        docmeta_live.filter(~F.col("deleted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("dl").cast("long").alias("n_len"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    return (r["n_docs"], r["n_len"], r["sum_dl"])
+
+
+def _live_stats(spark: SparkSession, state_dir: str) -> tuple[float, float]:
+    """Exact (N, avgdl) over the LWW-current corpus, without an
+    O(corpus) pass: last snapshot totals, minus the fold-live
+    contribution of tail-touched docs (dp-pruned point lookup), plus
+    the tail winners' contribution. All arithmetic on integer
+    triplets; the final division is the batch op's one IEEE divide."""
+    dm_dir = f"{state_dir}/docmeta"
+    fold_id = _fold_horizon(state_dir)
+    if fold_id < 0:
+        n_docs, n_len, sum_dl = _stats_triplet(
+            _lww(_read_store(spark, dm_dir, "docmeta store dir"))
+        )
+    else:
+        snap = spark.read.parquet(
+            f"{state_dir}/statsnap/batch_id={fold_id}"
+        )
+        tot = snap.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("n_len"), F.lit(0)).alias("n_len"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        ).collect()[0]
+        n_docs, n_len, sum_dl = tot["n_docs"], tot["n_len"], tot["sum_dl"]
+        tail = _tail_live(spark, state_dir, fold_id).withColumn(
+            "dp", _dp_col()
+        )
+        # point-lookup collect, capped: below the cap the fold read
+        # carries a doc_id IN literal list that row-group-skips inside
+        # the doc_id-sorted folded files (the LSM point-lookup shape —
+        # the correction then reads ~one row group per touched doc, so
+        # serving stays flat in corpus size); above it, fall back to
+        # the dp-pruned scan (bounded collect: <= _DOC_PREFIXES + cap)
+        probe = tail.select("doc_id", "dp").limit(_STATS_LOOKUP_CAP + 1)
+        trows = probe.collect()
+        if trows:
+            dm = _read_store(spark, dm_dir, "docmeta store dir")
+            fold = dm.filter(F.col("batch_id") <= fold_id)
+            if len(trows) <= _STATS_LOOKUP_CAP:
+                fold = fold.filter(
+                    F.col("dp").isin(sorted({r["dp"] for r in trows}))
+                ).filter(
+                    F.col("doc_id").isin(
+                        sorted({r["doc_id"] for r in trows})
+                    )
+                )
+            else:
+                tdps = [
+                    r["dp"]
+                    for r in tail.select("dp").distinct().collect()
+                ]
+                fold = fold.filter(F.col("dp").isin(sorted(tdps)))
+            fold_touched = _lww(fold).join(
+                tail.select("doc_id"), "doc_id", "left_semi"
+            )
+            sub = _stats_triplet(fold_touched)
+            add = _stats_triplet(tail)
+            n_docs = n_docs - sub[0] + add[0]
+            n_len = n_len - sub[1] + add[1]
+            sum_dl = sum_dl - sub[2] + add[2]
+    n = float(n_docs)
+    avgdl = float(sum_dl) / float(n_len) if n_len else float("nan")
+    return n, avgdl
+
+
+def _write_statsnap(spark: SparkSession, state_dir: str, upto: int) -> None:
+    """Per-dp integer stats of the live corpus over docmeta batches
+    [0, upto), staged under the underscore crash prefix and swapped in;
+    older snapshots removed after the rename (readers take the max id,
+    so a crash between rename and removal is harmless)."""
+    snap_dir = f"{state_dir}/statsnap"
+    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
+    live = (
+        _lww(dm.filter(F.col("batch_id") < upto))
+        .filter(~F.col("deleted"))
+        .withColumn("dp", _dp_col())
+    )
+    snap = live.groupBy("dp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("dl").cast("long").alias("n_len"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    os.makedirs(snap_dir, exist_ok=True)
+    _assert_no_compact_leftover(snap_dir)
+    tmp = os.path.join(snap_dir, f"{_COMPACT_TMP_PREFIX}batch_id={upto - 1}")
+    snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+    olds = [
+        e
+        for e in os.listdir(snap_dir)
+        if e.startswith("batch_id=") and e != f"batch_id={upto - 1}"
+    ]
+    os.rename(tmp, os.path.join(snap_dir, f"batch_id={upto - 1}"))
+    for e in olds:
+        shutil.rmtree(os.path.join(snap_dir, e))
+
+
+def compact_retrieval_store(
+    spark: SparkSession,
+    state_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Fold text-face batches [0, upto) into ONE directory per store
+    (the shared _compact_batch_store rails), applying the global LWW
+    mask: superseded-version and tombstoned-doc postings/seeds are
+    physically dropped; docmeta folds to one winner row per doc with
+    TOMBSTONES RETAINED (they must suppress any not-yet-arrived older
+    version); the per-dp stats snapshot is rewritten so serve-time
+    corpus constants never rescan the corpus. Term order within folded
+    postings files follows the kernel's read order and is NOT
+    guaranteed sorted — the search face never relies on sortedness for
+    correctness (the IN predicate is exact either way; sortedness only
+    sharpens row-group skipping on freshly-landed batches). Returns
+    directories removed."""
+    dm_dir = f"{state_dir}/docmeta"
+    if not os.path.isdir(dm_dir):
+        return 0  # nothing landed yet — nothing to fold
+    alive = (
+        _lww(
+            _read_store(spark, dm_dir, "docmeta store dir").filter(
+                F.col("batch_id") < upto
+            )
+        )
+        .filter(~F.col("deleted"))
+        .select("doc_id", "ts")
+    )
+    removed = _compact_batch_store(
+        spark,
+        f"{state_dir}/postings",
+        upto,
+        cols=[*_POSTING_COLS, "tp"],
+        partition_cols=["tp"],
+        what="postings index store dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
+    )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/seeds",
+        upto,
+        cols=_SEED_COLS,
+        partition_cols=[],
+        what="seed sidecar dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(
+            alive.select(
+                F.col("doc_id").alias("query_id"), "ts"
+            ),
+            ["query_id", "ts"],
+        ),
+        force=True,
+    )
+    # snapshot BEFORE the docmeta fold: every crash window then serves
+    # exactly — a snapshot at id S with unfolded docmeta dirs <= S is
+    # fine (the correction's fold-read filter batch_id <= S still sees
+    # them), whereas a docmeta fold without its snapshot would make the
+    # serve-time correction double-count the folded rows.
+    _write_statsnap(spark, state_dir, upto)
+    removed += _compact_batch_store(
+        spark,
+        dm_dir,
+        upto,
+        cols=_DOCMETA_COLS,
+        partition_cols=["dp"],
+        what="docmeta store dir",
+        checkpoint_dir=checkpoint_dir,
+        # doc_id-sorted within dp partitions: the stats correction's
+        # point lookups row-group-skip against the sorted min/max stats
+        transform=lambda df: _lww(df)
+        .withColumn("dp", _dp_col())
+        .repartition("dp")
+        .sortWithinPartitions("doc_id"),
+        force=True,
+    )
+    return removed
 
 
 def bm25_index_stream(
@@ -183,8 +502,9 @@ def bm25_index_stream(
     (availableNow) and block until done; returns the finished
     StreamingQuery. Re-invoke with the same checkpoint_dir to resume —
     only new files process, and replayed batches overwrite their own
-    prior store partitions (idempotent replay, the shared contract)."""
-    postings_dir = f"{state_dir}/postings"
+    prior store partitions (idempotent replay, the shared contract).
+    Drops may carry deleted=true tombstones and re-ingested versions of
+    earlier doc_ids (LWW by ingest_ts; see the module contract)."""
 
     raw = (
         spark.readStream.schema(INDEX_DROP_SCHEMA)
@@ -194,8 +514,8 @@ def bm25_index_stream(
 
     def stage(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_index_store(
-                spark, postings_dir, upto=batch_id,
+            compact_retrieval_store(
+                spark, state_dir, upto=batch_id,
                 checkpoint_dir=checkpoint_dir,
             )
         batch = batch.persist()
@@ -224,17 +544,9 @@ def _pruned_postings(
     partitions at the directory level, the term IN-list pushes to the
     parquet scan (row-group min/max skipping against the term-sorted
     files). `terms` is bounded (the seed workload), so both predicates
-    are static literals."""
-    _assert_local_dir(postings_dir, "postings index store dir")
-    if not os.path.isdir(postings_dir):
-        raise ValueError(
-            f"no postings index at {postings_dir!r}: nothing has landed "
-            "yet (run bm25_index_stream / hybrid_index_stream first)"
-        )
-    _assert_no_compact_leftover(postings_dir)
-    store = spark.read.option("basePath", postings_dir).parquet(
-        postings_dir
-    )
+    are static literals. Rows are version-stamped; callers mask
+    visibility with _mask_visible."""
+    store = _read_store(spark, postings_dir, "postings index store dir")
     tps = sorted({tp for _, tp in terms})
     return (
         store.filter(F.col("tp").isin(tps))
@@ -248,14 +560,17 @@ def bm25_index_search(
 ) -> DataFrame:
     """Serve the landed horizon: BM25 top-k for the stored seed queries
     (optionally a subset — the single-query serving path the pruning
-    exists for), with the batch op's scoring expressions verbatim.
+    exists for), with the batch op's scoring expressions verbatim and
+    the update/delete tail mask applied to seeds and candidates.
     Output schema == bm25_keyword_search's: (query_id, rank, doc_id,
     score, n_matched_terms)."""
-    seeds = spark.read.option("basePath", f"{state_dir}/seeds").parquet(
-        f"{state_dir}/seeds"
-    )
+    fold_id = _fold_horizon(state_dir)
+    tail = _tail_live(spark, state_dir, fold_id)
+
+    seeds = _read_store(spark, f"{state_dir}/seeds", "seed sidecar dir")
     if query_ids is not None:
         seeds = seeds.filter(F.col("query_id").isin(list(query_ids)))
+    seeds = _mask_visible(seeds, tail, key="query_id")
     # bounded model-state collect: <= _BM25_MAX_QUERIES * slice terms
     terms = [
         (r["term"], r["tp"])
@@ -263,19 +578,10 @@ def bm25_index_search(
     ]
     queries = seeds.select("query_id", "term").distinct()
 
-    stats = (
-        spark.read.option("basePath", f"{state_dir}/stats")
-        .parquet(f"{state_dir}/stats")
-        .agg(
-            F.sum("n_docs").cast("double").alias("n"),
-            (
-                F.sum("sum_dl").cast("double")
-                / F.sum("n_len").cast("double")
-            ).alias("avgdl"),
-        )
-    )
+    n, avgdl = _live_stats(spark, state_dir)
+    cand = _pruned_postings(spark, f"{state_dir}/postings", terms)
     matched = (
-        _pruned_postings(spark, f"{state_dir}/postings", terms)
+        _mask_visible(cand, tail)
         .select(
             "doc_id",
             F.col("dl").cast("double").alias("dl"),
@@ -289,15 +595,14 @@ def bm25_index_search(
             .cast("double"),
         )
     )
-    idf = (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf = (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
         F.col("tf")
-        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
     )
     term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
     scored = (
         matched.join(F.broadcast(queries), "term")
-        .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum(term_score).cast("double"), 6).alias("score"),

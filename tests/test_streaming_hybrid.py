@@ -195,3 +195,210 @@ def test_hybrid_index_compaction_preserves_search(spark, sf_dir, tmp_path):
 def test_hybrid_vector_store_refuses_empty_store(spark, tmp_path):
     with pytest.raises(ValueError, match="nothing has landed"):
         _pruned_vectors(spark, f"{tmp_path}/vectors", [0])
+
+
+def test_hybrid_vecseeds_refuse_empty_and_remote(spark, tmp_path):
+    """The r10 ADVICE gap: the dense seed sidecar gets the same loud
+    guards as the vector store."""
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        _read_store,
+    )
+
+    with pytest.raises(ValueError, match="nothing has landed"):
+        _read_store(spark, f"{tmp_path}/vecseeds", "dense seed sidecar dir")
+    with pytest.raises(ValueError, match="driver-local"):
+        _read_store(spark, "s3://b/vecseeds", "dense seed sidecar dir")
+
+
+# ---------------------------------------------------------------------------
+# update/delete + retrain: the r10 verdict's top two items
+
+
+def _write_recs(path, recs):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def _updated_tables(spark, sf_dir, out_dir, upd_text, upd_emb, dels):
+    """Write the LWW-current (documents, embeddings) tables — the
+    batch comparator's ground truth after updates/tombstones."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_col = F.col("text")
+    for i, t in upd_text.items():
+        text_col = F.when(F.col("doc_id") == i, F.lit(t)).otherwise(text_col)
+    docs.filter(~F.col("doc_id").isin(sorted(dels))).withColumn(
+        "text", text_col
+    ).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_col = F.col("embedding")
+    for i, vec in upd_emb.items():
+        lit_vec = F.array(*[F.lit(float(x)) for x in vec]).cast(
+            "array<float>"
+        )
+        emb_col = F.when(F.col("vec_id") == i, lit_vec).otherwise(emb_col)
+    emb.filter(~F.col("vec_id").isin(sorted(dels))).withColumn(
+        "embedding", emb_col
+    ).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def hybrid_lww_dirs(tmp_path_factory, spark, sf_dir):
+    """Full corpus, then (across a restart) text+embedding updates and
+    tombstones: doc 7 gets doc 450's embedding (typically a different
+    cid — the vector must MOVE lists), seed doc 0 gets new text, seed
+    doc 100 is tombstoned, every doc_id%10==3 is tombstoned."""
+    base = tmp_path_factory.mktemp("hybridlww")
+    d = {
+        "drop": str(base / "drop"),
+        "state": str(base / "state"),
+        "ckpt": str(base / "ckpt"),
+        "tables": str(base / "tables"),
+    }
+    os.makedirs(d["drop"])
+    os.makedirs(d["tables"])
+    codebook = _centroid_model(spark, sf_dir)
+    rows = _drop_rows(spark, sf_dir)
+    by_id = {r[0]: r for r in rows}
+
+    _write_drop(f"{d['drop']}/w1.jsonl", rows, 0, 10**9)
+    hybrid_index_stream(spark, d["drop"], d["state"], d["ckpt"], codebook)
+
+    upd_text = {
+        7: f"{by_id[7][1]} revised {by_id[7][1]}",
+        0: (
+            "alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa"
+        ),
+    }
+    upd_emb = {7: by_id[450][2], 0: by_id[0][2]}
+    dels = {i for i, _, _ in rows if i % 10 == 3} | {100}
+    recs = [
+        {
+            "doc_id": i,
+            "text": upd_text[i],
+            "embedding": upd_emb[i],
+            "ingest_ts": f"2025-02-01T00:00:{k:02d}.000Z",
+        }
+        for k, i in enumerate(sorted(upd_text))
+    ] + [
+        {
+            "doc_id": i,
+            "text": None,
+            "embedding": None,
+            "ingest_ts": f"2025-02-02T00:{k // 60:02d}:{k % 60:02d}.000Z",
+            "deleted": True,
+        }
+        for k, i in enumerate(sorted(dels))
+    ]
+    _write_recs(f"{d['drop']}/w2.jsonl", recs)
+    hybrid_index_stream(spark, d["drop"], d["state"], d["ckpt"], codebook)
+
+    _updated_tables(spark, sf_dir, d["tables"], upd_text, upd_emb, dels)
+    d.update(codebook=codebook, dels=dels)
+    return d
+
+
+def test_hybrid_update_delete_parity(spark, hybrid_lww_dirs):
+    d = hybrid_lww_dirs
+    got = [
+        tuple(r)
+        for r in hybrid_index_search(
+            spark, d["state"], d["codebook"]
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in hybrid_search_rrf_ivf(
+            spark, d["tables"], model=d["codebook"]
+        ).collect()
+    ]
+    assert got == want
+    assert got, "empty workload — parity vacuous"
+    qids = {q for q, *_ in got}
+    assert 100 not in qids and 0 in qids
+    assert not {doc for _, _, doc, *_ in got} & d["dels"]
+
+
+def test_hybrid_update_delete_parity_postcompaction(spark, hybrid_lww_dirs):
+    """compact_hybrid_store folds all six stores; superseded vectors
+    are physically dropped (doc 7 keeps ONE version, in the cid its
+    NEW embedding assigns to); serving is unchanged."""
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        compact_hybrid_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        _read_store,
+    )
+
+    d = hybrid_lww_dirs
+    before = [
+        tuple(r)
+        for r in hybrid_index_search(
+            spark, d["state"], d["codebook"]
+        ).collect()
+    ]
+    compact_hybrid_store(spark, d["state"], upto=2, checkpoint_dir=d["ckpt"])
+    after = [
+        tuple(r)
+        for r in hybrid_index_search(
+            spark, d["state"], d["codebook"]
+        ).collect()
+    ]
+    assert after == before
+
+    vectors = _read_store(
+        spark, f"{d['state']}/vectors", "hybrid vector store dir"
+    )
+    doc7 = vectors.filter(F.col("doc_id") == 7).select("ts", "cid").collect()
+    assert len(doc7) == 1, "superseded vector not physically dropped"
+    assert (
+        vectors.filter(
+            F.col("doc_id").isin(sorted(d["dels"])[:50])
+        ).count()
+        == 0
+    ), "tombstoned docs' vectors not physically dropped"
+
+
+def test_hybrid_retrain_under_new_codebook(
+    spark, sf_dir, hybrid_lww_dirs, tmp_path
+):
+    """retrain_hybrid_vector_store re-partitions the WHOLE store under
+    a codebook trained elsewhere (here: the half-corpus centroids);
+    serving under the new codebook equals the batch op given the same
+    model — and the store's layout is entirely the new one."""
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        retrain_hybrid_vector_store,
+    )
+
+    d = hybrid_lww_dirs
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 2 == 0
+    ).write.parquet(f"{half}/embeddings.parquet")
+    codebook2 = _centroid_model(spark, half)
+    assert codebook2 != d["codebook"], "retrain codebook not distinct"
+
+    retrain_hybrid_vector_store(
+        spark, d["state"], codebook2, checkpoint_dir=d["ckpt"]
+    )
+    vectors_dir = f"{d['state']}/vectors"
+    n_dirs = len(
+        [e for e in os.listdir(vectors_dir) if e.startswith("batch_id=")]
+    )
+    assert n_dirs == 1, "retrain must leave ONE folded layout"
+
+    got = [
+        tuple(r)
+        for r in hybrid_index_search(spark, d["state"], codebook2).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in hybrid_search_rrf_ivf(
+            spark, d["tables"], model=codebook2
+        ).collect()
+    ]
+    assert got == want
+    assert got

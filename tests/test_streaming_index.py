@@ -1,11 +1,13 @@
 """Stream/batch parity for the incremental BM25 postings index.
 
 The contract (streaming/retrieval_index.py): bm25_index_search over
-the landed horizon equals bm25_keyword_search over the same documents
-EXACTLY (same tokenization, same integer tf/df/dl, exactly
-reconstructed N/avgdl, same scoring expressions), across a checkpoint
-restart — and a bounded query workload reads only its terms' tp
-partitions from the postings store.
+the landed horizon equals bm25_keyword_search over the LWW-CURRENT
+corpus (re-ingested versions supersede by ingest_ts, tombstones drop
+docs from results AND from df/N/avgdl) EXACTLY — same tokenization,
+same integer tf/df/dl, exactly reconstructed N/avgdl, same scoring
+expressions — across a checkpoint restart, pre- and post-compaction;
+and a bounded query workload reads only its terms' tp partitions from
+the postings store.
 """
 
 from __future__ import annotations
@@ -21,8 +23,10 @@ from kafka_flink_slack_pipeline_spark.operators.curation import (
 )
 from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
     _pruned_postings,
+    _read_store,
     bm25_index_search,
     bm25_index_stream,
+    compact_retrieval_store,
 )
 
 
@@ -188,3 +192,182 @@ def test_index_store_rejects_remote_uri(spark):
 def test_index_search_refuses_empty_store(spark, tmp_path):
     with pytest.raises(ValueError, match="nothing has landed"):
         _pruned_postings(spark, f"{tmp_path}/postings", [("x", 0)])
+
+
+def test_index_sidecars_refuse_empty_and_remote(spark, tmp_path):
+    """The r10 ADVICE gap: seeds/docmeta reads get the same loud
+    guards as postings (a wrong state_dir must not surface a raw
+    AnalysisException)."""
+    with pytest.raises(ValueError, match="nothing has landed"):
+        _read_store(spark, f"{tmp_path}/seeds", "seed sidecar dir")
+    with pytest.raises(ValueError, match="driver-local"):
+        _read_store(spark, "s3://bucket/docmeta", "docmeta store dir")
+
+
+def _write_recs(path, recs):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+# 16+ tokens so the updated seed doc's query slice (tokens 10..12) is
+# non-empty and DIFFERS from the original seed terms
+_NEW_SEED_TEXT = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+    "kilo lima mike november oscar papa quebec"
+)
+
+
+def _updated_corpus(rows, upd, dels):
+    """LWW-current corpus after applying updates/tombstones — the
+    batch comparator's ground truth."""
+    return [(i, upd.get(i, t)) for i, t in rows if i not in dels]
+
+
+@pytest.fixture(scope="module")
+def lww_dirs(tmp_path_factory, spark, sf_dir):
+    """Three-wave store: full corpus, then updates + tombstones across
+    a restart, then compaction, then a post-compaction wave (the stats
+    snapshot + tail-correction serving path)."""
+    base = tmp_path_factory.mktemp("bm25lww")
+    d = {
+        "drop": str(base / "drop"),
+        "state": str(base / "state"),
+        "ckpt": str(base / "ckpt"),
+        "docs": str(base / "docs"),
+    }
+    os.makedirs(d["drop"])
+    rows = _doc_rows(spark, sf_dir)
+    texts = dict(rows)
+
+    # wave 1: the full corpus (January ingest_ts, the legacy helper)
+    _write_drop(f"{d['drop']}/w1.jsonl", rows, 0, 10**9)
+    bm25_index_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    # wave 2 (across a RESTART): re-ingest every doc_id%10==7 with new
+    # text, re-ingest seed doc 0 with entirely new seed terms, and
+    # tombstone every doc_id%10==3 plus seed doc 100
+    upd = {
+        i: f"{t} revised {t}" for i, t in rows if i % 10 == 7
+    }
+    upd[0] = _NEW_SEED_TEXT
+    dels = {i for i, _ in rows if i % 10 == 3} | {100}
+    recs = [
+        {
+            "doc_id": i,
+            "text": txt,
+            "ingest_ts": f"2025-02-01T00:00:{k % 60:02d}.{k // 60:03d}Z",
+        }
+        for k, (i, txt) in enumerate(sorted(upd.items()))
+    ] + [
+        {
+            "doc_id": i,
+            "text": None,
+            "ingest_ts": f"2025-02-02T00:00:{k % 60:02d}.{k // 60:03d}Z",
+            "deleted": True,
+        }
+        for k, i in enumerate(sorted(dels))
+    ]
+    _write_recs(f"{d['drop']}/w2.jsonl", recs)
+    bm25_index_stream(spark, d["drop"], d["state"], d["ckpt"])
+    d["rows"], d["upd"], d["dels"] = rows, upd, dels
+    d["texts"] = texts
+    return d
+
+
+def test_index_update_delete_parity_precompaction(spark, lww_dirs):
+    got = [
+        tuple(r)
+        for r in bm25_index_search(spark, lww_dirs["state"]).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in _batch_rows(
+            spark,
+            _updated_corpus(
+                lww_dirs["rows"], lww_dirs["upd"], lww_dirs["dels"]
+            ),
+            lww_dirs["docs"],
+        )
+    ]
+    assert got == want
+    assert got, "empty workload — parity vacuous"
+    qids = {q for q, *_ in got}
+    assert 100 not in qids, "tombstoned seed doc still serves a query"
+    assert 0 in qids, "updated seed doc lost its query"
+    assert not {doc for _, _, doc, *_ in got} & lww_dirs["dels"], (
+        "tombstoned doc appears in results"
+    )
+
+
+def test_index_update_delete_parity_postcompaction(spark, lww_dirs):
+    """Compaction physically drops superseded and tombstoned rows;
+    serving is unchanged; a post-compaction wave then serves through
+    the stats snapshot + tail correction."""
+    before = [
+        tuple(r)
+        for r in bm25_index_search(spark, lww_dirs["state"]).collect()
+    ]
+    compact_retrieval_store(
+        spark, lww_dirs["state"], upto=2, checkpoint_dir=lww_dirs["ckpt"]
+    )
+    after = [
+        tuple(r)
+        for r in bm25_index_search(spark, lww_dirs["state"]).collect()
+    ]
+    assert after == before
+
+    postings = _read_store(
+        spark, f"{lww_dirs['state']}/postings", "postings index store dir"
+    )
+    assert (
+        postings.filter(
+            F.col("doc_id").isin(sorted(lww_dirs["dels"])[:50])
+        ).count()
+        == 0
+    ), "tombstoned docs' postings not physically dropped"
+    assert (
+        postings.filter(F.col("doc_id") == 7)
+        .select("ts")
+        .distinct()
+        .count()
+        == 1
+    ), "superseded version's postings not physically dropped"
+
+    # wave 3 AFTER the fold: another update + tombstone must serve
+    # exactly through snapshot-corrected stats and the tail mask
+    upd3 = dict(lww_dirs["upd"])
+    upd3[11] = "eleven rewritten beyond recognition with many tokens"
+    dels3 = set(lww_dirs["dels"]) | {21}
+    _write_recs(
+        f"{lww_dirs['drop']}/w3.jsonl",
+        [
+            {
+                "doc_id": 11,
+                "text": upd3[11],
+                "ingest_ts": "2025-03-01T00:00:00.000Z",
+            },
+            {
+                "doc_id": 21,
+                "text": None,
+                "ingest_ts": "2025-03-01T00:00:01.000Z",
+                "deleted": True,
+            },
+        ],
+    )
+    bm25_index_stream(
+        spark, lww_dirs["drop"], lww_dirs["state"], lww_dirs["ckpt"]
+    )
+    got = [
+        tuple(r)
+        for r in bm25_index_search(spark, lww_dirs["state"]).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in _batch_rows(
+            spark,
+            _updated_corpus(lww_dirs["rows"], upd3, dels3),
+            lww_dirs["docs"],
+        )
+    ]
+    assert got == want

@@ -1,28 +1,38 @@
 """Postings-index store probe: is SERVING cost flat as the landed index
 grows in terms the query workload never touches?
 
-The dedup stores measure per-batch ingest cost vs store growth; the
-retrieval index's recurring cost is the QUERY — so this probe measures
-bm25_index_search's store-dependent stage (seed collect -> tp-pruned,
-term-IN-pushed postings scan -> df window -> scoring join -> top-k)
-for a FIXED seed workload against postings stores three decades apart,
-in both layouts:
+r11 refresh: the serving path now carries UPDATE/DELETE semantics
+(streaming/retrieval_index.py — LWW by ingest_ts + tombstones), so the
+probe measures the REAL bm25_index_search end to end: seed read + tail
+visibility mask, snapshot-corrected corpus stats (point-lookup
+correction into the doc_id-sorted docmeta), tp-pruned + term-IN-pushed
+postings scan, mask join, scoring, top-k. Every probe store carries a
+LIVE TAIL — one uncompacted batch of re-ingested docs (doc_id%100==1,
+never seeds) — so the masked regime is what's timed, not the degenerate
+empty-tail fast path.
+
+Layouts compared at each size:
 
   pruned        — the shipped path: (tp)-partitioned, term-sorted-
-                  within-files store + tp literals + term IN pushdown
-  unpartitioned — the naive layout counterfactual: identical rows
-                  landed flat and UNSORTED (doc order), term filter
-                  still applied but nothing for the scan to skip with
-                  (the funnel/media probes' honest rule: the engine can
-                  rescue a lazy plan, not a lazy layout)
+                  within-files postings + tp literals + term IN
+                  pushdown (bm25_index_search verbatim)
+  unpartitioned — the naive layout counterfactual: identical posting
+                  rows landed flat and UNSORTED (doc order), term
+                  filter still applied but nothing for the scan to
+                  skip with; docmeta/seeds/statsnap/tail identical
+                  (the funnel/media probes' honest rule: the engine
+                  can rescue a lazy plan, not a lazy layout)
 
-Store growth: the decade points add 9 / 99 replicas of every base
-posting row with REMAPPED terms (term || '#r<i>' — distinct vocabulary,
-so the workload's own posting lists stay FIXED while the index grows
-around them) and shifted doc_ids. BM25's inherent cost — a query term's
-own df growth — is therefore held constant by construction; what's
-measured is pure layout overhead, the thing the store design controls.
-Both layouts must return identical search rows at every size — asserted.
+Store growth: the decade points add 9 / 99 / 999 replicas of every
+base posting row with REMAPPED terms (term || '#r<i>' — distinct
+vocabulary, so the workload's own posting lists stay FIXED while the
+index grows around them) and shifted doc_ids, AND the matching docmeta
+rows — so the stats correction's point lookups run against a docmeta
+ledger that grows with the corpus (the thing the doc_id-sorted dp
+layout exists for). BM25's inherent cost — a query term's own df
+growth — is held constant by construction; what's measured is pure
+layout + mask overhead, the thing the store design controls. Both
+layouts must return identical search rows at every size — asserted.
 
 Protocol: warmup + 2 timed passes, min. Writes SCALE_PROBE_INDEX.json.
 
@@ -55,71 +65,142 @@ from kafka_flink_slack_pipeline_spark.operators.curation import (  # noqa: E402
     _BM25_TOPK,
 )
 from kafka_flink_slack_pipeline_spark.session import get_spark  # noqa: E402
-from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (  # noqa: E402
-    _POSTING_COLS,
-    _toked_of,
-    _tp_col,
-)
+from kafka_flink_slack_pipeline_spark.streaming import retrieval_index as ri  # noqa: E402
 
 CORPUS_MULT = 10
 STORE_REPLICAS = {"base": 0, "x10": 9, "x100": 99, "x1000": 999}
 LAND_BATCH_DOCS = 6_000
+_TS1 = "2025-01-01 00:00:00"
+_TS2 = "2025-02-01 00:00:00"
 
 
-def _postings_of(toked):
-    return (
+def _with_ts(df, ts):
+    return df.withColumn("ts", F.lit(ts).cast("timestamp"))
+
+
+def _toked(docs):
+    return docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), "\\s+"), lambda t: t != ""
+        ).alias("toks"),
+    )
+
+
+def _postings_of(toked, ts):
+    return _with_ts(
         toked.select(
             "doc_id",
             F.size("toks").cast("long").alias("dl"),
             F.explode("toks").alias("term"),
         )
         .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("tp", _tp_col())
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+        ts,
+    ).withColumn("tp", ri._tp_col())
+
+
+def _docmeta_of(toked, ts):
+    return (
+        _with_ts(
+            toked.select(
+                "doc_id",
+                F.lit(False).alias("deleted"),
+                F.size("toks").cast("long").alias("dl"),
+            ),
+            ts,
+        )
+        .select("doc_id", "ts", "deleted", "dl")
+        .withColumn("dp", ri._dp_col())
     )
 
 
-def _build_base_store(spark, corpus_dir, store_dir, partitioned) -> int:
+def _write_postings(p, dest, partitioned):
+    if partitioned:
+        (
+            p.repartition("tp")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tp")
+            .parquet(dest)
+        )
+    else:
+        # flat, doc-ordered, unsorted in term — nothing to skip with
+        p.orderBy("doc_id").write.mode("overwrite").parquet(dest)
+
+
+def _write_docmeta(m, dest):
+    (
+        m.repartition("dp")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("dp")
+        .parquet(dest)
+    )
+
+
+def _build_base(spark, corpus_dir, state_dir, flat_postings_dir=None) -> int:
+    """Land the base corpus batch-wise into a REAL state dir (postings
+    tp layout + doc_id-sorted docmeta + version-stamped seeds) plus the
+    flat postings counterfactual (skipped when flat_postings_dir is
+    None — the hybrid probe grows the lexical face without its flat
+    twin). Returns the next batch id."""
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     batch_id = 0
     for lo in range(0, int(n), LAND_BATCH_DOCS):
-        p = _postings_of(
-            _toked_of(
-                docs.filter(
-                    (F.col("doc_id") >= lo)
-                    & (F.col("doc_id") < lo + LAND_BATCH_DOCS)
-                )
+        part = _toked(
+            docs.filter(
+                (F.col("doc_id") >= lo)
+                & (F.col("doc_id") < lo + LAND_BATCH_DOCS)
             )
         )
-        if partitioned:
-            (
-                p.repartition("tp")
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("tp")
-                .parquet(f"{store_dir}/batch_id={batch_id}")
+        p = _postings_of(part, _TS1)
+        _write_postings(
+            p, f"{state_dir}/postings/batch_id={batch_id}", True
+        )
+        if flat_postings_dir is not None:
+            _write_postings(
+                p, f"{flat_postings_dir}/batch_id={batch_id}", False
             )
-        else:
-            # flat, doc-ordered, unsorted in term — nothing to skip with
-            p.orderBy("doc_id").write.mode("overwrite").parquet(
-                f"{store_dir}/batch_id={batch_id}"
-            )
+        _write_docmeta(
+            _docmeta_of(part, _TS1),
+            f"{state_dir}/docmeta/batch_id={batch_id}",
+        )
         batch_id += 1
+    seeds = _with_ts(
+        _toked(docs)
+        .filter(
+            (F.col("doc_id") % _BM25_EVERY == 0)
+            & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.slice("toks", *_BM25_QSLICE))
+            ).alias("term"),
+        ),
+        _TS1,
+    ).withColumn("tp", ri._tp_col())
+    seeds.select(*ri._SEED_COLS).write.mode("overwrite").parquet(
+        f"{state_dir}/seeds/batch_id=0"
+    )
     return batch_id
 
 
-def _add_replicas(spark, base_dir, store_dir, next_id, n_rep,
-                  partitioned) -> int:
-    base = (
-        spark.read.option("basePath", base_dir)
-        .parquet(base_dir)
-        .select(*_POSTING_COLS)
-    )
+def _add_replicas(spark, state_dir, flat_postings_dir, rep_id, n_rep):
+    """One batch dir of n_rep remapped replicas: postings with term ||
+    '#r<i>' and shifted doc_ids (both layouts) + the matching docmeta
+    rows, so the version ledger grows with the store."""
+    base_postings = spark.read.option(
+        "basePath", f"{state_dir}/postings"
+    ).parquet(f"{state_dir}/postings").filter(F.col("batch_id") < rep_id)
     rep = (
-        base.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
+        base_postings.withColumn(
+            "r", F.explode(F.sequence(F.lit(1), F.lit(n_rep)))
+        )
         .select(
             F.concat(F.col("term"), F.lit("#r"), F.col("r")).alias("term"),
             (F.col("doc_id") + F.col("r") * F.lit(1_000_000)).alias(
@@ -127,33 +208,80 @@ def _add_replicas(spark, base_dir, store_dir, next_id, n_rep,
             ),
             "tf",
             "dl",
+            "ts",
         )
-        .withColumn("tp", _tp_col())
+        .withColumn("tp", ri._tp_col())
     )
-    if partitioned:
-        (
-            rep.repartition("tp")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("tp")
-            .parquet(f"{store_dir}/batch_id={next_id}")
+    _write_postings(rep, f"{state_dir}/postings/batch_id={rep_id}", True)
+    if flat_postings_dir is not None:
+        _write_postings(
+            rep, f"{flat_postings_dir}/batch_id={rep_id}", False
         )
-    else:
-        rep.orderBy("doc_id").write.mode("overwrite").parquet(
-            f"{store_dir}/batch_id={next_id}"
+    base_meta = spark.read.option(
+        "basePath", f"{state_dir}/docmeta"
+    ).parquet(f"{state_dir}/docmeta").filter(F.col("batch_id") < rep_id)
+    rep_meta = (
+        base_meta.withColumn(
+            "r", F.explode(F.sequence(F.lit(1), F.lit(n_rep)))
         )
-    return next_id + 1
+        .select(
+            (F.col("doc_id") + F.col("r") * F.lit(1_000_000)).alias(
+                "doc_id"
+            ),
+            "ts",
+            "deleted",
+            "dl",
+        )
+        .withColumn("dp", ri._dp_col())
+    )
+    _write_docmeta(rep_meta, f"{state_dir}/docmeta/batch_id={rep_id}")
 
 
-def _search(spark, store_dir, seeds, stats_row, terms, pruned):
-    """bm25_index_search's store-dependent stage verbatim, against the
-    given layout."""
-    store = spark.read.option("basePath", store_dir).parquet(store_dir)
-    if pruned:
-        tps = sorted({tp for _, tp in terms})
-        store = store.filter(F.col("tp").isin(tps))
+def _add_tail(spark, corpus_dir, state_dir, flat_postings_dir, tail_id):
+    """The live tail: re-ingest every doc_id%100==1 (never a seed) with
+    a later ts — the serve-time mask then does real work at every
+    size."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") % 100 == 1)
+    part = _toked(docs)
+    p = _postings_of(part, _TS2)
+    _write_postings(p, f"{state_dir}/postings/batch_id={tail_id}", True)
+    if flat_postings_dir is not None:
+        _write_postings(
+            p, f"{flat_postings_dir}/batch_id={tail_id}", False
+        )
+    _write_docmeta(
+        _docmeta_of(part, _TS2),
+        f"{state_dir}/docmeta/batch_id={tail_id}",
+    )
+
+
+def _serve_flat(spark, state_dir, flat_postings_dir):
+    """bm25_index_search with ONLY the postings read swapped for the
+    flat layout (no tp pruning, nothing sorted) — every other stage
+    (seed mask, snapshot-corrected stats, tail mask, scoring) is the
+    module's real code, so the delta is pure postings layout."""
+    fold_id = ri._fold_horizon(state_dir)
+    tail = ri._tail_live(spark, state_dir, fold_id)
+    seeds = ri._mask_visible(
+        ri._read_store(spark, f"{state_dir}/seeds", "seed sidecar dir"),
+        tail,
+        key="query_id",
+    )
+    terms = sorted(
+        {r["term"] for r in seeds.select("term").distinct().collect()}
+    )
+    queries = seeds.select("query_id", "term").distinct()
+    n, avgdl = ri._live_stats(spark, state_dir)
+    cand = (
+        spark.read.option("basePath", flat_postings_dir)
+        .parquet(flat_postings_dir)
+        .filter(F.col("term").isin(terms))
+        .select(*ri._POSTING_COLS)
+    )
     matched = (
-        store.filter(F.col("term").isin(sorted({t for t, _ in terms})))
+        ri._mask_visible(cand, tail)
         .select(
             "doc_id",
             F.col("dl").cast("double").alias("dl"),
@@ -167,7 +295,6 @@ def _search(spark, store_dir, seeds, stats_row, terms, pruned):
             .cast("double"),
         )
     )
-    n, avgdl = stats_row
     idf = (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     tf_norm = (F.col("tf") * (_BM25_K1 + 1)) / (
         F.col("tf")
@@ -178,7 +305,7 @@ def _search(spark, store_dir, seeds, stats_row, terms, pruned):
         F.desc("score"), F.asc("doc_id")
     )
     return (
-        matched.join(F.broadcast(seeds), "term")
+        matched.join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(
             F.round(F.sum(term_score).cast("double"), 6).alias("score"),
@@ -186,9 +313,15 @@ def _search(spark, store_dir, seeds, stats_row, terms, pruned):
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _BM25_TOPK)
-        .select("query_id", "rank", "doc_id", "score")
-        .collect()
+        .select("query_id", "rank", "doc_id", "score", "n_matched_terms")
+        .orderBy("query_id", "rank")
     )
+
+
+def _serve(spark, state_dir, flat_postings_dir, pruned):
+    if pruned:
+        return ri.bm25_index_search(spark, state_dir).collect()
+    return _serve_flat(spark, state_dir, flat_postings_dir).collect()
 
 
 def main() -> None:
@@ -204,89 +337,57 @@ def main() -> None:
         corpus_dir = f"{work}/corpus"
         os.makedirs(corpus_dir)
         generate(CORPUS_MULT, corpus_dir)
-        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
-        toked = _toked_of(docs.select("doc_id", "text"))
-        seeds = (
-            toked.filter(
-                (F.col("doc_id") % _BM25_EVERY == 0)
-                & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
-            )
-            .select(
-                F.col("doc_id").alias("query_id"),
-                F.explode(
-                    F.array_distinct(F.slice("toks", *_BM25_QSLICE))
-                ).alias("term"),
-            )
-            .withColumn("tp", _tp_col())
-            .localCheckpoint()
-        )
-        terms = [
-            (r["term"], r["tp"])
-            for r in seeds.select("term", "tp").distinct().collect()
-        ]
-        srow = (
-            toked.select(F.size("toks").alias("l"))
-            .agg(
-                F.count(F.lit(1)).cast("double"),
-                F.sum("l").cast("double") / F.count("l").cast("double"),
-            )
-            .collect()[0]
-        )
-        stats_row = (float(srow[0]), float(srow[1]))
-        seeds_qt = seeds.select("query_id", "term").distinct().localCheckpoint()
 
-        stores: dict[str, dict[bool, tuple[str, int]]] = {}
-        for partitioned in (True, False):
-            tag = "p" if partitioned else "u"
-            base_dir = f"{work}/store_base_{tag}"
-            next_id = _build_base_store(
-                spark, corpus_dir, base_dir, partitioned
-            )
-            stores.setdefault("base", {})[partitioned] = (base_dir, next_id)
-            for name, n_rep in STORE_REPLICAS.items():
-                if n_rep == 0:
-                    continue
-                d = f"{work}/store_{name}_{tag}"
-                shutil.copytree(base_dir, d)
-                stores.setdefault(name, {})[partitioned] = (
-                    d,
-                    _add_replicas(
-                        spark, base_dir, d, next_id, n_rep, partitioned
-                    ),
-                )
+        # base state (pruned layout + flat counterfactual postings)
+        base_state = f"{work}/state_base"
+        base_flat = f"{work}/flat_base"
+        next_id = _build_base(spark, corpus_dir, base_state, base_flat)
+
+        stores: dict[str, tuple[str, str]] = {}
+        for name, n_rep in STORE_REPLICAS.items():
+            if n_rep == 0:
+                state, flat = base_state, base_flat
+            else:
+                state = f"{work}/state_{name}"
+                flat = f"{work}/flat_{name}"
+                shutil.copytree(base_state, state)
+                shutil.copytree(base_flat, flat)
+            stores[name] = (state, flat)
+        for name, n_rep in STORE_REPLICAS.items():
+            state, flat = stores[name]
+            rep_id = next_id
+            if n_rep:
+                _add_replicas(spark, state, flat, rep_id, n_rep)
+                rep_id += 1
+            # snapshot covers base + replicas; the tail stays live
+            ri._write_statsnap(spark, state, upto=rep_id)
+            _add_tail(spark, corpus_dir, state, flat, rep_id)
+
         store_rows = {
-            name: spark.read.option("basePath", by[True][0])
-            .parquet(by[True][0])
-            .count()
-            for name, by in stores.items()
+            name: spark.read.option(
+                "basePath", f"{state}/postings"
+            ).parquet(f"{state}/postings").count()
+            for name, (state, _) in stores.items()
         }
 
         results: dict[str, dict] = {}
         reference: dict[str, list] = {}
         for shape in ("pruned", "unpartitioned"):
-            partitioned = shape == "pruned"
+            pruned = shape == "pruned"
             times: dict[str, float] = {}
-            for name in stores:
-                store_dir, _ = stores[name][partitioned]
-                rows = _search(
-                    spark, store_dir, seeds_qt, stats_row, terms,
-                    partitioned,
-                )  # warmup + equivalence reference
-                key = name
+            for name, (state, flat) in stores.items():
+                rows = _serve(spark, state, flat, pruned)
                 canon = sorted(tuple(r) for r in rows)
-                if key in reference:
-                    assert reference[key] == canon, (
-                        f"layouts disagree on search rows at {key}"
+                if name in reference:
+                    assert reference[name] == canon, (
+                        f"layouts disagree on search rows at {name}"
                     )
                 else:
-                    reference[key] = canon
+                    reference[name] = canon
                 samples = []
                 for _ in range(2):
                     t0 = time.time()
-                    r2 = _search(
-                        spark, store_dir, seeds_qt, stats_row, terms,
-                        partitioned,
-                    )
+                    r2 = _serve(spark, state, flat, pruned)
                     samples.append(time.time() - t0)
                     assert sorted(tuple(r) for r in r2) == canon
                 times[name] = round(min(samples), 3)
@@ -303,15 +404,17 @@ def main() -> None:
         out = {
             "metric": "postings_index_store_growth",
             "store_rows": store_rows,
-            "n_query_terms": len(terms),
             "methodology": (
-                "fixed seed workload vs postings stores three decades "
-                "apart; growth = remapped-term replicas (the workload's "
-                "own posting lists stay fixed, so BM25's inherent df "
-                "growth is held constant and pure layout overhead is "
-                "measured); counterfactual = identical rows flat and "
-                "term-unsorted; warmup + 2 passes, min; identical "
-                "search rows asserted across layouts and sizes"
+                "r11 masked-serving refresh: REAL bm25_index_search "
+                "(seed+tail visibility mask, snapshot-corrected stats "
+                "with doc_id point lookups, tp-pruned term-IN postings "
+                "scan) vs flat/unsorted postings with every other "
+                "stage identical; fixed seed workload; growth = "
+                "remapped-term replicas + matching docmeta rows (the "
+                "workload's own lists fixed, stats ledger growing); "
+                "every store carries a live one-batch update tail so "
+                "the mask does real work; warmup + 2 passes, min; "
+                "identical rows asserted across layouts and sizes"
             ),
             "shapes": results,
         }
