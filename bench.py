@@ -146,6 +146,11 @@ HEADLINE = [
     # tp-pruned + term-pushed postings read, the tail visibility mask,
     # and the scoring/top-k plan.
     "bm25_index_served_lww",
+    # r11 addition: the hybrid store's serving read — both index faces
+    # from the landed six-store state (pruned postings + probed cid
+    # partitions, both tail-masked) through the RRF fusion; next to
+    # hybrid_search_rrf_ivf this prices store-serving vs recompute.
+    "hybrid_index_served_lww",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

@@ -1573,9 +1573,7 @@ def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_index_search(spark, state)
 
 
-BM25_INDEX_SERVED_LWW_ORACLE = _bm25_oracle_over(
-    "updated",
-    prelude=f"""updated AS (
+_LWW_DOCS_PRELUDE = f"""updated AS (
   SELECT doc_id,
          CASE WHEN doc_id % {_BM25_EVERY} = 0 AND doc_id % 3 = 0
                 THEN 'seed refresh ' || text
@@ -1583,8 +1581,145 @@ BM25_INDEX_SERVED_LWW_ORACLE = _bm25_oracle_over(
               ELSE text END AS text
   FROM documents
   WHERE doc_id % 10 <> 3 AND doc_id <> {_BM25_EVERY}
-), """,
+), """
+
+BM25_INDEX_SERVED_LWW_ORACLE = _bm25_oracle_over(
+    "updated", prelude=_LWW_DOCS_PRELUDE
 )
+
+
+def hybrid_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HYBRID store's update/delete serving path under the driver's
+    hash — the dense twin of bm25_index_served_lww: land the corpus
+    (text + vector) as wave 1 of a real six-store hybrid state via the
+    stream's own landing kernel (_land_hybrid), land the SAME
+    deterministic update/tombstone wave with the dense extras (every
+    doc_id%10==7 additionally takes the embedding of donor doc
+    (doc_id%100)+400 — the vector MOVES cids under the fixed codebook;
+    seed updates re-land their unchanged vector; tombstones drop both
+    faces), fold wave 1 (compact_hybrid_store: physical LWW drop on
+    all six stores + stats snapshot), and SERVE hybrid_index_search.
+    The oracle composes the BM25 oracle over the LWW docs CTE with the
+    IVF oracle over the LWW embeddings CTE — candidates and probe
+    vectors from the UPDATED corpus, centroids from the ORIGINAL one
+    (the fixed-codebook discipline the store runs), through the same
+    RRF fusion SQL. So the dense masking (superseded vectors, moved
+    cids, masked vecseeds) is value-hash-checked end to end."""
+    import tempfile
+
+    from ..streaming.hybrid_index import (
+        _land_hybrid,
+        compact_hybrid_store,
+        hybrid_index_search,
+    )
+    from .similarity import _centroid_model
+
+    codebook = _centroid_model(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    base = d.join(e, "doc_id", "left")
+    state = tempfile.mkdtemp(prefix="hybrid_served_lww_")
+    seed_upd = (F.col("doc_id") % _BM25_EVERY == 0) & (
+        F.col("doc_id") % 3 == 0
+    )
+    text_upd = F.col("doc_id") % 10 == 7
+    tomb = (F.col("doc_id") % 10 == 3) | (F.col("doc_id") == _BM25_EVERY)
+    wave1 = base.select(
+        "doc_id",
+        "text",
+        "embedding",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ingest_ts"),
+        F.lit(False).alias("deleted"),
+    )
+    donor = e.select(
+        F.col("doc_id").alias("donor_id"),
+        F.col("embedding").alias("demb"),
+    )
+    wave2 = (
+        base.filter(seed_upd | text_upd | tomb)
+        .withColumn("donor_id", F.col("doc_id") % 100 + 400)
+        .join(donor, "donor_id", "left")
+        .select(
+            "doc_id",
+            F.when(tomb, F.lit(None).cast("string"))
+            .when(seed_upd, F.concat(F.lit("seed refresh "), F.col("text")))
+            .otherwise(F.concat(F.col("text"), F.lit(" "), F.col("text")))
+            .alias("text"),
+            # only docs that HAD a vector keep one (the oracle's
+            # updated_emb is a projection of the embeddings table)
+            F.when(tomb | F.col("embedding").isNull(), F.lit(None))
+            .when(seed_upd, F.col("embedding"))
+            .otherwise(F.col("demb"))
+            .alias("embedding"),
+            F.lit("2025-01-02 00:00:00")
+            .cast("timestamp")
+            .alias("ingest_ts"),
+            tomb.alias("deleted"),
+        )
+    )
+    _land_hybrid(wave1, 0, state, codebook)
+    _land_hybrid(wave2, 1, state, codebook)
+    # fold wave 1 only: wave 2 stays the tail on BOTH faces
+    compact_hybrid_store(spark, state, upto=1)
+    return hybrid_index_search(spark, state, codebook)
+
+
+def _hybrid_served_lww_oracle() -> str:
+    """Composes _bm25_oracle_over(updated docs) with _ivf_oracle_at
+    over the updated embeddings (centroids from the ORIGINAL corpus —
+    the store's fixed codebook) through the RRF fusion SQL."""
+    from .similarity import IVF_NPROBE, _ivf_oracle_at
+
+    upd_emb_prelude = f"""updated_emb AS (
+  SELECT e.vec_id,
+         CASE WHEN e.vec_id % 10 = 7 THEN d.embedding
+              ELSE e.embedding END AS embedding
+  FROM embeddings e
+  JOIN embeddings d ON d.vec_id = (e.vec_id % 100) + 400
+  WHERE e.vec_id % 10 <> 3 AND e.vec_id <> {_BM25_EVERY}
+), """
+    ivf_sql = _ivf_oracle_at(
+        IVF_NPROBE,
+        query_where=(
+            f"vec_id % {_BM25_EVERY} = 0"
+            f" AND vec_id < {_BM25_EVERY * _BM25_MAX_QUERIES}"
+        ),
+        topk=_RRF_TOPK,
+        corpus="updated_emb",
+        centroid_corpus="embeddings",
+        prelude=upd_emb_prelude,
+    )
+    lex_sql = _bm25_oracle_over("updated", prelude=_LWW_DOCS_PRELUDE)
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank
+  FROM ({lex_sql}) bm
+),
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+  FROM ({ivf_sql}) iv
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0::DOUBLE / ({_RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0::DOUBLE / ({_RRF_K} + d.dense_rank), 0.0),
+               9) AS rrf_score,
+         (l.lex_rank IS NOT NULL)::INT AS in_lex,
+         (d.dense_rank IS NOT NULL)::INT AS in_dense
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, rrf_score, in_lex, in_dense
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {_RRF_TOPK}
+ORDER BY query_id, rank
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2948,6 +3083,13 @@ QUERIES = [
               "update/tombstone wave into the real postings/docmeta "
               "store, fold wave 1, serve via snapshot-corrected stats "
               "and the tail mask; oracle = BM25 over the LWW CTE"),
+    QuerySpec("hybrid_index_served_lww", hybrid_index_served_lww,
+              _hybrid_served_lww_oracle(),
+              "the dense twin: six-store hybrid state with a "
+              "cid-moving embedding update wave, folded + tail-masked "
+              "serve; oracle = BM25-over-LWW-docs fused with "
+              "IVF-over-LWW-embeddings under original-corpus "
+              "centroids"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,
               _curation_funnel_oracle(),
               "end-to-end curation funnel: quality -> exact dedup -> "

@@ -892,21 +892,36 @@ def _ivf_oracle_at(
     nprobe: int,
     query_where: str = "vec_id < 10",
     topk: int = 5,
+    corpus: str = "embeddings",
+    centroid_corpus: str | None = None,
+    prelude: str = "",
 ) -> str:
     """The IVF oracle parameterized by nprobe (feeds the standalone
     query's oracle, the nprobe-sweep report's per-row CTEs, and — via
-    query_where/topk — hybrid_search_rrf_ivf's dense-side CTE)."""
+    query_where/topk — hybrid_search_rrf_ivf's dense-side CTE).
+    `corpus`/`centroid_corpus` split the candidate relation from the
+    codebook-training relation — the store-serving LWW certificate
+    assigns UPDATED vectors under the ORIGINAL corpus's centroids,
+    exactly as a fixed-codebook deployment does; `prelude` injects the
+    updated-corpus CTEs."""
+    cc = centroid_corpus or corpus
     return f"""
-WITH exploded AS (
-  SELECT vec_id, label, u.x, u.pos
-  FROM embeddings,
+WITH {prelude}cexp AS (
+  SELECT label, u.x, u.pos
+  FROM {cc},
        LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
                        generate_subscripts(embedding, 1) AS pos) u
 ),
 centroid AS (
   SELECT label AS cid, pos,
          sum(x::DECIMAL(25,15))::DOUBLE / count(*) AS cx
-  FROM exploded GROUP BY label, pos
+  FROM cexp GROUP BY label, pos
+),
+exploded AS (
+  SELECT vec_id, u.x, u.pos
+  FROM {corpus},
+       LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(embedding, 1) AS pos) u
 ),
 csims AS (
   SELECT e.vec_id, c.cid,
@@ -922,7 +937,7 @@ ranked AS (
 assigned AS (SELECT vec_id, cid FROM ranked WHERE rk = 1),
 probes AS (SELECT vec_id AS query_id, cid FROM ranked
            WHERE rk <= {nprobe} AND ({query_where})),
-emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM {corpus})
 SELECT query_id, neighbor_id, rank, round(sim, 6) AS sim
 FROM (
   SELECT p.query_id, a.vec_id AS neighbor_id,

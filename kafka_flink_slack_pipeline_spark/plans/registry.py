@@ -614,6 +614,19 @@ _DEMOTED = (
     # remains a bench headliner (bench membership is window-
     # independent), and its own oracle stays verify_local-covered.
     "bm25_keyword_search",
+    # r11: one slot for hybrid_index_served_lww (new-code rule: the
+    # dense twin of the serving certificate — six-store hybrid state
+    # with a cid-MOVING embedding update wave, folded + tail-masked
+    # serve, hash-checked against the BM25-over-LWW-docs ∪
+    # IVF-over-LWW-embeddings fusion oracle under original-corpus
+    # centroids). hybrid_fusion_agreement_report rotates out on the
+    # ann_recall_report / ivf_nprobe_recall_curve precedent: it is an
+    # EVALUATION COMPOSITION whose deployable member
+    # (hybrid_search_rrf_ivf) keeps its own in-window hash row — and
+    # the arriving certificate exercises that member's full plan over
+    # the landed store — while its overlap@k arithmetic is pinned by
+    # its own test and its composed oracle stays verify_local-covered.
+    "hybrid_fusion_agreement_report",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score

@@ -240,6 +240,50 @@ def retrain_hybrid_vector_store(
     )
 
 
+def _land_hybrid(
+    batch: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    codebook: list[tuple[int, list[float]]],
+) -> None:
+    """Land one micro-batch's BOTH index faces: the shared lexical
+    state (_land_text) plus the cid-assigned version-stamped vectors
+    and the bounded dense seed sidecar. Shared VERBATIM by the
+    checkpointed stream and the registered serving certificate
+    (hybrid_index_served_lww) — stream/certificate parity by
+    construction."""
+    _land_text(batch, batch_id, state_dir)
+    live = batch.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+    vecs = _assigned(
+        live.filter(F.col("embedding").isNotNull()).select(
+            "doc_id",
+            F.col("embedding").alias("emb"),
+            F.col("ingest_ts").alias("ts"),
+        ),
+        codebook,
+    )
+    (
+        vecs.write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{state_dir}/vectors/batch_id={batch_id}")
+    )
+    # bounded dense seed sidecar: the seed docs' query vectors
+    (
+        live.filter(
+            (F.col("doc_id") % _BM25_EVERY == 0)
+            & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
+            & F.col("embedding").isNotNull()
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("ingest_ts").alias("ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{state_dir}/vecseeds/batch_id={batch_id}")
+    )
+
+
 def hybrid_index_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -257,9 +301,6 @@ def hybrid_index_stream(
     every N committed batches from inside the runner (on by default,
     the sibling stores' policy). Drops may carry deleted=true
     tombstones and re-ingested versions (LWW by ingest_ts)."""
-    vectors_dir = f"{state_dir}/vectors"
-    vecseeds_dir = f"{state_dir}/vecseeds"
-
     raw = (
         spark.readStream.schema(HYBRID_DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -274,38 +315,7 @@ def hybrid_index_stream(
             )
         batch = batch.persist()
         try:
-            _land_text(batch, batch_id, state_dir)
-            live = batch.filter(
-                ~F.coalesce(F.col("deleted"), F.lit(False))
-            )
-            vecs = _assigned(
-                live.filter(F.col("embedding").isNotNull()).select(
-                    "doc_id",
-                    F.col("embedding").alias("emb"),
-                    F.col("ingest_ts").alias("ts"),
-                ),
-                codebook,
-            )
-            (
-                vecs.write.mode("overwrite")
-                .partitionBy("cid")
-                .parquet(f"{vectors_dir}/batch_id={batch_id}")
-            )
-            # bounded dense seed sidecar: the seed docs' query vectors
-            (
-                live.filter(
-                    (F.col("doc_id") % _BM25_EVERY == 0)
-                    & (F.col("doc_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
-                    & F.col("embedding").isNotNull()
-                )
-                .select(
-                    F.col("doc_id").alias("query_id"),
-                    F.col("embedding").alias("qe"),
-                    F.col("ingest_ts").alias("ts"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{vecseeds_dir}/batch_id={batch_id}")
-            )
+            _land_hybrid(batch, batch_id, state_dir, codebook)
         finally:
             batch.unpersist()
 
@@ -353,6 +363,58 @@ def hybrid_index_search(
     if query_ids is not None:
         seeds = seeds.filter(F.col("query_id").isin(list(query_ids)))
     seeds = _mask_visible(seeds, tail, key="query_id")
+    return _fused_over(spark, state_dir, codebook, lex, seeds, tail)
+
+
+def hybrid_index_search_adhoc(
+    spark: SparkSession,
+    state_dir: str,
+    codebook: list[tuple[int, list[float]]],
+    queries: dict[int, tuple[str, list[float]]],
+) -> DataFrame:
+    """Serve AD-HOC hybrid queries — query_id -> (query text, query
+    vector) — against the landed stores: the request path a RAG
+    deployment exposes (the stored seed workload exists for the
+    registered oracle). The lexical side tokenizes the text with the
+    corpus rule (bm25_index_search_adhoc); the dense side probes the
+    given vector's nprobe nearest centroids under the store's codebook;
+    both under the same update/delete tail mask; fused by the same
+    rrf_fuse. A query may carry text only (vector None — lexical-only)
+    or vector only (empty text is NOT allowed on the lexical side, so
+    pass text='' to skip it)."""
+    from .retrieval_index import bm25_index_search_adhoc
+
+    texts = {
+        qid: t for qid, (t, _) in queries.items() if t and t.strip()
+    }
+    if texts:
+        lex = bm25_index_search_adhoc(spark, state_dir, texts).select(
+            "query_id", "doc_id", F.col("rank").alias("lex_rank")
+        )
+    else:
+        lex = spark.createDataFrame(
+            [], "query_id bigint, doc_id bigint, lex_rank int"
+        )
+    vec_rows = [
+        (int(qid), [float(x) for x in v])
+        for qid, (_, v) in queries.items()
+        if v is not None
+    ]
+    fold_id = _fold_horizon(state_dir)
+    tail = _tail_live(spark, state_dir, fold_id)
+    seeds = spark.createDataFrame(
+        vec_rows, "query_id bigint, qe array<double>"
+    )
+    return _fused_over(spark, state_dir, codebook, lex, seeds, tail)
+
+
+def _fused_over(
+    spark: SparkSession, state_dir, codebook, lex, seeds, tail
+) -> DataFrame:
+    """The shared dense-probe + fusion stage: nprobe nearest centroids
+    per query vector, candidates read only from the probed cid
+    partitions, tail-masked, exact cosine re-rank, rrf_fuse with the
+    given lexical ranks."""
     probes = (
         seeds.select("query_id", "qe", norm(F.col("qe")).alias("nrm"))
         .select(

@@ -577,7 +577,54 @@ def bm25_index_search(
         for r in seeds.select("term", "tp").distinct().collect()
     ]
     queries = seeds.select("query_id", "term").distinct()
+    return _serve_workload(spark, state_dir, tail, queries, terms)
 
+
+def bm25_index_search_adhoc(
+    spark: SparkSession, state_dir: str, queries: dict[int, str]
+) -> DataFrame:
+    """Serve AD-HOC query strings against the landed index — the
+    request path a search/RAG deployment actually exposes (the stored
+    seed workload exists for the registered oracle; a user's query is
+    not a corpus document). `queries` maps query_id -> query text,
+    tokenized with the corpus rule (trimmed whitespace split, empty
+    tokens dropped); the bounded term list prunes the postings read
+    exactly as the seed path does, and the same update/delete tail mask
+    applies. Same output schema as bm25_index_search."""
+    import re
+
+    pairs = sorted(
+        {
+            (int(qid), t)
+            for qid, text in queries.items()
+            for t in re.split(r"\s+", text.strip())
+            if t != ""
+        }
+    )
+    if not pairs:
+        raise ValueError("no non-empty query terms in the ad-hoc workload")
+    qdf = spark.createDataFrame(
+        pairs, "query_id bigint, term string"
+    ).withColumn("tp", _tp_col())
+    # bounded collect: the caller's own workload, terms -> (term, tp)
+    terms = [
+        (r["term"], r["tp"])
+        for r in qdf.select("term", "tp").distinct().collect()
+    ]
+    fold_id = _fold_horizon(state_dir)
+    tail = _tail_live(spark, state_dir, fold_id)
+    return _serve_workload(
+        spark, state_dir, tail, qdf.select("query_id", "term"), terms
+    )
+
+
+def _serve_workload(
+    spark: SparkSession, state_dir: str, tail, queries, terms
+) -> DataFrame:
+    """The shared serving stage: snapshot-corrected corpus constants,
+    tp-pruned + term-IN-pushed postings read, tail visibility mask,
+    and the batch op's scoring expressions verbatim over the given
+    (query_id, term) workload frame."""
     n, avgdl = _live_stats(spark, state_dir)
     cand = _pruned_postings(spark, f"{state_dir}/postings", terms)
     matched = (

@@ -402,3 +402,42 @@ def test_hybrid_retrain_under_new_codebook(
     ]
     assert got == want
     assert got
+
+
+def test_hybrid_adhoc_query_serving(spark, sf_dir, hybrid_dirs):
+    """Ad-hoc (text, vector) queries serve through the same masked
+    stores: a query assembled from seed doc 0's slice terms + its own
+    embedding reproduces the stored workload's rows for query 0; a
+    vector-only query returns dense-only fusions (in_lex == 0)."""
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        hybrid_index_search_adhoc,
+    )
+
+    rows = _drop_rows(spark, sf_dir)
+    by_id = {r[0]: r for r in rows}
+    toks = [t for t in by_id[0][1].strip().split() if t != ""]
+    qtext = " ".join(toks[9:12])  # the _BM25_QSLICE rule, 0-indexed
+    qvec = by_id[0][2]
+
+    stored = [
+        tuple(r)
+        for r in hybrid_index_search(
+            spark, hybrid_dirs["state"], hybrid_dirs["codebook"],
+            query_ids=[0],
+        ).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in hybrid_index_search_adhoc(
+            spark, hybrid_dirs["state"], hybrid_dirs["codebook"],
+            {0: (qtext, qvec)},
+        ).collect()
+    ]
+    assert got == stored
+    assert got, "empty fusion — parity vacuous"
+
+    dense_only = hybrid_index_search_adhoc(
+        spark, hybrid_dirs["state"], hybrid_dirs["codebook"],
+        {7: ("", qvec)},
+    ).collect()
+    assert dense_only and all(r["in_lex"] == 0 for r in dense_only)

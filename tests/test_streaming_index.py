@@ -25,6 +25,7 @@ from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
     _pruned_postings,
     _read_store,
     bm25_index_search,
+    bm25_index_search_adhoc,
     bm25_index_stream,
     compact_retrieval_store,
 )
@@ -371,3 +372,34 @@ def test_index_update_delete_parity_postcompaction(spark, lww_dirs):
         )
     ]
     assert got == want
+
+
+def test_index_adhoc_query_serving(spark, lww_dirs):
+    """Ad-hoc query strings serve through the same masked path: a
+    string assembled from the updated seed doc's CURRENT slice terms
+    reproduces the stored workload's rows for that query; an unseen
+    term returns empty; an empty workload refuses loudly."""
+    stored = [
+        tuple(r)
+        for r in bm25_index_search(
+            spark, lww_dirs["state"], query_ids=[0]
+        ).collect()
+    ]
+    assert stored, "seed query 0 missing — fixture drift"
+    # _NEW_SEED_TEXT tokens 10..12 (the _BM25_QSLICE rule)
+    adhoc = [
+        tuple(r)
+        for r in bm25_index_search_adhoc(
+            spark, lww_dirs["state"], {0: "juliett kilo lima"}
+        ).collect()
+    ]
+    assert adhoc == stored
+
+    assert (
+        bm25_index_search_adhoc(
+            spark, lww_dirs["state"], {1: "zzzunseenterm"}
+        ).collect()
+        == []
+    )
+    with pytest.raises(ValueError, match="no non-empty query terms"):
+        bm25_index_search_adhoc(spark, lww_dirs["state"], {2: "   "})

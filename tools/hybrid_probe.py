@@ -336,6 +336,11 @@ def main() -> None:
             for name, (state, _) in stores.items()
         }
 
+        # global JIT/codegen warmup before any timed pass (the index
+        # probe's first-serve artifact — see its narration)
+        _serve(spark, *stores["base"], codebook, qids, True)
+        _serve(spark, *stores["base"], codebook, qids, False)
+
         results: dict[str, dict] = {}
         reference: dict[str, list] = {}
         for shape in ("pruned", "flat"):

@@ -370,6 +370,14 @@ def main() -> None:
             for name, (state, _) in stores.items()
         }
 
+        # global JIT/codegen warmup BEFORE any timed pass: the first
+        # serve of a session pays JVM warmth that per-store warmups
+        # don't fully absorb (the r11 first run's base point read 9.4 s
+        # vs the 6.5 s steady state — an artifact that would flatter
+        # the exponent), so both layouts serve once untimed here
+        _serve(spark, *stores["base"], True)
+        _serve(spark, *stores["base"], False)
+
         results: dict[str, dict] = {}
         reference: dict[str, list] = {}
         for shape in ("pruned", "unpartitioned"):
