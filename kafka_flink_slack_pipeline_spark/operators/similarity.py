@@ -1341,13 +1341,27 @@ def semantic_dedup(
 ) -> DataFrame:
     """Per-vector keep/drop verdict: drop iff a lower-id vector in the same
     centroid cluster has cosine >= threshold (SemDeDup keep-first rule)."""
-    corpus = _neardup_corpus(spark, sf_dir)
+    return _semantic_verdicts_over(
+        _neardup_corpus(spark, sf_dir),
+        _centroid_model(spark, sf_dir),
+        threshold,
+    )
+
+
+def _semantic_verdicts_over(
+    corpus: DataFrame,
+    model: list[tuple[int, list[float]]],
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """The SemDeDup verdict pipeline over an explicit (vec_id, emb)
+    corpus and codebook — factored so the streaming face's
+    update/delete parity test can run the IDENTICAL batch semantics
+    over the LWW-current corpus (streaming/semantic_dedup.py)."""
     # r4: centroids enter as literal model state (see _centroid_model) —
     # assignment is a narrow argmax map over a projected per-centroid
     # cosine array instead of a BroadcastNestedLoopJoin + k-times row
     # amplification + groupBy(vec_id) shuffle. Tie rule unchanged
     # (highest csim, ties to lowest cid).
-    model = _centroid_model(spark, sf_dir)
     assigned = corpus.select(
         "vec_id", "emb", norm(F.col("emb")).alias("nrm")
     ).select(

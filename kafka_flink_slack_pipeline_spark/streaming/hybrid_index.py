@@ -83,9 +83,9 @@ from ..operators.similarity import (
 )
 from .curation_funnel import _compact_batch_store
 from .retrieval_index import (
+    _alive_of,
     _fold_horizon,
     _land_text,
-    _lww,
     _mask_visible,
     _read_store,
     _tail_live,
@@ -138,18 +138,6 @@ def _assigned(vecs: DataFrame, codebook) -> DataFrame:
             "ts",
             _assign_cid(codebook, F.col("csims")).alias("cid"),
         )
-    )
-
-
-def _alive_of(spark: SparkSession, state_dir: str, upto: int):
-    """(doc_id, ts) of LWW winners that are not tombstones, over
-    docmeta batches [0, upto) — the physical-drop mask shared by the
-    dense-face folds."""
-    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
-    return (
-        _lww(dm.filter(F.col("batch_id") < upto))
-        .filter(~F.col("deleted"))
-        .select("doc_id", "ts")
     )
 
 

@@ -408,6 +408,53 @@ def _write_statsnap(spark: SparkSession, state_dir: str, upto: int) -> None:
         shutil.rmtree(os.path.join(snap_dir, e))
 
 
+def _alive_of(spark: SparkSession, state_dir: str, upto: int):
+    """(doc_id, ts) of LWW winners that are not tombstones, over
+    docmeta batches [0, upto) — the physical-drop mask shared by every
+    LWW store fold (postings/seeds here, vectors/vecseeds in
+    hybrid_index, vectors/verdicts in semantic_dedup)."""
+    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
+    return (
+        _lww(dm.filter(F.col("batch_id") < upto))
+        .filter(~F.col("deleted"))
+        .select("doc_id", "ts")
+    )
+
+
+def _fold_ledger(
+    spark: SparkSession,
+    state_dir: str,
+    upto: int,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Fold the docmeta version ledger [0, upto) to one winner row per
+    doc (tombstones RETAINED — they must suppress any not-yet-arrived
+    older version; doc_id-sorted within dp for point lookups) and write
+    the per-dp stats snapshot. Snapshot BEFORE the docmeta fold: every
+    crash window then serves exactly — a snapshot at id S with unfolded
+    docmeta dirs <= S is fine (the correction's fold-read filter
+    batch_id <= S still sees them), whereas a docmeta fold without its
+    snapshot would make the serve-time correction double-count the
+    folded rows."""
+    _write_statsnap(spark, state_dir, upto)
+    return _compact_batch_store(
+        spark,
+        f"{state_dir}/docmeta",
+        upto,
+        cols=_DOCMETA_COLS,
+        partition_cols=["dp"],
+        what="docmeta store dir",
+        checkpoint_dir=checkpoint_dir,
+        # doc_id-sorted within dp partitions: the stats correction's
+        # point lookups row-group-skip against the sorted min/max stats
+        transform=lambda df: _lww(df)
+        .withColumn("dp", _dp_col())
+        .repartition("dp")
+        .sortWithinPartitions("doc_id"),
+        force=True,
+    )
+
+
 def compact_retrieval_store(
     spark: SparkSession,
     state_dir: str,
@@ -429,15 +476,7 @@ def compact_retrieval_store(
     dm_dir = f"{state_dir}/docmeta"
     if not os.path.isdir(dm_dir):
         return 0  # nothing landed yet — nothing to fold
-    alive = (
-        _lww(
-            _read_store(spark, dm_dir, "docmeta store dir").filter(
-                F.col("batch_id") < upto
-            )
-        )
-        .filter(~F.col("deleted"))
-        .select("doc_id", "ts")
-    )
+    alive = _alive_of(spark, state_dir, upto)
     removed = _compact_batch_store(
         spark,
         f"{state_dir}/postings",
@@ -465,27 +504,8 @@ def compact_retrieval_store(
         ),
         force=True,
     )
-    # snapshot BEFORE the docmeta fold: every crash window then serves
-    # exactly — a snapshot at id S with unfolded docmeta dirs <= S is
-    # fine (the correction's fold-read filter batch_id <= S still sees
-    # them), whereas a docmeta fold without its snapshot would make the
-    # serve-time correction double-count the folded rows.
-    _write_statsnap(spark, state_dir, upto)
-    removed += _compact_batch_store(
-        spark,
-        dm_dir,
-        upto,
-        cols=_DOCMETA_COLS,
-        partition_cols=["dp"],
-        what="docmeta store dir",
-        checkpoint_dir=checkpoint_dir,
-        # doc_id-sorted within dp partitions: the stats correction's
-        # point lookups row-group-skip against the sorted min/max stats
-        transform=lambda df: _lww(df)
-        .withColumn("dp", _dp_col())
-        .repartition("dp")
-        .sortWithinPartitions("doc_id"),
-        force=True,
+    removed += _fold_ledger(
+        spark, state_dir, upto, checkpoint_dir=checkpoint_dir
     )
     return removed
 

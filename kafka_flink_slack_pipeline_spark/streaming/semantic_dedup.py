@@ -2,30 +2,49 @@
 semantics at operators/similarity.py:semantic_dedup): embedding vectors
 arrive as JSONL drops; every micro-batch
 
-    1. assigns each arrival to its nearest coarse-quantizer centroid —
-       a pure NARROW map against the O(k*d) driver-literal model (the
-       batch op's `_centroid_sims`/`_assign_cid` expressions verbatim:
-       no broadcast join, no shuffle, whole-stage codegen);
-    2. lands its assignments in a cid-PARTITIONED parquet vector store
-       (batch_id-scoped overwrite — the idempotent-replay contract every
-       store in this package uses; batch N reads batch_id < N only);
-    3. prunes arrivals against history: a vector is DROPPED iff a
-       lower-id vector in the same cluster has cosine >= threshold (the
-       SemDeDup keep-first rule). The pair side reads ONLY the store's
-       touched cid partitions (partition-pruned scan; the touched list
-       is bounded by min(k, |batch|) literals), so per-batch pair work
-       is sum over touched clusters of |cluster| * |batch ∩ cluster| —
-       exactly the bound the coarse quantizer exists to provide — and
-       history in untouched clusters is never re-read.
+    1. lands one DOCMETA row per arrival — (vec_id, ts, deleted) in the
+       dp-partitioned version ledger (the retrieval-index rails,
+       streaming/retrieval_index.py) — so UPDATES and DELETES are
+       first-class: a re-ingested vec_id supersedes its older versions
+       by ingest_ts, a deleted=true tombstone removes the vector from
+       the REFERENCE SET for every later judgment and from the report;
+    2. assigns each live arrival to its nearest coarse-quantizer
+       centroid — a pure NARROW map against the O(k*d) driver-literal
+       model (the batch op's `_centroid_sims`/`_assign_cid` expressions
+       verbatim: no broadcast join, no shuffle, whole-stage codegen) —
+       and lands the version-stamped assignment in a cid-PARTITIONED
+       parquet vector store (batch_id-scoped overwrite — the
+       idempotent-replay contract every store in this package uses);
+    3. prunes arrivals against the LIVE history: a vector is DROPPED
+       iff a lower-id LIVE vector in the same cluster has cosine >=
+       threshold (the SemDeDup keep-first rule over the LWW-current
+       corpus). The pair side reads ONLY the store's touched cid
+       partitions (partition-pruned scan; the touched list is bounded
+       by min(k, |batch|) literals) and masks superseded/tombstoned
+       rows against the UNCOMPACTED TAIL of the ledger (bounded by
+       compaction cadence — the retrieval-index tail-mask design), so
+       per-batch pair work stays sum over touched clusters of
+       |cluster| * |batch ∩ cluster| and history in untouched clusters
+       is never re-read.
+
+VERDICT SEMANTICS under update/delete: a verdict is decided AT
+JUDGMENT TIME against the then-live corpus and is immutable once
+written (the SemDeDup decision is consumed downstream at arrival); a
+RE-INGESTED vector is re-judged (its new verdict supersedes the old
+one in the report by LWW) and a TOMBSTONED vector's verdicts drop from
+the report. Earlier vectors' verdicts are NOT retroactively recomputed
+when a reference they were judged against later changes — the
+eventual-by-construction contract a streaming deduper can honor; the
+batch op over the LWW-current corpus is the ground truth for vectors
+judged AFTER the change (pinned by the parity test's planted
+unsuppression case). Ordering contract as in retrieval_index: per-key
+nondecreasing distinct ingest_ts.
 
 PARITY CONTRACT (tests/test_streaming_semantic.py, across a checkpoint
-restart): with monotone ingest (vec_id order — every lower id has landed
-by the time an arrival is judged), the accumulated per-vector verdicts
-equal the batch `semantic_dedup` rows exactly: same keep flags, same
-n_dups (an arrival's lower-id pairs all resolve in its own batch — part
-from the store, part from same-batch lower ids), same best_sim (the
-store round-trips doubles losslessly and both faces share one cosine
-fold expression).
+restart): with monotone append-only ingest the accumulated verdicts
+equal batch `semantic_dedup` exactly; with updates/deletes, vectors
+judged after the change equal `_semantic_verdicts_over` on the
+LWW-current corpus (same keep flags, same n_dups, same best_sim).
 
 Why a STORE and not keyed state (the minhash face holds per-bucket
 state): the reference set here is every landed vector, 64 doubles each —
@@ -35,7 +54,14 @@ budget. Same decision the curation funnel's signature store documents.
 
 The centroid MODEL is a fixed input (production trains it offline;
 SemDeDup used precomputed k-means over LAION embeddings) — passed in as
-the driver-literal list, never derived from the stream.
+the driver-literal list, never derived from the stream. Retraining is
+the fold-with-reassignment story implemented for the hybrid store
+(retrain_hybrid_vector_store — the same rails apply here).
+
+Store maintenance: compact_semantic_store folds vectors, verdicts, and
+the ledger (superseded and tombstoned rows PHYSICALLY dropped;
+tombstones retained in the ledger; stats snapshot as the fold-horizon
+marker), invoked every `compact_every` batches by default.
 """
 
 from __future__ import annotations
@@ -57,47 +83,81 @@ from .curation_funnel import (
     _assert_no_compact_leftover,
     _compact_batch_store,
 )
-
-VEC_DROP_SCHEMA = (
-    "vec_id bigint, embedding array<double>, ingest_ts timestamp"
+from .retrieval_index import (
+    _alive_of,
+    _dp_col,
+    _fold_horizon,
+    _fold_ledger,
+    _mask_visible,
+    _tail_live,
 )
 
+VEC_DROP_SCHEMA = (
+    "vec_id bigint, embedding array<double>, ingest_ts timestamp, "
+    "deleted boolean"
+)
+_VEC_COLS = ["vec_id", "emb", "ts", "cid"]
+_VERDICT_COLS = ["vec_id", "cid", "keep", "n_dups", "best_sim", "ts"]
 
-def compact_vec_store(
+
+def compact_semantic_store(
     spark: SparkSession,
-    store_dir: str,
+    state_dir: str,
     upto: int,
     checkpoint_dir: str | None = None,
 ) -> int:
-    """Fold vector-store batches [0, upto) into ONE batch directory
-    (id = upto - 1), preserving the cid partition layout — the
-    signature store's compaction discipline applied to the semantic
-    store (each live batch adds up to min(k, |batch|) cid directories,
-    and partition discovery across many batch dirs is the pruned scan's
-    residual growth term, measured in SCALE_PROBE_SEMANTIC.json).
-    Future batches N >= upto read batch_id < N, which includes the
-    compacted id, so verdicts are unchanged (output-identity test).
-    Shares compact_sig_store's safety rails: id-horizon and
-    committed-horizon validation, underscore-prefixed staging that
-    every reader refuses loudly after a crash."""
-    return _compact_batch_store(
+    """Fold batches [0, upto) of all three semantic stores through the
+    shared crash-staged rails: the docmeta ledger (LWW winners,
+    tombstones retained, stats snapshot as fold-horizon marker), the
+    cid-partitioned vector store, and the verdicts sidecar — the latter
+    two masked to LIVE winner versions, so superseded vectors stop
+    being dedup references and tombstoned vectors' verdicts leave the
+    report PHYSICALLY, not just logically. Shares compact_sig_store's
+    safety rails: id-horizon and committed-horizon validation,
+    underscore-prefixed staging that every reader refuses loudly after
+    a crash. Returns directories removed."""
+    dm_dir = f"{state_dir}/docmeta"
+    if not os.path.isdir(dm_dir):
+        return 0  # nothing landed yet — nothing to fold
+    alive = _alive_of(spark, state_dir, upto).select(
+        F.col("doc_id").alias("vec_id"), "ts"
+    )
+    removed = _compact_batch_store(
         spark,
-        store_dir,
+        f"{state_dir}/vectors",
         upto,
-        cols=["vec_id", "emb", "cid"],
+        cols=_VEC_COLS,
         partition_cols=["cid"],
         what="vector store dir",
         checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["vec_id", "ts"]),
+        force=True,
     )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/verdicts",
+        upto,
+        cols=_VERDICT_COLS,
+        partition_cols=[],
+        what="verdict store dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["vec_id", "ts"]),
+        force=True,
+    )
+    removed += _fold_ledger(
+        spark, state_dir, upto, checkpoint_dir=checkpoint_dir
+    )
+    return removed
 
 
 def _pruned_vec_store(
     spark: SparkSession, store_dir: str, before: int, touched: list[int]
 ):
-    """Landed (vec_id, emb, cid) rows from batches < `before`, scan-
+    """Landed (vec_id, emb, ts, cid) rows from batches < `before`, scan-
     pruned to the touched cid partitions; None when no store exists yet.
     `touched` is bounded by the codebook size, so the isin predicate is
-    a static partition-pruning literal list."""
+    a static partition-pruning literal list. Rows are version-stamped;
+    callers mask visibility against the ledger tail."""
     _assert_local_dir(store_dir, "vector store dir")
     if not os.path.isdir(store_dir):
         return None
@@ -111,7 +171,7 @@ def _pruned_vec_store(
         .parquet(store_dir)
         .filter(F.col("batch_id") < before)
         .filter(F.col("cid").isin([int(c) for c in touched]))
-        .select("vec_id", "emb", "cid")
+        .select(*_VEC_COLS)
     )
 
 
@@ -129,16 +189,15 @@ def semantic_dedup_stream(
     until done; returns the finished StreamingQuery. Re-invoke with the
     same checkpoint_dir to resume — only new files process, and replayed
     batches overwrite their own prior store partition and verdicts.
+    Drops may carry deleted=true tombstones and re-ingested versions of
+    earlier vec_ids (LWW by ingest_ts; see the module contract).
 
-    `compact_every=N` folds the vector store every N committed batches
+    `compact_every=N` folds all three stores every N committed batches
     from inside the runner (at the start of batch k where k % N == 0,
     upto=k — everything below k is committed by then, enforced from the
-    commits/ log), the curation funnel's auto-compaction policy: a
-    long-running deployment's store stays at ~N + 1 batch directories
-    without anyone remembering the manual tool. ON BY DEFAULT (64;
-    pass None to disable and manage compaction externally). Replay-safe
-    — a replayed batch's repeat call is a no-op once one directory
-    remains."""
+    commits/ log), the curation funnel's auto-compaction policy. ON BY
+    DEFAULT (64; pass None to disable and manage compaction
+    externally)."""
     store_dir = f"{state_dir}/vectors"
     verdicts_dir = f"{state_dir}/verdicts"
 
@@ -150,30 +209,52 @@ def semantic_dedup_stream(
 
     def stage(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            compact_vec_store(
-                spark, store_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+            compact_semantic_store(
+                spark, state_dir, upto=batch_id,
+                checkpoint_dir=checkpoint_dir,
             )
-        assigned = (
+        deleted = F.coalesce(F.col("deleted"), F.lit(False))
+        # ledger FIRST: this batch's own tombstones/updates must mask
+        # the reference set its arrivals are judged against
+        (
             batch.select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("ingest_ts").alias("ts"),
+                deleted.alias("deleted"),
+                F.lit(None).cast("long").alias("dl"),
+            )
+            .withColumn("dp", _dp_col())
+            .repartition("dp")
+            .write.mode("overwrite")
+            .partitionBy("dp")
+            .parquet(f"{state_dir}/docmeta/batch_id={batch_id}")
+        )
+        assigned = (
+            batch.filter(~deleted)
+            .select(
                 "vec_id",
                 F.col("embedding").alias("emb"),
+                F.col("ingest_ts").alias("ts"),
                 norm(F.col("embedding")).alias("nrm"),
             )
             .select(
                 "vec_id",
                 "emb",
+                "ts",
                 _centroid_sims(model, F.col("emb"), F.col("nrm")).alias(
                     "csims"
                 ),
             )
             .select(
                 "vec_id", _assign_cid(model, F.col("csims")).alias("cid"),
-                "emb",
+                "emb", "ts",
             )
             .persist()
         )
         try:
-            assigned.write.mode("overwrite").partitionBy("cid").parquet(
+            assigned.select(*_VEC_COLS).write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(
                 f"{store_dir}/batch_id={batch_id}"
             )
             touched = [
@@ -181,10 +262,18 @@ def semantic_dedup_stream(
                 for r in assigned.select("cid").distinct().collect()
             ]  # bounded by the codebook size
             store = _pruned_vec_store(spark, store_dir, batch_id, touched)
+            if store is not None:
+                # live history only: mask superseded/tombstoned versions
+                # against the ledger tail (bounded; includes THIS batch's
+                # just-landed tombstones)
+                tail = _tail_live(
+                    spark, state_dir, _fold_horizon(state_dir)
+                )
+                store = _mask_visible(store, tail, key="vec_id")
             hist = (
                 assigned.select("vec_id", "emb", "cid")
                 if store is None
-                else store.unionByName(
+                else store.select("vec_id", "emb", "cid").unionByName(
                     assigned.select("vec_id", "emb", "cid")
                 )
             )
@@ -213,6 +302,7 @@ def semantic_dedup_stream(
                         "n_dups"
                     ),
                     F.round("best_sim", 6).alias("best_sim"),
+                    "ts",
                 )
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
@@ -234,12 +324,19 @@ def semantic_dedup_stream(
 def semantic_dedup_stream_report(
     spark: SparkSession, state_dir: str
 ) -> DataFrame:
-    """Accumulated per-vector verdicts over every processed batch — the
-    same (vec_id, cid, keep, n_dups, best_sim) rows as the batch
-    semantic_dedup (the parity test compares them directly)."""
-    return (
+    """Accumulated per-vector verdicts over the LWW-CURRENT corpus —
+    the same (vec_id, cid, keep, n_dups, best_sim) rows as the batch
+    semantic_dedup (the parity test compares them directly). Verdicts
+    of superseded versions and tombstoned vectors are masked against
+    the ledger tail here and physically dropped at compaction."""
+    v = (
         spark.read.option("basePath", f"{state_dir}/verdicts")
         .parquet(f"{state_dir}/verdicts")
+        .select(*_VERDICT_COLS)
+    )
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    return (
+        _mask_visible(v, tail, key="vec_id")
         .select("vec_id", "cid", "keep", "n_dups", "best_sim")
         .orderBy("vec_id")
     )

@@ -169,18 +169,25 @@ def test_vec_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     )
 
     store_dir = f"{d['state']}/vectors"
+    # batch count from the commits log (the verdicts store FOLDS at
+    # compaction now, so its directory count is no longer a proxy)
     n_batches = len(
         [
             e
-            for e in _os.listdir(f"{d['state']}/verdicts")
-            if e.startswith("batch_id=")
+            for e in _os.listdir(f"{d['ckpt']}/commits")
+            if e.isdigit()
         ]
     )
     assert n_batches >= 3
-    store_dirs = [
-        e for e in _os.listdir(store_dir) if e.startswith("batch_id=")
-    ]
-    assert len(store_dirs) < n_batches
+    for folded in ("vectors", "verdicts", "docmeta"):
+        n_dirs = len(
+            [
+                e
+                for e in _os.listdir(f"{d['state']}/{folded}")
+                if e.startswith("batch_id=")
+            ]
+        )
+        assert n_dirs < n_batches, f"{folded} not folded"
 
     # verdict output identity vs the batch op, across the folds
     got = {
@@ -208,34 +215,55 @@ def test_vec_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
 
 
 def test_vec_store_compaction_guards(spark, sf_dir, tmp_path):
-    """compact_vec_store shares the signature store's rails: id-horizon
-    validation and loud staged-leftover refusal on the reader."""
+    """compact_semantic_store shares the signature store's rails:
+    id-horizon validation and loud staged-leftover refusal on the
+    reader; a fold of an append-only state preserves every live row."""
     import os as _os
+
+    from pyspark.sql import functions as F
 
     from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
         _COMPACT_TMP_PREFIX,
     )
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        _dp_col,
+    )
     from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
         _pruned_vec_store,
-        compact_vec_store,
+        compact_semantic_store,
     )
 
-    store_dir = str(tmp_path / "vectors")
+    state_dir = str(tmp_path / "state")
+    store_dir = f"{state_dir}/vectors"
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .selectExpr(
             "vec_id",
             "cast(embedding as array<double>) as emb",
+            "cast('2025-01-01' as timestamp) as ts",
             "cast(vec_id % 3 as int) as cid",
         )
     )
     for b in range(2):
-        emb.filter(f"vec_id % 2 = {b}").write.mode("overwrite").partitionBy(
-            "cid"
-        ).parquet(f"{store_dir}/batch_id={b}")
+        part = emb.filter(f"vec_id % 2 = {b}")
+        part.write.mode("overwrite").partitionBy("cid").parquet(
+            f"{store_dir}/batch_id={b}"
+        )
+        (
+            part.select(
+                F.col("vec_id").alias("doc_id"),
+                "ts",
+                F.lit(False).alias("deleted"),
+                F.lit(None).cast("long").alias("dl"),
+            )
+            .withColumn("dp", _dp_col())
+            .write.mode("overwrite")
+            .partitionBy("dp")
+            .parquet(f"{state_dir}/docmeta/batch_id={b}")
+        )
 
     with pytest.raises(ValueError, match="id horizon"):
-        compact_vec_store(spark, store_dir, upto=4)
+        compact_semantic_store(spark, state_dir, upto=4)
 
     leftover = _os.path.join(store_dir, f"{_COMPACT_TMP_PREFIX}batch_id=0")
     _os.makedirs(leftover)
@@ -244,8 +272,158 @@ def test_vec_store_compaction_guards(spark, sf_dir, tmp_path):
     _os.rmdir(leftover)
 
     before = _pruned_vec_store(spark, store_dir, 5, [0, 1, 2]).count()
-    assert compact_vec_store(spark, store_dir, upto=2) == 2
+    assert compact_semantic_store(spark, state_dir, upto=2) >= 2
     assert sorted(
         e for e in _os.listdir(store_dir) if e.startswith("batch_id=")
     ) == ["batch_id=1"]
     assert _pruned_vec_store(spark, store_dir, 5, [0, 1, 2]).count() == before
+
+
+def _write_recs(path, recs):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_semantic_update_delete_lww(spark, sf_dir, tmp_path):
+    """Updates and tombstones in the semantic store (r11): a tombstoned
+    vector leaves the reference set AND the report; a re-ingested
+    vector is re-judged and its new embedding becomes the reference; a
+    vector judged AFTER a delete is NOT suppressed by the deleted
+    reference (the planted unsuppression case, certified against the
+    batch kernel over the LWW-current corpus); and the one documented
+    divergence — verdict immutability for vectors judged BEFORE a
+    change — is pinned explicitly. Compaction physically drops
+    superseded/tombstoned rows and preserves the report."""
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        _semantic_verdicts_over,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        compact_semantic_store,
+    )
+
+    model = _centroid_model(spark, sf_dir)
+    corpus = {
+        r["vec_id"]: list(r["emb"])
+        for r in _neardup_corpus(spark, sf_dir).collect()
+    }
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+
+    _write_drop(spark, sf_dir, f"{d['drop']}/w1.jsonl", 0, 10**9)
+    semantic_dedup_stream(
+        spark, d["drop"], d["state"], d["ckpt"], model
+    )
+
+    # wave 2 (restart): update 7 -> 450's embedding (the reference
+    # moves), re-ingest 11 unchanged; tombstone 3, and 40 + its
+    # planted +1M copy
+    upds = {7: corpus[450], 11: corpus[11]}
+    dels = [3, 40, 1000040]
+    _write_recs(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "vec_id": v,
+                "embedding": e,
+                "ingest_ts": f"2025-02-01T00:00:{k:02d}.000Z",
+            }
+            for k, (v, e) in enumerate(sorted(upds.items()))
+        ]
+        + [
+            {
+                "vec_id": v,
+                "embedding": None,
+                "ingest_ts": f"2025-02-02T00:00:{k:02d}.000Z",
+                "deleted": True,
+            }
+            for k, v in enumerate(dels)
+        ],
+    )
+    semantic_dedup_stream(
+        spark, d["drop"], d["state"], d["ckpt"], model
+    )
+
+    # wave 3 (restart): planted high-id probes of the three regimes
+    probes = {
+        2000001: corpus[3],    # equals ONLY the deleted vec -> KEPT
+        2000002: corpus[450],  # equals live 450 and 7's new emb -> DUP
+        2000003: corpus[7],    # equals only 7's OLD emb -> KEPT
+    }
+    _write_recs(
+        f"{d['drop']}/w3.jsonl",
+        [
+            {
+                "vec_id": v,
+                "embedding": e,
+                "ingest_ts": f"2025-03-01T00:00:{k:02d}.000Z",
+            }
+            for k, (v, e) in enumerate(sorted(probes.items()))
+        ],
+    )
+    semantic_dedup_stream(
+        spark, d["drop"], d["state"], d["ckpt"], model
+    )
+
+    live = {**corpus, **upds, **probes}
+    for v in dels:
+        live.pop(v)
+    want = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in _semantic_verdicts_over(
+            spark.createDataFrame(
+                sorted(live.items()), "vec_id bigint, emb array<double>"
+            ),
+            model,
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    assert set(got) == set(live), "report must cover exactly the live set"
+    # vec 450 is the DOCUMENTED immutability divergence: batch-over-LWW
+    # sees updated 7 as its lower-id twin, but 450's stream verdict
+    # predates the update and is immutable
+    assert want[450][1] is False and got[450][1] is True
+    mismatches = {v for v in got if got[v] != want[v]}
+    assert mismatches == {450}, f"unexpected divergences: {mismatches}"
+    assert got[2000001][1] is True, "deleted reference still suppresses"
+    assert got[2000002][1] is False
+    assert got[2000003][1] is True, "superseded embedding still a reference"
+
+    # non-vacuity of the unsuppression case: with vec 3 restored, the
+    # batch kernel calls the same probe a DUP
+    with3 = dict(live)
+    with3[2000001] = corpus[3]
+    with3[3] = corpus[3]
+    want3 = {
+        r["vec_id"]: r["keep"]
+        for r in _semantic_verdicts_over(
+            spark.createDataFrame(
+                sorted(with3.items()), "vec_id bigint, emb array<double>"
+            ),
+            model,
+        ).collect()
+    }
+    assert want3[2000001] is False
+
+    # compaction: physical drop + identical report
+    compact_semantic_store(spark, d["state"], upto=3, checkpoint_dir=d["ckpt"])
+    got2 = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    assert got2 == got
+    from pyspark.sql import functions as F
+
+    vectors = spark.read.option(
+        "basePath", f"{d['state']}/vectors"
+    ).parquet(f"{d['state']}/vectors")
+    assert vectors.filter(F.col("vec_id").isin(dels)).count() == 0
+    v7 = vectors.filter(F.col("vec_id") == 7).select("ts", "cid").collect()
+    assert len(v7) == 1, "superseded vector not physically dropped"

@@ -88,12 +88,16 @@ LAND_BATCH_VECS = 2_000     # vectors per landed batch_id directory
 
 
 def _emb(spark, corpus_dir: str):
-    """(vec_id, emb, cid) with cid = the generator's cluster label —
+    """(vec_id, emb, ts, cid) with cid = the generator's cluster label —
     the store rows a stream with a label-faithful coarse quantizer
-    would land."""
+    would land (ts = the r11 version stamp; this probe measures the
+    append-only store-growth axis — the update-tail mask is bounded by
+    compaction cadence, store-size-independent, and measured live in
+    SCALE_PROBE_INDEX/SCALE_PROBE_HYBRID)."""
     return spark.read.parquet(f"{corpus_dir}/embeddings.parquet").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
         F.col("label").cast("int").alias("cid"),
     )
 
@@ -122,13 +126,14 @@ def _add_replicas(spark, base_dir: str, store_dir: str, next_id: int,
         spark.read.option("basePath", base_dir)
         .parquet(base_dir)
         .filter(F.col("cid") != 0)
-        .select("vec_id", "emb", "cid")
+        .select("vec_id", "emb", "ts", "cid")
     )
     rep = base.withColumn(
         "r", F.explode(F.sequence(F.lit(1), F.lit(n_rep)))
     ).select(
         (F.col("vec_id") + F.col("r") * F.lit(1_000_000)).alias("vec_id"),
         "emb",
+        "ts",
         "cid",
     )
     w = rep.write.mode("overwrite")
@@ -146,7 +151,9 @@ def _dropped_count(spark, store_dir: str, before: int, batch, pruned: bool):
         touched = [
             r["cid"] for r in batch.select("cid").distinct().collect()
         ]
-        store = _pruned_vec_store(spark, store_dir, before, touched)
+        store = _pruned_vec_store(
+            spark, store_dir, before, touched
+        ).select("vec_id", "emb", "cid")
     else:
         store = (
             spark.read.option("basePath", store_dir)
