@@ -54,12 +54,29 @@ media_dedup_stream_report REFUSES to hand over the table while
 Σ d_capped > 0 unless the caller passes allow_capped=True (the report
 gate shape the funnel and ingest-metrics checks use).
 
+UPDATE/DELETE (r11, the retrieval-index LWW rails applied as in
+semantic_dedup): drops may carry deleted=true tombstones and
+re-ingested versions of earlier doc_ids. Landing writes the
+dp-partitioned docmeta version ledger FIRST (so a batch's own
+tombstones mask the reference set its arrivals are judged against);
+fingerprints and verdicts are version-stamped with ts; judging masks
+the history side against the ledger's uncompacted tail (bounded by
+compaction cadence — a tombstoned or superseded doc stops being a
+near-dup reference); the report serves only live winners' verdicts.
+Verdict semantics as in semantic_dedup: decided at judgment time
+against the then-live corpus, immutable once written; re-ingests are
+re-judged (LWW in the report); not retroactively recomputed. Ordering
+contract: per-doc nondecreasing distinct ingest_ts.
+
 Store maintenance is the shared rails: compact_media_store folds
-committed batches into one directory ((modality, band, bprefix) layout
-preserved; id-horizon + commits-log validation; underscore-prefixed
-crash staging every reader refuses loudly), and the runner invokes it
-every `compact_every` batches BY DEFAULT — the auto-compaction policy
-both sibling stores ship with.
+committed batches of all three stores into one directory each
+((modality, band, bprefix) layout preserved; id-horizon + commits-log
+validation; underscore-prefixed crash staging every reader refuses
+loudly), PHYSICALLY dropping superseded/tombstoned fingerprints and
+verdicts (the LWW mask), folding the ledger to winner rows (tombstones
+retained; stats snapshot as fold-horizon marker); the runner invokes
+it every `compact_every` batches BY DEFAULT — the auto-compaction
+policy all sibling stores ship with.
 
 100 TB/day shape: each fingerprint kernel is one Arrow map (1 row per
 image/track, 1 per video frame); the store write is BANDS rows per
@@ -95,6 +112,14 @@ from ..operators.multimodal import (
     contour_fps_of,
     phash_fps_of,
 )
+from .retrieval_index import (
+    _alive_of,
+    _dp_col,
+    _fold_horizon,
+    _fold_ledger,
+    _mask_visible,
+    _tail_live,
+)
 from .curation_funnel import (
     _assert_local_dir,
     _assert_no_compact_leftover,
@@ -103,7 +128,7 @@ from .curation_funnel import (
 
 MEDIA_DROP_SCHEMA = (
     "doc_id bigint, payload_b64 string, mimetype string, "
-    "ingest_ts timestamp"
+    "ingest_ts timestamp, deleted boolean"
 )
 _FP_STORE_PREFIXES = 8
 _STORE_COLS = [
@@ -271,24 +296,53 @@ def media_dedup_batch_of(media: DataFrame) -> DataFrame:
 
 def compact_media_store(
     spark: SparkSession,
-    store_dir: str,
+    state_dir: str,
     upto: int,
     checkpoint_dir: str | None = None,
 ) -> int:
-    """Fold fingerprint-store batches [0, upto) into ONE batch directory
-    (id = upto - 1), preserving the (modality, band, bprefix) layout —
-    the signature store's compaction discipline applied to the media
-    store (partition discovery across batch dirs is the pruned path's
-    residual growth term). Shares _compact_batch_store's safety rails."""
-    return _compact_batch_store(
+    """Fold batches [0, upto) of all three media stores, preserving the
+    (modality, band, bprefix) fingerprint layout — the signature
+    store's compaction discipline applied to the media store (partition
+    discovery across batch dirs is the pruned path's residual growth
+    term) — with the r11 LWW mask: superseded-version and
+    tombstoned-doc fingerprints AND their verdicts are PHYSICALLY
+    dropped (join against the ledger's live winners), and the docmeta
+    ledger folds to one winner row per doc (tombstones retained; stats
+    snapshot as fold-horizon marker). Shares _compact_batch_store's
+    safety rails."""
+    dm_dir = f"{state_dir}/docmeta"
+    if not os.path.isdir(dm_dir):
+        return 0  # nothing landed yet — nothing to fold
+    alive = _alive_of(spark, state_dir, upto)
+    removed = _compact_batch_store(
         spark,
-        store_dir,
+        f"{state_dir}/fingerprints",
         upto,
-        cols=[*_STORE_COLS, "bprefix"],
+        cols=[*_STORE_COLS, "ts", "bprefix"],
         partition_cols=["modality", "band", "bprefix"],
         what="media fingerprint store dir",
         checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
     )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/verdicts",
+        upto,
+        cols=[
+            "modality", "doc_id", "n_units", "fp_hi", "fp_lo", "keep",
+            "n_dups", "best_hamming", "best_coverage", "ts",
+        ],
+        partition_cols=[],
+        what="media verdict store dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
+    )
+    removed += _fold_ledger(
+        spark, state_dir, upto, checkpoint_dir=checkpoint_dir
+    )
+    return removed
 
 
 def _pruned_fp_store(
@@ -322,7 +376,7 @@ def _pruned_fp_store(
     return (
         store.filter(F.col("batch_id") < before)
         .filter(hit)
-        .select(*_STORE_COLS)
+        .select(*_STORE_COLS, "ts")
     )
 
 
@@ -357,7 +411,7 @@ def media_dedup_stream(
     def stage(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_media_store(
-                spark, store_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+                spark, state_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
             )
         # cap read at call time so the parity-precondition harness can
         # drive a bucket over it (the funnel's MINHASH_BUCKET_CAP shape)
@@ -373,13 +427,36 @@ def media_dedup_stream(
         # read).
         batch = batch.persist()
         n_raw = batch.count()
+        deleted = F.coalesce(F.col("deleted"), F.lit(False))
+        # ledger FIRST (the r11 LWW discipline, retrieval_index.py):
+        # this batch's own tombstones/updates must mask the reference
+        # set its arrivals are judged against
+        (
+            batch.select(
+                "doc_id",
+                F.col("ingest_ts").alias("ts"),
+                deleted.alias("deleted"),
+                F.lit(None).cast("long").alias("dl"),
+            )
+            .withColumn("dp", _dp_col())
+            .repartition("dp")
+            .write.mode("overwrite")
+            .partitionBy("dp")
+            .parquet(f"{state_dir}/docmeta/batch_id={batch_id}")
+        )
         # NULL payloads carry no pixels to fingerprint and would crash
         # the Arrow kernels (bytes(None)); _routed_fps applies each
         # modality's batch-op gate (octet_length / CONTOUR_SEGMENTS)
         # and drops unroutable mimetypes — parity-preserving, since
-        # media_dedup_batch_of routes through the same function
+        # media_dedup_batch_of routes through the same function.
+        # Tombstones carry no payload to fingerprint.
+        ts_of = batch.select(
+            "doc_id", F.col("ingest_ts").alias("ts")
+        ).distinct()
         fps = _routed_fps(
-            batch.filter(F.col("payload_b64").isNotNull()).select(
+            batch.filter(~deleted)
+            .filter(F.col("payload_b64").isNotNull())
+            .select(
                 "doc_id",
                 F.unbase64("payload_b64").alias("payload"),
                 "mimetype",
@@ -390,6 +467,7 @@ def media_dedup_stream(
             bands_batch = (
                 _fp_bands(fps, _BAND_CARRY)
                 .withColumn("bprefix", _bprefix_col())
+                .join(ts_of, "doc_id")
                 .persist()
             )
             bands_batch.write.mode("overwrite").partitionBy(
@@ -407,7 +485,14 @@ def media_dedup_stream(
             if store is None:
                 all_touched = bands_batch.select(*_STORE_COLS)
             else:
-                all_touched = store.join(
+                # live history only: mask superseded/tombstoned versions
+                # against the ledger tail (bounded by compaction
+                # cadence; includes THIS batch's just-landed tombstones)
+                tail = _tail_live(
+                    spark, state_dir, _fold_horizon(state_dir)
+                )
+                store = _mask_visible(store, tail, key="doc_id")
+                all_touched = store.select(*_STORE_COLS).join(
                     F.broadcast(batch_keys), _BUCKET_KEY, "semi"
                 ).unionByName(bands_batch.select(*_STORE_COLS))
             sized = all_touched.withColumn(
@@ -423,6 +508,7 @@ def media_dedup_stream(
             )
             (
                 _verdicts_of(bands_a, bands_batch, fps)
+                .join(ts_of, "doc_id")
                 .write.mode("overwrite")
                 .parquet(f"{verdicts_dir}/batch_id={batch_id}")
             )
@@ -471,7 +557,11 @@ def media_dedup_stream_report(
     band buckets over PHASH_BUCKET_CAP (the stated stream/batch parity
     precondition), naming the offending (batch_id, d_capped) pairs;
     allow_capped=True accepts the caveat and returns the rows anyway
-    (the funnel report's honest-gate shape)."""
+    (the funnel report's honest-gate shape). The metrics sidecar is
+    deliberately NOT folded at compaction: its per-batch (batch_id,
+    d_capped) identity IS the gate's error message, each batch adds one
+    tiny file, and only this offline report reads it — a
+    directory-listing growth term, never a serving one."""
     metrics_dir = f"{state_dir}/metrics"
     if os.path.isdir(metrics_dir):
         capped = (
@@ -491,9 +581,20 @@ def media_dedup_stream_report(
                 "corpus-wide; the stream caps as-of-batch). Pass "
                 "allow_capped=True to accept the caveat."
             )
-    return (
+    v = (
         spark.read.option("basePath", f"{state_dir}/verdicts")
         .parquet(f"{state_dir}/verdicts")
+        .select(
+            "modality", "doc_id", "n_units", "fp_hi", "fp_lo", "keep",
+            "n_dups", "best_hamming", "best_coverage", "ts",
+        )
+    )
+    # LWW-current verdicts only: superseded versions' and tombstoned
+    # docs' verdicts are masked against the ledger tail here and
+    # physically dropped at compaction (the retrieval_index discipline)
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    return (
+        _mask_visible(v, tail, key="doc_id")
         .select(
             "modality", "doc_id", "n_units", "fp_hi", "fp_lo", "keep",
             "n_dups", "best_hamming", "best_coverage",

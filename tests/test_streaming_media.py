@@ -363,3 +363,141 @@ def test_media_stream_skips_unroutable_and_empty_payloads(
     assert sum(
         r["n_image"] + r["n_video"] + r["n_audio"] for r in m
     ) == n_routable
+
+
+def _write_recs(path, recs):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_media_update_delete_lww(spark, sf_dir, tmp_path):
+    """Updates and tombstones in the media store (r11, the
+    semantic-store template): a tombstoned image stops being a near-dup
+    reference and leaves the report; an updated image's OLD payload
+    stops matching and its NEW payload becomes the reference; the one
+    documented immutability divergence is pinned; compaction physically
+    drops superseded/tombstoned fingerprints and preserves the
+    report."""
+    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
+        compact_media_store,
+    )
+
+    rows, _ = _media_rows(spark, sf_dir)
+    p1 = bytes((i * 7) % 256 for i in range(2048))
+    p2 = bytes((i * 13 + 5) % 256 for i in range(2048))
+    p3 = bytes((i * 29 + 11) % 256 for i in range(2048))
+    synth = [
+        (6000, p1, "image/png"),
+        (6001, p2, "image/png"),
+        (6002, p3, "image/png"),
+    ]
+    wave1 = rows + synth
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_drop(f"{d['drop']}/w1.jsonl", wave1, 0, 10**9)
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    # wave 2 (restart): tombstone 6000; re-ingest 6001 with 6002's
+    # payload (the reference moves; 6002 > 6001 becomes batch-over-LWW's
+    # dup of it — the documented immutability divergence)
+    _write_recs(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "doc_id": 6001,
+                "payload_b64": base64.b64encode(p3).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-02-01T00:00:00.000Z",
+            },
+            {
+                "doc_id": 6000,
+                "payload_b64": None,
+                "mimetype": None,
+                "ingest_ts": "2025-02-01T00:00:01.000Z",
+                "deleted": True,
+            },
+        ],
+    )
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    # wave 3 (restart): re-encode probes of the three regimes
+    probes = [
+        (3000001, _reencode(p1), "image/png"),  # deleted ref -> KEPT
+        (3000002, _reencode(p2), "image/png"),  # superseded ref -> KEPT
+        (3000003, _reencode(p3), "image/png"),  # live refs -> DUP
+    ]
+    _write_recs(
+        f"{d['drop']}/w3.jsonl",
+        [
+            {
+                "doc_id": did,
+                "payload_b64": base64.b64encode(p).decode(),
+                "mimetype": m,
+                "ingest_ts": f"2025-03-01T00:00:0{k}.000Z",
+            }
+            for k, (did, p, m) in enumerate(probes)
+        ],
+    )
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    live = rows + [(6001, p3, "image/png"), (6002, p3, "image/png")]
+    live += probes
+    got = {
+        _verdict_key(r): _verdict_val(r)
+        for r in media_dedup_stream_report(spark, d["state"]).collect()
+    }
+    want = {
+        _verdict_key(r): _verdict_val(r)
+        for r in media_dedup_batch_of(_media_frame(spark, live)).collect()
+    }
+    assert set(got) == set(want), "report must cover exactly the live set"
+    assert ("image", 6000) not in got
+    mismatches = {k for k in got if got[k] != want[k]}
+    assert mismatches == {("image", 6002)}, (
+        f"unexpected divergences: {sorted(mismatches)[:8]}"
+    )
+    # the pinned divergence: batch-over-LWW sees updated 6001 as 6002's
+    # lower-id twin; 6002's stream verdict predates the update
+    assert want[("image", 6002)][3] is False
+    assert got[("image", 6002)][3] is True
+    assert got[("image", 3000001)][3] is True, (
+        "deleted reference still suppresses"
+    )
+    assert got[("image", 3000002)][3] is True, (
+        "superseded payload still a reference"
+    )
+    assert got[("image", 3000003)][3] is False
+
+    # non-vacuity: with 6000 restored, the same batch kernel calls the
+    # first probe a DUP
+    want_restored = {
+        _verdict_key(r): _verdict_val(r)
+        for r in media_dedup_batch_of(
+            _media_frame(spark, live + [(6000, p1, "image/png")])
+        ).collect()
+    }
+    assert want_restored[("image", 3000001)][3] is False
+
+    # compaction: physical drop + identical report
+    compact_media_store(spark, d["state"], upto=3, checkpoint_dir=d["ckpt"])
+    got2 = {
+        _verdict_key(r): _verdict_val(r)
+        for r in media_dedup_stream_report(spark, d["state"]).collect()
+    }
+    assert got2 == got
+    fps = spark.read.option(
+        "basePath", f"{d['state']}/fingerprints"
+    ).parquet(f"{d['state']}/fingerprints")
+    assert fps.filter(F.col("doc_id") == 6000).count() == 0
+    assert (
+        fps.filter(F.col("doc_id") == 6001)
+        .select("ts")
+        .distinct()
+        .count()
+        == 1
+    ), "superseded fingerprints not physically dropped"

@@ -120,13 +120,21 @@ def _build_base_store(spark, fps_dir: str, store_dir: str,
     n = fps.agg(F.max("doc_id")).collect()[0][0] + 1
     batch_id = 0
     for lo in range(0, int(n), LAND_BATCH_DOCS):
-        bands = _fp_bands(
-            fps.filter(
-                (F.col("doc_id") >= lo)
-                & (F.col("doc_id") < lo + LAND_BATCH_DOCS)
-            ),
-            _BAND_CARRY,
-        ).withColumn("bprefix", _bprefix_col())
+        bands = (
+            _fp_bands(
+                fps.filter(
+                    (F.col("doc_id") >= lo)
+                    & (F.col("doc_id") < lo + LAND_BATCH_DOCS)
+                ),
+                _BAND_CARRY,
+            )
+            .withColumn("bprefix", _bprefix_col())
+            # r11 version stamp (this probe measures the append-only
+            # store-growth axis; the update-tail mask is bounded by
+            # compaction cadence and measured live in
+            # SCALE_PROBE_INDEX/SCALE_PROBE_HYBRID)
+            .withColumn("ts", F.lit("2025-01-01 00:00:00").cast("timestamp"))
+        )
         w = bands.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy("modality", "band", "bprefix")
@@ -144,7 +152,7 @@ def _add_replicas(spark, base_dir: str, store_dir: str, next_id: int,
     base = (
         spark.read.option("basePath", base_dir)
         .parquet(base_dir)
-        .select(*_STORE_COLS)
+        .select(*_STORE_COLS, "ts")
     )
     rep = (
         base.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
@@ -161,6 +169,7 @@ def _add_replicas(spark, base_dir: str, store_dir: str, next_id: int,
             F.pmod(
                 F.col("bval") * 31 + F.col("r") * 9973, F.lit(1 << 16)
             ).alias("bval"),
+            "ts",
         )
         .join(F.broadcast(batch_bvals), _BUCKET_KEY, "anti")
         .withColumn("bprefix", _bprefix_col())
@@ -183,7 +192,9 @@ def _dropped_count(spark, store_dir: str, before: int, batch_bands,
             .distinct()
             .collect()
         ]
-        store = _pruned_fp_store(spark, store_dir, before, touched)
+        store = _pruned_fp_store(
+            spark, store_dir, before, touched
+        ).select(*_STORE_COLS)
         keys = batch_bands.select(*_BUCKET_KEY).distinct()
         all_t = store.join(
             F.broadcast(keys), _BUCKET_KEY, "semi"
