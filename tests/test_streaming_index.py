@@ -403,3 +403,71 @@ def test_index_adhoc_query_serving(spark, lww_dirs):
     )
     with pytest.raises(ValueError, match="no non-empty query terms"):
         bm25_index_search_adhoc(spark, lww_dirs["state"], {2: "   "})
+
+
+def test_index_out_of_order_version_repaired_at_fold(spark, sf_dir, tmp_path):
+    """The ORDERING CONTRACT's documented failure-and-repair path: a
+    LATE older version arriving AFTER its successor was folded wins the
+    tail mask (the tail knows nothing of the folded v2), so serving
+    temporarily reflects v1 — and the NEXT fold's global LWW repairs it
+    to v2. Both states pinned against the batch op."""
+    rows = _doc_rows(spark, sf_dir)
+    texts = dict(rows)
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "docs": str(tmp_path / "docs"),
+    }
+    os.makedirs(d["drop"])
+
+    # batch 0: the corpus with doc 7 at version v2 (ts March)
+    v2_text = "version two of seven with plenty of distinct tokens here"
+    recs = [
+        {
+            "doc_id": i,
+            "text": v2_text if i == 7 else t,
+            "ingest_ts": "2025-03-01T00:00:00.000Z"
+            if i == 7
+            else f"2025-01-01T00:{k // 60:02d}:{k % 60:02d}.000Z",
+        }
+        for k, (i, t) in enumerate(rows)
+    ]
+    _write_recs(f"{d['drop']}/w1.jsonl", recs)
+    bm25_index_stream(spark, d["drop"], d["state"], d["ckpt"])
+    compact_retrieval_store(spark, d["state"], upto=1, checkpoint_dir=d["ckpt"])
+
+    # batch 1: doc 7's OLDER v1 arrives LATE (ts February < March)
+    v1_text = "version one of seven straggling in far too late"
+    _write_recs(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "doc_id": 7,
+                "text": v1_text,
+                "ingest_ts": "2025-02-01T00:00:00.000Z",
+            }
+        ],
+    )
+    bm25_index_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    def corpus_with(doc7_text):
+        return [(i, doc7_text if i == 7 else texts[i]) for i, _ in rows]
+
+    # DEGRADED (documented): the tail winner is v1, so serving equals
+    # the batch op over the v1 corpus — wrong vs LWW, but deterministic
+    degraded = [
+        tuple(r) for r in bm25_index_search(spark, d["state"]).collect()
+    ]
+    assert degraded == [
+        tuple(r) for r in _batch_rows(spark, corpus_with(v1_text), d["docs"])
+    ]
+
+    # REPAIR: the next fold's global LWW reinstates v2 exactly
+    compact_retrieval_store(spark, d["state"], upto=2, checkpoint_dir=d["ckpt"])
+    repaired = [
+        tuple(r) for r in bm25_index_search(spark, d["state"]).collect()
+    ]
+    assert repaired == [
+        tuple(r) for r in _batch_rows(spark, corpus_with(v2_text), d["docs"])
+    ]
