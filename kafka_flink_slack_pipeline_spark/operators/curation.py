@@ -1512,6 +1512,37 @@ ORDER BY query_id, rank
 BM25_SEARCH_ORACLE = _bm25_oracle_over("documents")
 
 
+# Session-scoped store directories for the *_served_lww certificates.
+# The store build is deterministic in sf_dir (fixed waves, fixed
+# timestamps), so repeated bench/verify invocations in one session reuse
+# ONE directory per (kind, sf_dir) instead of accumulating store-sized
+# temp trees (ADVICE r11); the tree is removed at interpreter exit. A
+# build that throws is rmtree'd and NOT cached, so a later invocation
+# rebuilds rather than serving a half-built store.
+_SERVED_STATE_CACHE: dict[str, str] = {}
+
+
+def _served_state_dir(kind: str, sf_dir: str, build) -> str:
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    key = f"{kind}:{_os.path.abspath(sf_dir)}"
+    hit = _SERVED_STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    path = tempfile.mkdtemp(prefix=f"{kind}_")
+    try:
+        build(path)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
+    _SERVED_STATE_CACHE[key] = path
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental index's UPDATE/DELETE serving path under the
     driver's hash: land the corpus as wave 1 of a real postings/docmeta
@@ -1534,8 +1565,6 @@ def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the query terms' pruned lists + a broadcast-sized tail mask
     + <= _DOC_PREFIXES snapshot rows (store build here is a bounded
     fixture of that pipeline, the media-store fixture discipline)."""
-    import tempfile
-
     from ..streaming.retrieval_index import (
         _land_text,
         bm25_index_search,
@@ -1543,7 +1572,6 @@ def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    state = tempfile.mkdtemp(prefix="bm25_served_lww_")
     seed_upd = (F.col("doc_id") % _BM25_EVERY == 0) & (
         F.col("doc_id") % 3 == 0
     )
@@ -1564,12 +1592,16 @@ def bm25_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2025-01-02 00:00:00").cast("timestamp").alias("ingest_ts"),
         tomb.alias("deleted"),
     )
-    _land_text(wave1, 0, state)
-    _land_text(wave2, 1, state)
-    # fold wave 1 only: wave 2 stays the uncompacted tail, so the serve
-    # below exercises BOTH masking regimes (folded store pre-masked
-    # physically; tail masked at read) and the snapshot-corrected stats
-    compact_retrieval_store(spark, state, upto=1)
+    def build(state: str) -> None:
+        _land_text(wave1, 0, state)
+        _land_text(wave2, 1, state)
+        # fold wave 1 only: wave 2 stays the uncompacted tail, so the
+        # serve below exercises BOTH masking regimes (folded store
+        # pre-masked physically; tail masked at read) and the
+        # snapshot-corrected stats
+        compact_retrieval_store(spark, state, upto=1)
+
+    state = _served_state_dir("bm25_served_lww", sf_dir, build)
     return bm25_index_search(spark, state)
 
 
@@ -1605,8 +1637,6 @@ def hybrid_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixed-codebook discipline the store runs), through the same
     RRF fusion SQL. So the dense masking (superseded vectors, moved
     cids, masked vecseeds) is value-hash-checked end to end."""
-    import tempfile
-
     from ..streaming.hybrid_index import (
         _land_hybrid,
         compact_hybrid_store,
@@ -1621,7 +1651,6 @@ def hybrid_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     base = d.join(e, "doc_id", "left")
-    state = tempfile.mkdtemp(prefix="hybrid_served_lww_")
     seed_upd = (F.col("doc_id") % _BM25_EVERY == 0) & (
         F.col("doc_id") % 3 == 0
     )
@@ -1660,10 +1689,13 @@ def hybrid_index_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
             tomb.alias("deleted"),
         )
     )
-    _land_hybrid(wave1, 0, state, codebook)
-    _land_hybrid(wave2, 1, state, codebook)
-    # fold wave 1 only: wave 2 stays the tail on BOTH faces
-    compact_hybrid_store(spark, state, upto=1)
+    def build(state: str) -> None:
+        _land_hybrid(wave1, 0, state, codebook)
+        _land_hybrid(wave2, 1, state, codebook)
+        # fold wave 1 only: wave 2 stays the tail on BOTH faces
+        compact_hybrid_store(spark, state, upto=1)
+
+    state = _served_state_dir("hybrid_served_lww", sf_dir, build)
     return hybrid_index_search(spark, state, codebook)
 
 
@@ -1673,13 +1705,22 @@ def _hybrid_served_lww_oracle() -> str:
     the store's fixed codebook) through the RRF fusion SQL."""
     from .similarity import IVF_NPROBE, _ivf_oracle_at
 
+    # LEFT join + donor-null drop, mirroring the store's left-join
+    # semantics exactly (ADVICE r11): only text-updated (%10=7) docs
+    # need the donor; an INNER join would silently drop live
+    # non-updated vectors whenever the embeddings table lacks the donor
+    # id (fewer than 500 contiguous rows). A %10=7 doc with NO donor
+    # lands no v2 vector on the Spark side (isNotNull filter) while its
+    # v1 vector is masked by the tail winner — so such docs leave the
+    # dense face entirely, which is the WHERE clause's last conjunct.
     upd_emb_prelude = f"""updated_emb AS (
   SELECT e.vec_id,
          CASE WHEN e.vec_id % 10 = 7 THEN d.embedding
               ELSE e.embedding END AS embedding
   FROM embeddings e
-  JOIN embeddings d ON d.vec_id = (e.vec_id % 100) + 400
+  LEFT JOIN embeddings d ON d.vec_id = (e.vec_id % 100) + 400
   WHERE e.vec_id % 10 <> 3 AND e.vec_id <> {_BM25_EVERY}
+    AND (e.vec_id % 10 <> 7 OR d.embedding IS NOT NULL)
 ), """
     ivf_sql = _ivf_oracle_at(
         IVF_NPROBE,

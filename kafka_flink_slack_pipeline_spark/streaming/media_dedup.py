@@ -66,7 +66,15 @@ near-dup reference); the report serves only live winners' verdicts.
 Verdict semantics as in semantic_dedup: decided at judgment time
 against the then-live corpus, immutable once written; re-ingests are
 re-judged (LWW in the report); not retroactively recomputed. Ordering
-contract: per-doc nondecreasing distinct ingest_ts.
+contract: per-doc nondecreasing distinct ingest_ts. When one
+micro-batch carries SEVERAL versions of a doc_id, only the batch-LWW
+winner is fingerprinted and judged (the ledger still records every
+version): the kernels key units by doc_id, so fingerprinting every
+version would merge them into one doc and stamp the superseded
+payload's fingerprints with the winner's ts — corrupting the reference
+set past the mask (ADVICE r11); the winner-only discipline is
+observationally identical (a superseded sibling's rows would be masked
+everywhere and dropped at the next fold).
 
 Store maintenance is the shared rails: compact_media_store folds
 committed batches of all three stores into one directory each
@@ -444,17 +452,53 @@ def media_dedup_stream(
             .partitionBy("dp")
             .parquet(f"{state_dir}/docmeta/batch_id={batch_id}")
         )
+        # Per-doc BATCH-LWW winner before fingerprinting: one micro-batch
+        # may legally carry several versions of a doc_id (the ordering
+        # contract only demands nondecreasing distinct ts). The kernels
+        # key fingerprints by doc_id, so fingerprinting every version
+        # would merge the versions' units into one doc for judging and
+        # fan the ts stamp out under BOTH ts values — the superseded
+        # payload's fingerprints would then survive the LWW mask and
+        # compaction (ADVICE r11). Only the winner version is
+        # fingerprinted and judged: the superseded sibling's fingerprints
+        # and verdict would be invisible under the ledger mask and
+        # physically dropped at the next fold anyway, and at judgment
+        # time the live corpus holds only the winner. The ledger above
+        # still records EVERY version. Winner = max (ts, deleted,
+        # payload, mimetype) struct — _lww's tiebreak extended over the
+        # payload so even an ordering-contract violation (duplicate ts)
+        # resolves deterministically.
+        winners = (
+            batch.groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ingest_ts").alias("ts"),
+                        deleted.alias("deleted"),
+                        F.col("payload_b64").alias("payload_b64"),
+                        F.col("mimetype").alias("mimetype"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                "doc_id",
+                F.col("w.ts").alias("ingest_ts"),
+                F.col("w.deleted").alias("deleted"),
+                F.col("w.payload_b64").alias("payload_b64"),
+                F.col("w.mimetype").alias("mimetype"),
+            )
+        )
         # NULL payloads carry no pixels to fingerprint and would crash
         # the Arrow kernels (bytes(None)); _routed_fps applies each
         # modality's batch-op gate (octet_length / CONTOUR_SEGMENTS)
         # and drops unroutable mimetypes — parity-preserving, since
         # media_dedup_batch_of routes through the same function.
         # Tombstones carry no payload to fingerprint.
-        ts_of = batch.select(
+        ts_of = winners.select(
             "doc_id", F.col("ingest_ts").alias("ts")
-        ).distinct()
+        )
         fps = _routed_fps(
-            batch.filter(~deleted)
+            winners.filter(~F.col("deleted"))
             .filter(F.col("payload_b64").isNotNull())
             .select(
                 "doc_id",

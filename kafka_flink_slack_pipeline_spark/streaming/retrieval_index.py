@@ -607,17 +607,23 @@ def bm25_index_search_adhoc(
     request path a search/RAG deployment actually exposes (the stored
     seed workload exists for the registered oracle; a user's query is
     not a corpus document). `queries` maps query_id -> query text,
-    tokenized with the corpus rule (trimmed whitespace split, empty
-    tokens dropped); the bounded term list prunes the postings read
-    exactly as the seed path does, and the same update/delete tail mask
-    applies. Same output schema as bm25_index_search."""
+    tokenized with the corpus rule (whitespace split, empty tokens
+    dropped). The corpus rule is the JAVA regex \\s+ (ASCII-only:
+    [ \\t\\n\\x0b\\f\\r]), so the Python split here must use the same
+    ASCII class — Python's \\s also matches Unicode whitespace (e.g.
+    \\u00a0), which would tokenize a query differently from the same
+    text ingested as a document (ADVICE r11). Dropping empty tokens
+    subsumes the Spark side's trim. The bounded term list prunes the
+    postings read exactly as the seed path does, and the same
+    update/delete tail mask applies. Same output schema as
+    bm25_index_search."""
     import re
 
     pairs = sorted(
         {
             (int(qid), t)
             for qid, text in queries.items()
-            for t in re.split(r"\s+", text.strip())
+            for t in re.split(r"[ \t\n\x0b\f\r]+", text)
             if t != ""
         }
     )

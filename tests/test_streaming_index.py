@@ -404,6 +404,26 @@ def test_index_adhoc_query_serving(spark, lww_dirs):
     with pytest.raises(ValueError, match="no non-empty query terms"):
         bm25_index_search_adhoc(spark, lww_dirs["state"], {2: "   "})
 
+    # the corpus tokenization rule is the JAVA regex \s+ (ASCII-only):
+    # a Unicode NBSP is NOT a separator, so it must stay inside one
+    # (unseen) token instead of splitting into two matching terms —
+    # Python's \s would have split it (ADVICE r11)
+    assert (
+        bm25_index_search_adhoc(
+            spark, lww_dirs["state"], {3: "juliett\u00a0kilo"}
+        ).collect()
+        == []
+    )
+    # ...while the ASCII whitespace class separates exactly like the
+    # corpus rule does
+    adhoc_ws = [
+        tuple(r)
+        for r in bm25_index_search_adhoc(
+            spark, lww_dirs["state"], {0: "juliett\tkilo\nlima"}
+        ).collect()
+    ]
+    assert adhoc_ws == stored
+
 
 def test_index_out_of_order_version_repaired_at_fold(spark, sf_dir, tmp_path):
     """The ORDERING CONTRACT's documented failure-and-repair path: a

@@ -501,3 +501,85 @@ def test_media_update_delete_lww(spark, sf_dir, tmp_path):
         .count()
         == 1
     ), "superseded fingerprints not physically dropped"
+
+
+def test_media_same_batch_multi_version_lww(spark, tmp_path):
+    """ADVICE r11 (medium): ONE micro-batch carrying two versions of a
+    doc_id must fingerprint and judge only the batch-LWW winner. The
+    failure mode this pins: keying fingerprints by doc_id alone merged
+    both versions' units into one doc and duplicated every row under
+    BOTH ts values, so the superseded payload's fingerprints survived
+    the mask — a probe equal to the OLD payload must be KEPT, a probe
+    equal to the NEW payload must be a DUP, the report must hold ONE
+    row per doc, and the store only the winner's fingerprints."""
+    p_old = bytes((i * 7) % 256 for i in range(2048))
+    p_new = bytes((i * 13 + 5) % 256 for i in range(2048))
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_recs(
+        f"{d['drop']}/w1.jsonl",
+        [
+            {
+                "doc_id": 10,
+                "payload_b64": base64.b64encode(p_old).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-01-01T00:00:00.000Z",
+            },
+            {
+                "doc_id": 10,
+                "payload_b64": base64.b64encode(p_new).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-01-01T00:00:01.000Z",
+            },
+            # judged against the WINNER: the old payload's re-encode
+            # has no live reference, the new payload's does
+            {
+                "doc_id": 11,
+                "payload_b64": base64.b64encode(
+                    _reencode(p_old)
+                ).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-01-01T00:00:02.000Z",
+            },
+            {
+                "doc_id": 12,
+                "payload_b64": base64.b64encode(
+                    _reencode(p_new)
+                ).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-01-01T00:00:03.000Z",
+            },
+        ],
+    )
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    rep = media_dedup_stream_report(spark, d["state"]).collect()
+    got = {r["doc_id"]: r for r in rep}
+    assert len(rep) == 3 and set(got) == {10, 11, 12}, (
+        "one verdict row per doc expected"
+    )
+    assert got[10]["keep"] is True
+    assert got[11]["keep"] is True, "superseded-in-batch payload masked"
+    assert got[12]["keep"] is False, "winner payload is the reference"
+
+    # parity with the batch kernel over the LWW-current rows
+    live = [(10, p_new, "image/png"),
+            (11, _reencode(p_old), "image/png"),
+            (12, _reencode(p_new), "image/png")]
+    want = {
+        _verdict_key(r): _verdict_val(r)
+        for r in media_dedup_batch_of(_media_frame(spark, live)).collect()
+    }
+    assert {_verdict_key(r): _verdict_val(r) for r in rep} == want
+
+    # store holds ONLY the winner version's fingerprints for doc 10
+    fps = spark.read.option(
+        "basePath", f"{d['state']}/fingerprints"
+    ).parquet(f"{d['state']}/fingerprints")
+    ten = fps.filter(F.col("doc_id") == 10).select("ts").distinct()
+    assert ten.count() == 1
+    assert str(ten.collect()[0]["ts"]) == "2025-01-01 00:00:01"
