@@ -101,6 +101,71 @@ Design decisions, in dependency order:
   ingest_land.py exactly-once-by-idempotent-replay contract): landed
   docs (lang-partitioned), the signature store, per-batch stage counts.
 
+UPDATE/DELETE (r12 — the retrieval-index LWW rails, the template's
+fourth application): drops may carry deleted=true tombstones and
+re-ingested versions of earlier doc_ids (LWW by ingest_ts; ordering
+contract as everywhere: per-doc nondecreasing DISTINCT ingest_ts).
+
+- The VERSION LEDGER is written by the SIBLING stream (which reads the
+  raw drops pre-dedup), not by foreachBatch: version and tombstone
+  visibility must not depend on downstream survival — the engine's
+  exact-dedup state drops rows the ledger still has to know about.
+  Three sibling tables per batch, one signal pass: the dp-partitioned
+  `docmeta` ledger (doc_id, ts, deleted, dl=n_tokens — every version,
+  tombstones included), `vermeta` (per live version: source, quality
+  score, qk, content hash h — the persisted quality-signal row), and
+  `hterm` (distinct (h, term) postings — a content hash's term set,
+  the stage-6 sufficient statistic that survives deletes because it is
+  keyed by CONTENT, not by doc).
+- SIGNATURE rows are version-stamped with ts; the near-dup stage masks
+  the store side against the ledger (a tombstoned or superseded
+  version stops being a near-dup witness — including tombstones landed
+  in the same run, since the sibling drains FIRST under availableNow:
+  within one invocation every judgment is against the invocation's
+  end-of-horizon version knowledge, strictly closer to the batch
+  reference than arrival-order masking). When one micro-batch carries
+  several versions of a doc_id, only the batch-LWW winner lands
+  signatures and is judged (the media store's r12 discipline; the
+  ledger still records every version).
+- The REPORT is retrospective-LWW end to end: stages 0-2 and 5-6 are
+  RECOMPUTED over the ledger's live winners (vermeta carries exactly
+  the per-version signals the batch expressions need; hterm feeds the
+  NB model and scoring through h), and stages 3-4 read the per-doc
+  JUDGMENT rows foreachBatch persists (nd_dropped/contaminated,
+  version-stamped). So a tombstone retroactively removes its doc from
+  EVERY stage count — count parity with corpus_curation_funnel over
+  the LWW-current corpus, not just over monotone ingest.
+- compact_sig_store folds all five stores with the LWW mask
+  (superseded/tombstoned signature + judgment + vermeta rows
+  physically dropped; hterm pruned to live contents; ledger folded to
+  winner rows with tombstones retained, stats snapshot as the
+  fold-horizon marker).
+
+DOCUMENTED DIVERGENCES under update/delete (the semantic/media stores'
+verdict-immutability contract, plus two funnel-specific ones):
+1. Stage-3/4 judgments are decided at judgment time against the
+   then-landed reference set and are immutable once written: a doc
+   dropped as a near-dup of a witness that is tombstoned in a LATER
+   invocation stays dropped (re-ingest it to re-judge); a doc judged
+   before its witness's UPDATE landed sigs was judged against the old
+   content. Batch-over-LWW is the ground truth for docs judged after
+   the change (the unsuppression test pins it).
+2. The engine's exact-dedup state is append-only within its TTL: a
+   row whose content hash was already seen never reaches foreachBatch,
+   so if the content's canonical keeper is LATER tombstoned or
+   superseded, the suppressed twin has no judgment row. The report
+   REFUSES loudly when a canonical live winner lacks its judgment row
+   (naming the doc_ids) instead of silently presenting a partial
+   stage 3 — re-ingest the named docs (a fresh version passes the
+   dedup state) to repair. Quality-FAILING rows are immune (their
+   dedup key includes ts precisely so versions never collide).
+3. A signature-store fold masks against the ledger's end-of-horizon
+   winners; a version superseded by a not-yet-landed later version
+   briefly has no live signature rows (its successor's sigs land with
+   that later batch) — arrivals judged in that window miss the doc as
+   a witness, exactly as any stream must (it cannot judge against
+   content that has not arrived).
+
 100 TB/day shape: quality + signatures are narrow maps; the engine
 dedup shuffles 16-byte keys; the near-dup join touches only the store
 buckets the batch's own signatures hash into (partition-pruned scan +
@@ -136,7 +201,10 @@ from ..operators.textops import (
 )
 
 DROP_SCHEMA = ("doc_id bigint, text string, lang string, "
-               "source string, ingest_ts timestamp")
+               "source string, ingest_ts timestamp, deleted boolean")
+_SIG_COLS = ["doc_id", "sig", "band", "bkey", "ts"]
+_JUDGMENT_COLS = ["doc_id", "ts", "nd_dropped", "contaminated"]
+_VERMETA_COLS = ["doc_id", "ts", "source", "q", "qk", "h"]
 
 # Store partition fan-out for the bkey dimension: band (BANDS values) x
 # bprefix (this many hash buckets of bkey). 8 keeps the per-batch

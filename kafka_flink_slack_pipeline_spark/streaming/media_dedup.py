@@ -589,6 +589,104 @@ def media_dedup_stream(
     return q
 
 
+def media_dedup_probe_adhoc(
+    spark: SparkSession,
+    state_dir: str,
+    probes: dict[int, tuple[bytes, str]],
+) -> DataFrame:
+    """Judge AD-HOC media payloads against the landed LWW-current
+    fingerprint store WITHOUT ingesting — the request path a deployment
+    exposes ("is this payload a dup of anything landed?"; until now
+    only ingestion triggered judgment). `probes` maps probe_id ->
+    (payload bytes, mimetype); mimetype routes each probe through the
+    same kernels and gates as ingestion (_routed_fps — an unroutable or
+    empty probe simply yields no row, the batch ops' exclusion rule).
+    The store scan prunes to the probes' own touched (modality, band,
+    bprefix) buckets; history is masked against the ledger tail (a
+    tombstoned or superseded payload has stopped being a reference) and
+    capped per bucket exactly as the batch ops cap (PHASH_BUCKET_CAP
+    over the store's as-of-now bucket content — probes land nothing, so
+    they never count toward a bucket); the verdict kernel is
+    _verdicts_of, shared VERBATIM with the stream and the batch op.
+    Every live landed doc plays the reference (lower-id) role
+    regardless of the probe's id: probe ids are offset above the landed
+    horizon internally (one bounded max() over the pruned masked slice
+    — only same-bucket units can ever qualify, so the slice suffices)
+    and mapped back on output. Probes are judged INDEPENDENTLY (they do
+    not witness each other — each is its own question). Nothing is
+    written. Output: (probe_id, modality, n_units, keep, n_dups,
+    best_hamming, best_coverage) in probe_id order; keep=false means "a
+    dup of something landed". Reference anchor: the serving path
+    re-reads CURRENT state per lookup
+    (Slack Event Server/slackEventServer.js:187-202)."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import PHASH_BUCKET_CAP
+
+    if not probes:
+        raise ValueError("no probe payloads given")
+    ids = sorted(int(p) for p in probes)
+    frame = spark.createDataFrame(
+        [
+            (i, bytearray(probes[pid][0]), probes[pid][1])
+            for i, pid in enumerate(ids)
+        ],
+        "doc_id bigint, payload binary, mimetype string",
+    )
+    # no persists: a probe request is a handful of rows, so the Arrow
+    # fingerprint kernels re-running per plan branch cost nothing next
+    # to the store read
+    fps = _routed_fps(frame)
+    bands = _fp_bands(fps, _BAND_CARRY).withColumn(
+        "bprefix", _bprefix_col()
+    )
+    touched = [
+        (r["modality"], r["band"], r["bprefix"])
+        for r in bands.select("modality", "band", "bprefix")
+        .distinct()
+        .collect()  # bounded: <= probes' units * BANDS
+    ]
+    store = _pruned_fp_store(
+        spark, f"{state_dir}/fingerprints", 1 << 62, touched
+    )
+    if store is None:
+        raise ValueError(
+            f"no fingerprint store under {state_dir!r}: nothing "
+            "has landed yet (run media_dedup_stream first)"
+        )
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    hist = _mask_visible(store, tail, key="doc_id").select(*_STORE_COLS)
+    sized = hist.withColumn(
+        "bsize",
+        F.count(F.lit(1)).over(Window.partitionBy(*_BUCKET_KEY)),
+    )
+    bands_a = sized.filter(F.col("bsize") <= PHASH_BUCKET_CAP).drop("bsize")
+    mx = hist.agg(
+        F.coalesce(F.max("doc_id"), F.lit(0)).alias("mx")
+    ).collect()[0]["mx"]
+    base = F.lit(int(mx) + 1)
+    bands_b = bands.withColumn("doc_id", F.col("doc_id") + base)
+    fps_b = fps.withColumn("doc_id", F.col("doc_id") + base)
+    idmap = spark.createDataFrame(
+        [(int(mx) + 1 + i, pid) for i, pid in enumerate(ids)],
+        "doc_id bigint, probe_id bigint",
+    )
+    return (
+        _verdicts_of(bands_a, bands_b, fps_b)
+        .join(F.broadcast(idmap), "doc_id")
+        .select(
+            "probe_id",
+            "modality",
+            "n_units",
+            "keep",
+            "n_dups",
+            "best_hamming",
+            "best_coverage",
+        )
+        .orderBy("probe_id")
+    )
+
+
 def media_dedup_stream_report(
     spark: SparkSession, state_dir: str, allow_capped: bool = False
 ) -> DataFrame:

@@ -503,6 +503,111 @@ def test_media_update_delete_lww(spark, sf_dir, tmp_path):
     ), "superseded fingerprints not physically dropped"
 
 
+def test_media_probe_adhoc(spark, sf_dir, tmp_path):
+    """r11 verdict item 3 (media face): ad-hoc payload probes judge
+    against the landed LWW-current reference set WITHOUT ingesting — a
+    re-encode of a landed image returns DUP; after its reference is
+    tombstoned, the same probe returns KEEP; a probe of a superseded
+    payload returns KEEP while the update's new payload returns DUP;
+    probing writes nothing (the report and store are unchanged); an
+    unroutable probe yields no row."""
+    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
+        media_dedup_probe_adhoc,
+    )
+
+    rows, _ = _media_rows(spark, sf_dir)
+    p1 = bytes((i * 7) % 256 for i in range(2048))
+    p2 = bytes((i * 13 + 5) % 256 for i in range(2048))
+    p3 = bytes((i * 29 + 11) % 256 for i in range(2048))
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_drop(
+        f"{d['drop']}/w1.jsonl",
+        rows + [(6000, p1, "image/png"), (6001, p2, "image/png")],
+        0,
+        10**9,
+    )
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    # BEFORE any change: re-encodes of both landed payloads are DUPs
+    got = {
+        r["probe_id"]: r
+        for r in media_dedup_probe_adhoc(
+            spark,
+            d["state"],
+            {
+                1: (_reencode(p1), "image/png"),
+                2: (_reencode(p2), "image/png"),
+                3: (b"x" * 500, "application/pdf"),  # unroutable
+            },
+        ).collect()
+    }
+    assert set(got) == {1, 2}, "unroutable probe must yield no row"
+    assert got[1]["keep"] is False and got[1]["modality"] == "image"
+    assert got[2]["keep"] is False
+
+    # wave 2: tombstone 6000; update 6001 -> p3
+    _write_recs(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "doc_id": 6001,
+                "payload_b64": base64.b64encode(p3).decode(),
+                "mimetype": "image/png",
+                "ingest_ts": "2025-02-01T00:00:00.000Z",
+            },
+            {
+                "doc_id": 6000,
+                "payload_b64": None,
+                "mimetype": None,
+                "ingest_ts": "2025-02-01T00:00:01.000Z",
+                "deleted": True,
+            },
+        ],
+    )
+    media_dedup_stream(spark, d["drop"], d["state"], d["ckpt"])
+
+    report_before = sorted(
+        map(tuple, media_dedup_stream_report(spark, d["state"]).collect())
+    )
+    got2 = {
+        r["probe_id"]: r
+        for r in media_dedup_probe_adhoc(
+            spark,
+            d["state"],
+            {
+                1: (_reencode(p1), "image/png"),  # ref tombstoned -> KEEP
+                2: (_reencode(p2), "image/png"),  # ref superseded -> KEEP
+                3: (_reencode(p3), "image/png"),  # ref live -> DUP
+            },
+        ).collect()
+    }
+    assert got2[1]["keep"] is True, "tombstoned reference still suppresses"
+    assert got2[2]["keep"] is True, "superseded payload still a reference"
+    assert got2[3]["keep"] is False
+
+    # probing wrote nothing: the report is bit-identical after probing
+    # (tombstoned doc gone, the update's single winner present), and a
+    # re-probe answers identically
+    rep = media_dedup_stream_report(spark, d["state"]).collect()
+    assert sorted(map(tuple, rep)) == report_before
+    rep_ids = {r["doc_id"] for r in rep}
+    assert 6000 not in rep_ids and 6001 in rep_ids
+    again = {
+        r["probe_id"]: r["keep"]
+        for r in media_dedup_probe_adhoc(
+            spark, d["state"], {1: (_reencode(p1), "image/png")}
+        ).collect()
+    }
+    assert again == {1: True}
+    with pytest.raises(ValueError, match="no probe payloads"):
+        media_dedup_probe_adhoc(spark, d["state"], {})
+
+
 def test_media_same_batch_multi_version_lww(spark, tmp_path):
     """ADVICE r11 (medium): ONE micro-batch carrying two versions of a
     doc_id must fingerprint and judge only the batch-LWW winner. The

@@ -427,3 +427,212 @@ def test_semantic_update_delete_lww(spark, sf_dir, tmp_path):
     assert vectors.filter(F.col("vec_id").isin(dels)).count() == 0
     v7 = vectors.filter(F.col("vec_id") == 7).select("ts", "cid").collect()
     assert len(v7) == 1, "superseded vector not physically dropped"
+
+
+def _land_lww_state(spark, sf_dir, tmp_path, model):
+    """Land the corpus plus an update/tombstone wave (the LWW test's
+    shape, lighter): update 7 -> 450's embedding, tombstone 3 and 40
+    (and 40's planted +1M copy). Returns (dirs, live corpus dict)."""
+    corpus = {
+        r["vec_id"]: list(r["emb"])
+        for r in _neardup_corpus(spark, sf_dir).collect()
+    }
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_drop(spark, sf_dir, f"{d['drop']}/w1.jsonl", 0, 10**9)
+    semantic_dedup_stream(spark, d["drop"], d["state"], d["ckpt"], model)
+    upds = {7: corpus[450]}
+    dels = [3, 40, 1000040]
+    _write_recs(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "vec_id": 7,
+                "embedding": corpus[450],
+                "ingest_ts": "2025-02-01T00:00:00.000Z",
+            }
+        ]
+        + [
+            {
+                "vec_id": v,
+                "embedding": None,
+                "ingest_ts": f"2025-02-02T00:00:{k:02d}.000Z",
+                "deleted": True,
+            }
+            for k, v in enumerate(dels)
+        ],
+    )
+    semantic_dedup_stream(spark, d["drop"], d["state"], d["ckpt"], model)
+    live = {**corpus, **upds}
+    for v in dels:
+        live.pop(v)
+    return d, corpus, live
+
+
+def test_retrain_semantic_store_under_new_model(spark, sf_dir, tmp_path):
+    """r11 verdict item 2: retrain under a genuinely different codebook
+    (trained on the even half of the embeddings) over an LWW state with
+    updates and tombstones — afterwards the report equals the batch
+    kernel under the NEW model on the LWW-current corpus EXACTLY
+    (cluster ids AND re-decided keep flags; the pre-retrain verdicts'
+    immutability is revoked by the recluster), exactly one folded
+    layout remains per store, and cid pruning is still file-level."""
+    from pyspark.sql import functions as F
+
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        _semantic_verdicts_over,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        _pruned_vec_store,
+        retrain_semantic_store,
+    )
+
+    model = _centroid_model(spark, sf_dir)
+    d, _, live = _land_lww_state(spark, sf_dir, tmp_path, model)
+
+    half = str(tmp_path / "half")
+    os.makedirs(half)
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") % 2 == 0
+    ).write.parquet(f"{half}/embeddings.parquet")
+    model2 = _centroid_model(spark, half)
+    assert model2 != model, "retrain codebook not distinct"
+
+    retrain_semantic_store(
+        spark, d["state"], model2, checkpoint_dir=d["ckpt"]
+    )
+    for store in ("vectors", "verdicts", "docmeta"):
+        n_dirs = len(
+            [
+                e
+                for e in os.listdir(f"{d['state']}/{store}")
+                if e.startswith("batch_id=")
+            ]
+        )
+        assert n_dirs == 1, f"{store}: retrain must leave ONE folded layout"
+
+    got = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    want = {
+        r["vec_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in _semantic_verdicts_over(
+            spark.createDataFrame(
+                sorted(live.items()), "vec_id bigint, emb array<double>"
+            ),
+            model2,
+        ).collect()
+    }
+    assert got == want, "report != batch kernel under the new model"
+    # the recluster genuinely re-decided: cluster ids moved vs the old
+    # model, and the report still carries real drops
+    old = {
+        r["vec_id"]: r["cid"]
+        for r in _semantic_verdicts_over(
+            spark.createDataFrame(
+                sorted(live.items()), "vec_id bigint, emb array<double>"
+            ),
+            model,
+        ).collect()
+    }
+    assert any(old[v] != cid for v, (cid, _, _, _) in got.items())
+    assert any(not keep for (_, keep, _, _) in got.values())
+
+    # cid pruning still file-level on the retrained layout
+    store_dir = f"{d['state']}/vectors"
+    full = spark.read.option("basePath", store_dir).parquet(store_dir)
+    cids = sorted(r["cid"] for r in full.select("cid").distinct().collect())
+    assert len(cids) > 1
+    pruned = _pruned_vec_store(spark, store_dir, 10**9, [cids[0]])
+    read_files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files
+    for f in read_files:
+        assert f"/cid={cids[0]}/" in f, f"read untouched partition: {f}"
+    all_files = [
+        r[0] for r in full.select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(read_files) < len(all_files)
+
+
+def test_semantic_probe_adhoc(spark, sf_dir, tmp_path):
+    """r11 verdict item 3 (vector face): ad-hoc probes judge against
+    the landed LWW-current reference set WITHOUT ingesting — a probe
+    equal to a live vector is a DUP; equal only to a tombstoned or
+    superseded vector, KEPT; the verdicts equal the batch kernel run
+    with the probes appended at high ids (the shared-kernel pin); and
+    probing writes nothing (the report is unchanged, and a re-probe
+    answers identically)."""
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        _semantic_verdicts_over,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        semantic_dedup_probe_adhoc,
+    )
+
+    model = _centroid_model(spark, sf_dir)
+    d, corpus, live = _land_lww_state(spark, sf_dir, tmp_path, model)
+
+    before = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    probes = {
+        11: corpus[3],    # equals ONLY the tombstoned vec -> KEPT
+        22: corpus[450],  # equals live 450 (and 7's new emb) -> DUP
+        33: corpus[7],    # equals only 7's superseded emb -> KEPT
+    }
+    got = {
+        r["probe_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_probe_adhoc(
+            spark, d["state"], model, probes
+        ).collect()
+    }
+    assert got[11][1] is True, "tombstoned reference still suppresses"
+    assert got[22][1] is False
+    assert got[33][1] is True, "superseded embedding still a reference"
+
+    # shared-kernel pin: the batch kernel with the probes appended at
+    # ids above the landed horizon gives the identical probe verdicts
+    base = max(live) + 1
+    appended = dict(live)
+    probe_at = {}
+    for i, pid in enumerate(sorted(probes)):
+        appended[base + i] = probes[pid]
+        probe_at[base + i] = pid
+    want = {
+        probe_at[r["vec_id"]]: (
+            r["cid"], r["keep"], r["n_dups"], r["best_sim"]
+        )
+        for r in _semantic_verdicts_over(
+            spark.createDataFrame(
+                sorted(appended.items()), "vec_id bigint, emb array<double>"
+            ),
+            model,
+        ).collect()
+        if r["vec_id"] in probe_at
+    }
+    assert got == want
+
+    # nothing was written: the report is unchanged and a re-probe
+    # answers identically
+    after = {
+        r["vec_id"]: tuple(r)
+        for r in semantic_dedup_stream_report(spark, d["state"]).collect()
+    }
+    assert after == before
+    again = {
+        r["probe_id"]: (r["cid"], r["keep"], r["n_dups"], r["best_sim"])
+        for r in semantic_dedup_probe_adhoc(
+            spark, d["state"], model, probes
+        ).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError, match="no probe vectors"):
+        semantic_dedup_probe_adhoc(spark, d["state"], model, {})
