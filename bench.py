@@ -151,6 +151,13 @@ HEADLINE = [
     # partitions, both tail-masked) through the RRF fusion; next to
     # hybrid_search_rrf_ivf this prices store-serving vs recompute.
     "hybrid_index_served_lww",
+    # r12 addition: the funnel signature store's serving read — the
+    # dedup-store member of the *_served_lww family. Landing + the
+    # wave-1 masked fold run at frame-build; the timed passes measure
+    # the full-sweep serve (store scan + ledger tail mask + the batch
+    # pair kernel over 128-byte signature rows) — next to
+    # dedup_minhash_lsh this prices store-serving vs text recompute.
+    "funnel_sigstore_served_lww",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

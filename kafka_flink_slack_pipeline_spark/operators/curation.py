@@ -1763,6 +1763,98 @@ ORDER BY query_id, rank
 """
 
 
+def funnel_sigstore_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel SIGNATURE STORE's update/delete serving path under
+    the driver's hash — the dedup-store member of the *_served_lww
+    certificate family (bm25/hybrid, r11): land the corpus as wave 1 of
+    a REAL funnel ledger + signature store via the stream's own kernels
+    (_land_funnel_ledger + _banded_sigs_of — the exact landing the
+    checkpointed funnel runs), land a deterministic wave 2 of
+    re-ingested versions and tombstones (every doc_id%10==7 doubled —
+    its shingle set changes, so its signature and pairs change; every
+    doc_id%10==3 tombstoned — its pairs must vanish), fold wave 1
+    (compact_sig_store: physical LWW drop on the signature store +
+    ledger fold), and SERVE the store's implied near-dup pairs
+    (funnel_sigstore_pairs: ledger tail mask + the batch pair kernel
+    _banded_sig_pairs verbatim). The oracle runs the IDENTICAL banded
+    minhash SQL (_minhash_oracle) over the LWW-updated corpus CTE — so
+    version-stamped signature landing, the masked fold, the tail mask,
+    and the pair kernel are all value-hash-checked end to end.
+    Reference anchor: the serving path re-reads CURRENT state per
+    lookup (slackEventServer.js:187-202).
+
+    Scale shape: identical to the streaming deployment's — landing is
+    append-only narrow writes, the fold is the amortized heavy step,
+    and the full-sweep serve reads 128-byte signature rows instead of
+    re-tokenizing text (store build here is a bounded fixture of that
+    pipeline, the bm25 certificate's discipline; the timed passes
+    measure the recurring serving cost)."""
+    from ..streaming.curation_funnel import (
+        _banded_sigs_of,
+        _land_funnel_ledger,
+        compact_sig_store,
+        funnel_sigstore_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    upd = F.col("doc_id") % 10 == 7
+    tomb = F.col("doc_id") % 10 == 3
+    wave1 = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ingest_ts"),
+        F.lit(False).alias("deleted"),
+    )
+    wave2 = d.filter(upd | tomb).select(
+        "doc_id",
+        F.when(tomb, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .alias("text"),
+        "lang",
+        "source",
+        F.lit("2025-01-02 00:00:00").cast("timestamp").alias("ingest_ts"),
+        tomb.alias("deleted"),
+    )
+
+    def build(state: str) -> None:
+        for i, wave in enumerate((wave1, wave2)):
+            _land_funnel_ledger(wave, i, state)
+            live = wave.filter(~F.col("deleted"))
+            (
+                _banded_sigs_of(live)
+                .write.mode("overwrite")
+                .partitionBy("band", "bprefix")
+                .parquet(f"{state}/sigs/batch_id={i}")
+            )
+        # fold wave 1 only: wave 2 stays the uncompacted tail on both
+        # the signature store and the ledger, so the serve exercises
+        # BOTH masking regimes (folded store pre-masked physically;
+        # tail masked at read)
+        compact_sig_store(spark, state, upto=1, ledger_upto=1)
+
+    state = _served_state_dir("funnel_sigs_served_lww", sf_dir, build)
+    return funnel_sigstore_pairs(spark, state)
+
+
+def _funnel_sigstore_served_oracle() -> str:
+    from .dedup import _minhash_oracle
+
+    return _minhash_oracle(
+        corpus="updated",
+        prelude="""updated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN text || ' ' || text
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 10 <> 3
+), """,
+    )
+
+
 # --------------------------------------------------------------------------
 # HYBRID retrieval fusion (reciprocal-rank fusion, Cormack et al. 2009):
 # the production shape for RAG / curation retrieval is BM25 ∪ dense
@@ -3131,6 +3223,14 @@ QUERIES = [
               "serve; oracle = BM25-over-LWW-docs fused with "
               "IVF-over-LWW-embeddings under original-corpus "
               "centroids"),
+    QuerySpec("funnel_sigstore_served_lww", funnel_sigstore_served_lww,
+              _funnel_sigstore_served_oracle(),
+              "the dedup-store serving certificate: land corpus + an "
+              "update/tombstone wave into the real funnel signature "
+              "store + ledger via the stream's kernels, fold wave 1 "
+              "(physical LWW drop), serve the store's implied near-dup "
+              "pairs through the tail mask; oracle = the banded minhash "
+              "pair SQL over the LWW CTE"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,
               _curation_funnel_oracle(),
               "end-to-end curation funnel: quality -> exact dedup -> "

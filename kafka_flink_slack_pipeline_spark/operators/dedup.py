@@ -562,22 +562,16 @@ def _minhash_sig_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_BUCKET_CAP = 1000
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
-
-    Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
-    with est_jaccard (fraction of equal signature components) >= 0.25.
-
-    Plan shape (r4 rewrite): ONE pass over the corpus. Pairs come from a
-    groupBy(band, bkey) + collect_list + ordered pair explosion instead of
-    a bands self-join: the window bucket-size guard and the groupBy share
-    one hash partitioning on (band, bkey) (no extra exchange), collected
-    lists are bounded by MINHASH_BUCKET_CAP, and the signature array rides
-    along so agreement is scored in-place. The old self-join form computed
-    the signature pipeline 4x under Spark 4.1 AQE (no cross-branch
-    exchange reuse; measured 0.93 s -> 5.56 s at sf0.1 on the env upgrade
-    alone — this rewrite is the structural fix, not a cache)."""
-    bands = _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir)))
+def _banded_sig_pairs(bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) from a banded-signature frame
+    (doc_id, sig, band, bkey) — dedup_minhash_lsh's pair kernel,
+    factored (r12) so the funnel's signature-store serving certificate
+    (funnel_sigstore_served_lww) executes the IDENTICAL expressions
+    over STORE-READ rows: the window bucket-size guard and the groupBy
+    share one (band, bkey) hash partitioning, collected lists are
+    bounded by MINHASH_BUCKET_CAP, the signature rides along so
+    agreement scores in place, and the threshold filter runs BEFORE the
+    pair-dedup shuffle."""
     w = Window.partitionBy("band", "bkey")
     buckets = (
         bands.withColumn("bsize", F.count(F.lit(1)).over(w))
@@ -603,11 +597,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold test keeps the dedup shuffle to surviving pairs only
         .filter(F.col("est_jaccard") >= 0.25)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
-def _minhash_oracle() -> str:
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH + signature Jaccard.
+
+    Output: (doc_a, doc_b, est_jaccard) for every pair sharing >=1 LSH band,
+    with est_jaccard (fraction of equal signature components) >= 0.25.
+
+    Plan shape (r4 rewrite): ONE pass over the corpus. Pairs come from a
+    groupBy(band, bkey) + collect_list + ordered pair explosion instead of
+    a bands self-join: see _banded_sig_pairs (the kernel, shared with the
+    funnel store's serving face). The old self-join form computed the
+    signature pipeline 4x under Spark 4.1 AQE (no cross-branch exchange
+    reuse; measured 0.93 s -> 5.56 s at sf0.1 on the env upgrade alone —
+    the rewrite is the structural fix, not a cache)."""
+    bands = _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir)))
+    return _banded_sig_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle(corpus: str = "documents", prelude: str = "") -> str:
+    """The banded-minhash pair oracle parameterized by its corpus
+    relation (the _bm25_oracle_over discipline): the funnel's
+    signature-store serving certificate (funnel_sigstore_served_lww,
+    operators/curation.py) reuses the IDENTICAL pair SQL over an
+    LWW-updated CTE, so the batch oracle and the update/delete serving
+    oracle cannot drift apart. `prelude` is injected at the head of the
+    WITH chain and must end with ', ' when non-empty."""
     mins = ",\n         ".join(
         f"min(({a} * h + {b}) % {MINHASH_P}) AS h{i}"
         for i, (a, b) in enumerate(_minhash_coeffs())
@@ -625,7 +642,7 @@ def _minhash_oracle() -> str:
         f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(MINHASH_K)
     )
     return f"""
-WITH shingled AS (
+WITH {prelude}shingled AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
     SELECT doc_id,
@@ -634,7 +651,7 @@ WITH shingled AS (
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
            )) AS shingle
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-          FROM documents)
+          FROM {corpus})
   )
   WHERE shingle <> ''
 ),

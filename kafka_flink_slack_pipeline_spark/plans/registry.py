@@ -627,6 +627,22 @@ _DEMOTED = (
     # the landed store — while its overlap@k arithmetic is pinned by
     # its own test and its composed oracle stays verify_local-covered.
     "hybrid_fusion_agreement_report",
+    # r12: one slot for funnel_sigstore_served_lww (new-code rule: the
+    # dedup-store serving certificate — version-stamped signature
+    # landing, masked fold, ledger tail mask, and the pair kernel all
+    # under the driver's value hash, the bm25/hybrid *_served_lww
+    # precedent). dedup_minhash_lsh rotates out in a PARENT-SWAP, the
+    # bm25_keyword_search precedent: its ENTIRE pair kernel
+    # (_banded_sig_pairs — bucket-window cap, grouped pair explosion,
+    # signature-agreement estimator, threshold-before-distinct) and its
+    # signature pipeline execute AND hash-check in-window inside the
+    # arriving certificate (which lands signatures through
+    # _minhash_sigs/_minhash_sig_bands and serves pairs through
+    # _banded_sig_pairs verbatim) AND inside corpus_curation_funnel's
+    # stage 3 (whose oracle composes _minhash_oracle() verbatim); it
+    # remains a bench headliner (bench membership is window-
+    # independent) and its own oracle stays verify_local-covered.
+    "dedup_minhash_lsh",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score

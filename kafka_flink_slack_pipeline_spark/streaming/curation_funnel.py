@@ -363,39 +363,128 @@ def _compact_batch_store(
     return len(olds)
 
 
+def _ledger_horizon(state_dir: str) -> int:
+    """The docmeta ledger's own id horizon (max batch id + 1; 0 when
+    nothing landed) — the default fold range for the sibling-written
+    stores when no ledger checkpoint is given."""
+    dm_dir = f"{state_dir}/docmeta"
+    if not os.path.isdir(dm_dir):
+        return 0
+    ids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(dm_dir)
+        if e.startswith("batch_id=") and e.split("=", 1)[1].isdigit()
+    ]
+    return max(ids) + 1 if ids else 0
+
+
 def compact_sig_store(
     spark: SparkSession,
-    sigs_dir: str,
+    state_dir: str,
     upto: int,
     checkpoint_dir: str | None = None,
+    ledger_upto: int | None = None,
+    ledger_checkpoint_dir: str | None = None,
 ) -> int:
-    """Rewrite signature-store batches [0, upto) into ONE batch
-    directory (id = upto - 1), preserving the (band, bprefix) partition
-    layout — the answer to the store's documented small-files cost: each
-    live batch adds up to BANDS x PREFIXES directories, and partition
-    DISCOVERY on a store of many batch dirs is the pruned path's one
-    residual growth term (measured in SCALE_PROBE_FUNNEL.json).
+    """Fold the funnel's five stores: signature batches [0, upto) into
+    ONE (band, bprefix)-layout directory with the LWW MASK applied
+    (superseded-version and tombstoned-doc signature rows PHYSICALLY
+    dropped — a deleted document's signatures stop witnessing near-dups
+    here, not just logically at the read mask), the judgment sidecar
+    masked the same way, and the three sibling-written ledger stores
+    over [0, ledger_upto): vermeta masked to live winner versions,
+    hterm deduped and pruned to live contents' hashes, docmeta folded
+    to one winner row per doc (tombstones RETAINED — they must suppress
+    any not-yet-arrived older version) with the stats snapshot as the
+    fold-horizon marker (_fold_ledger, the shared rails).
 
-    Correctness: future batches N >= upto read `batch_id < N`, which
-    includes the compacted id, so they see every compacted row exactly
-    as before (the compaction test pins identical near-dup output).
-    Run it only over the checkpoint's COMMITTED horizon — pass
-    `checkpoint_dir` to have that enforced from the commits/ log rather
-    than trusted; `upto` beyond the store's own id horizon always
-    raises (see _compact_batch_store for both failure modes). A crash
-    mid-compaction leaves an underscore-prefixed staged directory that
-    every store reader refuses loudly (recovery = one rename), never a
-    silently-shrunk reference set. Returns the number of batch
-    directories removed."""
-    return _compact_batch_store(
+    `upto` is the MAIN stream's horizon (guarded against
+    `checkpoint_dir`'s commits log); `ledger_upto` is the SIBLING's
+    (guarded against `ledger_checkpoint_dir`; defaults to the ledger's
+    own id horizon — safe from the runner, where the sibling has fully
+    drained before the main query starts). Fold order is
+    sigs/judgments/vermeta/hterm THEN ledger: a crash between them
+    leaves masked data stores beside an unfolded ledger, which the read
+    mask re-masks harmlessly (rows it would drop are already gone);
+    the reverse order would briefly serve an unfolded store against an
+    empty tail. Directory-count bounding, replay correctness
+    (batch_id < N includes the folded id), and the crash-staging rails
+    are _compact_batch_store's, unchanged. Returns directories
+    removed."""
+    from .retrieval_index import _alive_of, _fold_ledger
+
+    if ledger_upto is None:
+        ledger_upto = (
+            _committed_horizon(ledger_checkpoint_dir)
+            if ledger_checkpoint_dir is not None
+            else _ledger_horizon(state_dir)
+        )
+    if not os.path.isdir(f"{state_dir}/docmeta") or ledger_upto == 0:
+        return 0  # nothing landed yet — nothing to fold
+    # the MASK uses the ledger's FULL horizon (global LWW): a version
+    # newer than the fold range must keep its rows — `ledger_upto`
+    # governs only which ledger directories fold, never visibility
+    alive = _alive_of(spark, state_dir, _ledger_horizon(state_dir))
+    removed = _compact_batch_store(
         spark,
-        sigs_dir,
+        f"{state_dir}/sigs",
         upto,
-        cols=["doc_id", "sig", "band", "bkey", "bprefix"],
+        cols=[*_SIG_COLS, "bprefix"],
         partition_cols=["band", "bprefix"],
         what="signature store dir",
         checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
     )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/judgments",
+        upto,
+        cols=_JUDGMENT_COLS,
+        partition_cols=[],
+        what="judgment store dir",
+        checkpoint_dir=checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
+    )
+    removed += _compact_batch_store(
+        spark,
+        f"{state_dir}/vermeta",
+        ledger_upto,
+        cols=_VERMETA_COLS,
+        partition_cols=[],
+        what="vermeta store dir",
+        checkpoint_dir=ledger_checkpoint_dir,
+        transform=lambda df: df.join(alive, ["doc_id", "ts"]),
+        force=True,
+    )
+    if os.path.isdir(f"{state_dir}/hterm"):
+        # live contents' hashes: bounded-width (doc_id, ts, h) winner
+        # rows — computed BEFORE the hterm rewrite so the semi-join
+        # prunes hashes whose every doc is tombstoned or superseded
+        vm = (
+            spark.read.option("basePath", f"{state_dir}/vermeta")
+            .parquet(f"{state_dir}/vermeta")
+            .select("doc_id", "ts", "h")
+        )
+        live_h = (
+            vm.join(alive, ["doc_id", "ts"]).select("h").distinct()
+        )
+        removed += _compact_batch_store(
+            spark,
+            f"{state_dir}/hterm",
+            ledger_upto,
+            cols=["h", "term"],
+            partition_cols=[],
+            what="hterm store dir",
+            checkpoint_dir=ledger_checkpoint_dir,
+            transform=lambda df: df.distinct().join(live_h, "h", "semi"),
+            force=True,
+        )
+    removed += _fold_ledger(
+        spark, state_dir, ledger_upto, checkpoint_dir=ledger_checkpoint_dir
+    )
+    return removed
 
 
 def _pruned_store(
@@ -404,13 +493,15 @@ def _pruned_store(
     before: int,
     touched: list[tuple[int, int]],
 ):
-    """Banded store rows (doc_id, sig, band, bkey) landed by batches <
-    `before`, scan-pruned to the touched (band, bprefix) partitions —
-    None when no store exists yet. batch_id < before is the replay
-    guard: a re-run batch never joins against its own failed attempt's
-    partition. `touched` is bounded (<= BANDS * _SIG_STORE_PREFIXES
-    pairs), so the literal OR-chain is a static partition-pruning
-    predicate, never a join."""
+    """Banded store rows (doc_id, sig, band, bkey, ts) landed by
+    batches < `before`, scan-pruned to the touched (band, bprefix)
+    partitions — None when no store exists yet. batch_id < before is
+    the replay guard: a re-run batch never joins against its own failed
+    attempt's partition. `touched` is bounded (<= BANDS *
+    _SIG_STORE_PREFIXES pairs), so the literal OR-chain is a static
+    partition-pruning predicate, never a join. Rows are
+    version-stamped; callers mask visibility against the ledger
+    (_mask_visible)."""
     _assert_local_dir(sigs_dir, "signature store dir")
     if not os.path.isdir(sigs_dir):
         return None
@@ -427,7 +518,7 @@ def _pruned_store(
     return (
         store.filter(F.col("batch_id") < before)
         .filter(hit)
-        .select("doc_id", "sig", "band", "bkey")
+        .select(*_SIG_COLS)
     )
 
 
@@ -519,6 +610,127 @@ class _IngestMetricsWriter(StreamingQueryListener):
         pass  # the main thread owns termination handling
 
 
+def _banded_sigs_of(batch: DataFrame) -> DataFrame:
+    """(doc_id, text, ingest_ts, ...) -> version-stamped banded
+    signature rows (+ bprefix): the signature-landing projection,
+    shared VERBATIM by the stream stage and the serving certificate
+    (funnel_sigstore_served_lww) — certificate state is real state."""
+    ts_of = batch.select("doc_id", F.col("ingest_ts").alias("ts"))
+    shingled = batch.select(
+        "doc_id",
+        F.explode(_word_shingles(tokens_col(), 3)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    return (
+        _minhash_sig_bands(_minhash_sigs(shingled))
+        .join(ts_of, "doc_id")
+        .withColumn("bprefix", _bprefix_col())
+    )
+
+
+def funnel_sigstore_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Near-dup pairs implied by the LANDED signature store's
+    LWW-current rows — dedup_minhash_lsh SERVED FROM THE STORE instead
+    of recomputed from text: every landed band row, visibility-masked
+    against the ledger (the folded part was masked physically at
+    compaction; the tail masks at read), through the batch op's pair
+    kernel (_banded_sig_pairs) verbatim. Output: (doc_a, doc_b,
+    est_jaccard), the batch op's schema.
+
+    This is the OFFLINE FULL-SWEEP face ("which pairs does the landed
+    corpus imply right now?") — inherently corpus-scale, like the batch
+    op it replaces, but reading 128-byte signature rows instead of
+    re-tokenizing text (the reason the store exists); the INCREMENTAL
+    face is the stream's per-batch judged join, which prunes to touched
+    buckets and never re-sweeps."""
+    from .retrieval_index import (
+        _fold_horizon,
+        _mask_visible,
+        _read_store,
+        _tail_live,
+    )
+
+    from ..operators.dedup import _banded_sig_pairs
+
+    store = _read_store(
+        spark, f"{state_dir}/sigs", "signature store dir"
+    ).select(*_SIG_COLS)
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    live = _mask_visible(store, tail).select("doc_id", "sig", "band", "bkey")
+    return _banded_sig_pairs(live).orderBy("doc_a", "doc_b")
+
+
+def _land_funnel_ledger(
+    batch: DataFrame, batch_id: int, state_dir: str
+) -> None:
+    """Land one RAW micro-batch's three ledger tables (the sibling
+    stream's writes; also the serving certificate's — shared VERBATIM
+    so certificate state is real state): the dp-partitioned docmeta
+    version ledger (every version, tombstones included; dl = the
+    signal battery's n_tokens), vermeta (per live version: NULL-source
+    sentinel, exact-decimal quality score, the qk rule, content hash),
+    and hterm (distinct (h, term) postings of the batch's live
+    contents). Batch-id-scoped overwrite — idempotent replay, the
+    shared store contract. One signal pass feeds all three writes
+    (persisted by the caller when the source scan is worth sharing)."""
+    from .retrieval_index import _dp_col
+
+    deleted = F.coalesce(F.col("deleted"), F.lit(False))
+    live = batch.filter(~deleted)
+    sig = quality_signals_of(
+        live, keep=("source", "ingest_ts")
+    ).withColumn("source", F.coalesce(F.col("source"), F.lit("")))
+    qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
+        F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM
+    )
+    sig = sig.select(
+        "doc_id",
+        F.col("ingest_ts").alias("ts"),
+        "source",
+        F.col("quality_score").cast("decimal(18,6)").alias("q"),
+        qk.alias("qk"),
+        "h",
+        "n_tokens",
+    ).persist()
+    try:
+        (
+            sig.select(
+                "doc_id", "ts", F.lit(False).alias("deleted"),
+                F.col("n_tokens").alias("dl"),
+            )
+            .unionByName(
+                batch.filter(deleted).select(
+                    "doc_id",
+                    F.col("ingest_ts").alias("ts"),
+                    F.lit(True).alias("deleted"),
+                    F.lit(None).cast("long").alias("dl"),
+                )
+            )
+            .withColumn("dp", _dp_col())
+            .repartition("dp")
+            .write.mode("overwrite")
+            .partitionBy("dp")
+            .parquet(f"{state_dir}/docmeta/batch_id={batch_id}")
+        )
+        (
+            sig.select(*_VERMETA_COLS)
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/vermeta/batch_id={batch_id}")
+        )
+        # hterm needs the token arrays — a second narrow pass over the
+        # batch's live rows (tokens are deliberately NOT persisted in
+        # sig: the array dwarfs the signal row)
+        (
+            quality_signals_of(live, with_toks=True)
+            .filter(F.col("h").isNotNull())
+            .select("h", F.explode(F.array_distinct("toks")).alias("term"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{state_dir}/hterm/batch_id={batch_id}")
+        )
+    finally:
+        sig.unpersist()
+
+
 def curation_funnel_stream(
     spark: SparkSession,
     drop_dir: str,
@@ -551,7 +763,11 @@ def curation_funnel_stream(
     raw = (
         spark.readStream.schema(DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
+        # tombstones carry no text to gate/judge/land; their only role
+        # is the version ledger, which the SIBLING stream writes from
+        # the same files (pre-dedup) — the main query never sees them
         .json(drop_dir)
+        .filter(~F.coalesce(F.col("deleted"), F.lit(False)))
     )
     sig = quality_signals_of(raw, keep=("text", "source", "ingest_ts"))
     qk = (F.col("quality_score") >= _FILTER_MIN_QUALITY) & (
@@ -565,9 +781,18 @@ def curation_funnel_stream(
         "ingest_ts",
         "n_tokens",
         qk.cast("int").alias("qk"),
-        # quality failers bypass the dedup state via a per-doc unique key
+        # quality failers bypass the dedup state via a per-VERSION
+        # unique key (ts included: two versions of a failing doc must
+        # not collide in the engine state — module divergence note 2)
         F.when(qk, F.col("h"))
-        .otherwise(F.concat(F.lit("fail:"), F.col("doc_id").cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("fail:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("ingest_ts").cast("string"),
+            )
+        )
         .alias("dedup_key"),
     )
     observed = flagged.observe(
@@ -584,84 +809,36 @@ def curation_funnel_stream(
     sigs_dir = f"{state_dir}/sigs"
     counts_dir = f"{state_dir}/counts"
     ingest_dir = f"{state_dir}/ingest"
-    stats_dir = f"{state_dir}/source_stats"
+    ledger_ckpt = f"{checkpoint_dir}_ledger"
 
-    # Source-level sufficient statistics, accumulated per batch in a
-    # SIBLING availableNow stream over the same drops (own checkpoint).
-    # It must see rows BEFORE the exact-dedup state drops losers: the
-    # batch rule's per-source means are over EVERYTHING a source
-    # shipped, duplicates included — observe() can't produce per-key
-    # aggregates, so a second narrow pass is the honest shape (one extra
-    # scan of the batch's drop files; the stats table itself is bounded
-    # by the number of sources). The exclusion decision is NOT taken
-    # here — it is retrospective, applied at report time over the whole
-    # landed horizon, which is what makes it equal the batch funnel's
-    # whole-corpus quartile rule once the run has drained the drops.
-    raw_stats = (
+    # The VERSION LEDGER, accumulated per batch in a SIBLING availableNow
+    # stream over the same drops (own checkpoint). It must see rows
+    # BEFORE the exact-dedup state drops losers (a suppressed re-send's
+    # ledger row must still land) and it must see tombstones the main
+    # query filters out. It drains FIRST, so by the time the main query
+    # judges anything the invocation's full version knowledge is landed
+    # — the module's masking contract. The sibling's batch ids are its
+    # own (separate checkpoint); nothing cross-references them. The
+    # per-source/per-term statistics the old sibling accumulated are now
+    # DERIVED at report time from vermeta/hterm over the LWW winners —
+    # that is what makes stages 5/6 tombstone-consistent.
+    raw_ledger = (
         spark.readStream.schema(DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(drop_dir)
     )
-    # NULL source coalesces to the '' sentinel on BOTH faces (stats
-    # rollup here, landed-survivor join in the report) — the batch
-    # funnel applies the identical rule, so a NULL-source document is
-    # ranked and counted instead of silently dropped by the source join
-    # (ADVICE r8).
-    ssig = quality_signals_of(raw_stats, keep=("source", "text")).select(
-        F.coalesce(F.col("source"), F.lit("")).alias("source"),
-        F.col("quality_score").cast("decimal(18,6)").alias("q"),
-        (
-            (F.col("quality_score") >= _FILTER_MIN_QUALITY)
-            & (F.col("dup_bigram_frac") <= _FILTER_MAX_DUP_BIGRAM)
-        )
-        .cast("int")
-        .alias("y"),
-        "text",
-    )
-    tstats_dir = f"{state_dir}/term_stats"
 
-    def stats_stage(b: DataFrame, bid: int) -> None:
-        # two persisted tables from one pass: per-source quality sums
-        # (stage 5) and per-term class counts (stage 6's NB sufficient
-        # statistics — INTEGER doc counts per distinct term and silver
-        # class, so the report's rebuilt model equals the batch one
-        # exactly). Ordered source-then-terms; the report raises if a
-        # crash between the two writes leaves the horizons unequal.
+    def ledger_stage(b: DataFrame, bid: int) -> None:
         b = b.persist()
         try:
-            (
-                b.groupBy("source")
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("q").alias("sum_quality"),
-                    F.sum("y").cast("long").alias("n_keep"),
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{stats_dir}/batch_id={bid}")
-            )
-            (
-                b.select(
-                    "y",
-                    F.explode(F.array_distinct(tokens_col())).alias("term"),
-                )
-                .groupBy("term")
-                .agg(
-                    F.sum("y").cast("long").alias("ck"),
-                    (F.count(F.lit(1)) - F.sum("y"))
-                    .cast("long")
-                    .alias("cd"),
-                )
-                .write.mode("overwrite")
-                .parquet(f"{tstats_dir}/batch_id={bid}")
-            )
+            _land_funnel_ledger(b, bid, state_dir)
         finally:
             b.unpersist()
 
     sq = (
-        ssig.writeStream.queryName("curation_funnel_source_stats")
-        .foreachBatch(stats_stage)
-        .option("checkpointLocation", f"{checkpoint_dir}_source_stats")
+        raw_ledger.writeStream.queryName("curation_funnel_ledger")
+        .foreachBatch(ledger_stage)
+        .option("checkpointLocation", ledger_ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -670,23 +847,46 @@ def curation_funnel_stream(
     def stage(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_sig_store(
-                spark, sigs_dir, upto=batch_id, checkpoint_dir=checkpoint_dir
+                spark,
+                state_dir,
+                upto=batch_id,
+                checkpoint_dir=checkpoint_dir,
+                ledger_checkpoint_dir=ledger_ckpt,
             )
-        batch = batch.persist()
+        # per-doc BATCH-LWW winner: a micro-batch may legally carry
+        # several versions of one doc_id (distinct ts; both pass the
+        # engine dedup — different content hashes or ts-keyed fail
+        # keys). Only the winner version lands signatures and is judged
+        # (the media store's r12 discipline): a superseded sibling's
+        # rows would be invisible under the ledger mask and physically
+        # dropped at the next fold anyway. Winner = max (ts, dedup_key)
+        # — deterministic even under an exact-ts contract violation.
+        from pyspark.sql import Window
+
+        wdoc = Window.partitionBy("doc_id")
+        batch = (
+            batch.withColumn(
+                "_w",
+                F.max(
+                    F.struct(
+                        F.col("ingest_ts").alias("ts"),
+                        F.col("dedup_key").alias("k"),
+                    )
+                ).over(wdoc),
+            )
+            .filter(
+                (F.col("ingest_ts") == F.col("_w.ts"))
+                & (F.col("dedup_key") == F.col("_w.k"))
+            )
+            .drop("_w")
+            .persist()
+        )
         try:
             # signature store gets ALL arriving docs (failers included —
-            # they are valid near-dup witnesses in the batch semantics);
-            # stored BANDED (the LSH-index layout) so no batch ever
-            # rebuilds bands over history
-            shingled = batch.select(
-                "doc_id",
-                F.explode(_word_shingles(tokens_col(), 3)).alias("shingle"),
-            ).filter(F.col("shingle") != "")
-            bands_batch = (
-                _minhash_sig_bands(_minhash_sigs(shingled))
-                .withColumn("bprefix", _bprefix_col())
-                .persist()
-            )
+            # they are valid near-dup witnesses in the batch semantics),
+            # version-stamped; stored BANDED (the LSH-index layout) so
+            # no batch ever rebuilds bands over history
+            bands_batch = _banded_sigs_of(batch).persist()
             bands_batch.write.mode("overwrite").partitionBy(
                 "band", "bprefix"
             ).parquet(f"{sigs_dir}/batch_id={batch_id}")
@@ -702,9 +902,16 @@ def curation_funnel_stream(
             # restricting the count to them is exact, and the store scan
             # prunes to the partitions those buckets live in: per-batch
             # cost tracks touched-bucket content, not landed history.
-            from pyspark.sql import Window
-
+            # The store side is masked against the LEDGER (r12): a
+            # tombstoned or superseded version has stopped being a
+            # witness — the sibling drained first, so the mask carries
+            # the invocation's full version knowledge.
             from ..operators.dedup import MINHASH_BUCKET_CAP
+            from .retrieval_index import (
+                _fold_horizon,
+                _mask_visible,
+                _tail_live,
+            )
 
             touched = [
                 (r["band"], r["bprefix"])
@@ -718,7 +925,11 @@ def curation_funnel_stream(
             if store is None:
                 all_touched = bands_batch.select(*cols)
             else:
-                all_touched = store.join(
+                tail = _tail_live(
+                    spark, state_dir, _fold_horizon(state_dir)
+                )
+                store = _mask_visible(store, tail)
+                all_touched = store.select(*cols).join(
                     F.broadcast(batch_keys), ["band", "bkey"], "semi"
                 ).unionByName(bands_batch.select(*cols))
             sized = all_touched.withColumn(
@@ -754,6 +965,7 @@ def curation_funnel_stream(
                 .select(F.col("b.doc_id").alias("doc_id"))
                 .distinct()
             )
+            flagged_nd = flagged_nd.persist()
             surv3 = surv2.join(flagged_nd, "doc_id", "anti").persist()
 
             # decontamination: per-doc static-bench containment
@@ -767,6 +979,7 @@ def curation_funnel_stream(
                 )
                 .select("doc_id")
                 .distinct()
+                .persist()
             )
             surv4 = surv3.join(contam, "doc_id", "anti").persist()
 
@@ -777,6 +990,36 @@ def curation_funnel_stream(
                 .write.mode("overwrite")
                 .partitionBy("lang")
                 .parquet(f"{out_dir}/batch_id={batch_id}")
+            )
+
+            # per-doc JUDGMENT rows (version-stamped): the stage-3/4
+            # decisions the LWW report reads back — immutable once
+            # written (module divergence note 1). contaminated is NULL
+            # for near-dup drops: decon never judged them, and the
+            # report only consults it past stage 3.
+            (
+                surv2.select("doc_id", F.col("ingest_ts").alias("ts"))
+                .join(
+                    flagged_nd.withColumn("nd", F.lit(True)),
+                    "doc_id",
+                    "left",
+                )
+                .join(
+                    contam.withColumn("dc", F.lit(True)), "doc_id", "left"
+                )
+                .select(
+                    "doc_id",
+                    "ts",
+                    F.coalesce("nd", F.lit(False)).alias("nd_dropped"),
+                    F.when(
+                        F.coalesce("nd", F.lit(False)),
+                        F.lit(None).cast("boolean"),
+                    )
+                    .otherwise(F.coalesce("dc", F.lit(False)))
+                    .alias("contaminated"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{state_dir}/judgments/batch_id={batch_id}")
             )
 
             def _dt(df):
@@ -796,7 +1039,9 @@ def curation_funnel_stream(
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{counts_dir}/batch_id={batch_id}"
             )
-            for df in (surv4, surv3, surv2, sized, bands_batch):
+            for df in (
+                surv4, contam, surv3, flagged_nd, surv2, sized, bands_batch,
+            ):
                 df.unpersist()
         finally:
             batch.unpersist()
@@ -837,59 +1082,55 @@ def curation_funnel_stream(
     return q
 
 
+
+
 def curation_funnel_stream_report(
     spark: SparkSession,
     state_dir: str,
-    out_dir: str,
     allow_capped: bool = False,
 ) -> DataFrame:
-    """Accumulated per-stage funnel table over every processed batch —
-    the same (stage_ord, stage, n_docs, n_tokens) rows as the batch
-    corpus_curation_funnel (the parity test compares them directly).
+    """Per-stage funnel table over the LWW-CURRENT horizon — the same
+    (stage_ord, stage, n_docs, n_tokens) rows as the batch
+    corpus_curation_funnel over the LWW-current corpus (the parity test
+    compares them directly; under monotone append-only ingest that is
+    the whole drop, so the pre-r12 contract is unchanged).
 
-    Consistency gate: stage-2/3/4 counts are written INSIDE foreachBatch
-    (replay-safe — a crashed batch re-runs and overwrites), while the
-    stage-0/1 observed metrics persist from the progress listener — at
-    most one trigger behind the batch commit — so a crash inside that
-    one-trigger window can still lose them for an already-committed
-    batch. The report refuses to silently undercount: it raises when
-    counts/ holds a batch_id that ingest/ lacks, naming the batches to
-    re-reconcile.
+    RETROSPECTIVE-LWW (r12): stages 0-2 and 5-6 are RECOMPUTED from the
+    sibling's ledger stores over the LWW winners with the batch op's
+    expressions verbatim — a tombstone retroactively removes its doc
+    from EVERY stage count and an update replaces its signals — while
+    stages 3-4 read the per-doc judgment rows foreachBatch persisted
+    (decided at judgment time, immutable; module divergence note 1).
+    The 7 rows come from ONE 14-number global aggregate over a per-doc
+    `reached` column, the batch op's exact shape. This is a
+    corpus-scale OFFLINE audit job by design (per-version bounded-width
+    ledger rows + one hterm postings join — the docmeta scale every
+    LWW store already accepts); the per-batch counts/ rows remain the
+    cheap online telemetry, and stages 3/4 must equal their accumulated
+    sums whenever no version was ever superseded.
 
-    Stage 5 (source_kept) is RETROSPECTIVE by design: the bottom-quartile
-    source rule needs per-source means over the whole horizon, so it is
-    applied here — kept sources derived from the accumulated
-    source_stats table (exact decimal sums, so the means equal the batch
-    funnel's bit for bit), then counted over the landed survivors in
-    out_dir. It equals the batch funnel's whole-corpus rule once the run
-    has drained its drops; mid-stream it reflects the horizon so far.
+    Gates (all loud, none silent):
+    - a counts/ batch without its ingest/ metrics raises (crash between
+      checkpoint commit and metrics persistence — unchanged from r8);
+    - Σ d_capped > 0 raises unless allow_capped=True (the stage-3
+      stream/batch parity precondition — unchanged);
+    - a state without docmeta/ raises (pre-r12 run: no version ledger,
+      so LWW-consistent counts cannot be reconstructed — re-land);
+    - docmeta/vermeta/hterm batch horizons that disagree raise (the
+      sibling crashed between its three writes; resume to re-align);
+    - a canonical live winner WITHOUT a judgment row raises naming the
+      doc_ids (the engine-dedup suppression class, divergence note 2,
+      or a main query that crashed behind the ledger — re-ingest the
+      named docs or resume the run)."""
+    from pyspark.sql import Window
 
-    Stage 6 (classifier_kept) is retrospective the same way: the NB
-    model is rebuilt EXACTLY from the per-batch integer term statistics
-    (term_stats/ — distinct-term doc counts per silver class, written
-    by the stats sibling alongside the source sums), class totals from
-    the source rows' n_keep, and the stage-5 survivors re-scored with
-    the batch funnel's identical expressions (one-IEEE-op rational
-    ratios, DECIMAL-accumulated means, round 6, threshold > 1). A
-    term-stats horizon that disagrees with the source-stats horizon
-    (a crash between the sibling's two writes) raises instead of
-    silently training the model on fewer batches than the kept-set.
+    from ..operators.curation import (
+        _FUNNEL_STAGES,
+        _SRC_DROP_DEN,
+        _SRC_DROP_NUM,
+    )
+    from .retrieval_index import _lww, _read_store
 
-    Parity gate (default-on): stage-3 stream/batch parity holds only
-    while no band bucket crossed MINHASH_BUCKET_CAP mid-stream; each
-    batch's counts row records `d_capped` violations, and a report that
-    silently summed over them would present drifted stage-3 numbers as
-    batch-equal. The report therefore RAISES when Σ d_capped > 0 (the
-    ingest-metrics gate's honest shape); pass allow_capped=True to get
-    the table anyway once the caveat is understood.
-
-    Stats-horizon gate: the source_stats sibling stream drains before
-    the main funnel query, so after a mid-run crash its horizon LEADS
-    the landed one — the stage-5 kept-set would then be computed over
-    sources/means including documents not yet landed. Both streams
-    count every raw drop row exactly once, so Σ stats.n_docs must equal
-    Σ ingest.n_raw; any difference raises instead of silently skewing
-    the kept-set."""
     ing = spark.read.option("basePath", f"{state_dir}/ingest").parquet(
         f"{state_dir}/ingest"
     )
@@ -922,163 +1163,201 @@ def curation_funnel_stream_report(
             "horizon. Re-check parity (or pass allow_capped=True to "
             "accept the caveat and get the table)."
         )
-    i = ing.agg(
-        F.sum("n_raw").alias("d0"),
-        F.sum("tok_raw").alias("t0"),
-        F.sum("n_quality").alias("d1"),
-        F.sum("tok_quality").alias("t1"),
-    )
-    c = cnt.agg(
-        *[F.sum(f"d{s}").alias(f"d{s}") for s in (2, 3, 4)],
-        *[F.sum(f"t{s}").alias(f"t{s}") for s in (2, 3, 4)],
-    )
-
-    from pyspark.sql import Window
-
-    from ..operators.curation import (
-        _FUNNEL_STAGES,
-        _SRC_DROP_DEN,
-        _SRC_DROP_NUM,
-    )
-
-    stats = spark.read.option("basePath", f"{state_dir}/source_stats").parquet(
-        f"{state_dir}/source_stats"
-    )
-    n_stats = stats.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0]
-    n_raw = ing.agg(F.coalesce(F.sum("n_raw"), F.lit(0))).collect()[0][0]
-    if int(n_stats) != int(n_raw):
+    if not os.path.isdir(f"{state_dir}/docmeta"):
         raise ValueError(
-            f"source-stats horizon ({n_stats} docs) disagrees with the "
-            f"funnel's ingest horizon ({n_raw} docs): the stats sibling "
-            "stream drains ahead of the main query, so a crash of (or "
-            "during) the main run leaves the stage-5 kept-set computed "
-            "over documents not yet landed. Resume the run to re-align "
-            "the horizons before trusting stage 5."
+            "docmeta/ missing from the funnel state: this state was "
+            "written by a pre-LWW (r11) run — the version ledger needed "
+            "for LWW-consistent stage counts was never persisted for "
+            "this horizon. Re-land the drops into fresh state before "
+            "requesting the report."
         )
-    per = (
-        stats.groupBy("source")
-        .agg(F.sum("n_docs").alias("n"), F.sum("sum_quality").alias("sq"))
-        .select(
-            "source",
-            F.round(F.col("sq").cast("double") / F.col("n"), 4).alias(
-                "mean_quality"
-            ),
+    dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
+    vm = _read_store(spark, f"{state_dir}/vermeta", "vermeta store dir")
+    ht = _read_store(spark, f"{state_dir}/hterm", "hterm store dir")
+    jd = _read_store(
+        spark, f"{state_dir}/judgments", "judgment store dir"
+    ).select(*_JUDGMENT_COLS)
+
+    def _ids(sub: str) -> set[int]:
+        # DIRECTORY ids, not data-row ids: a tombstone-only batch writes
+        # an EMPTY vermeta/hterm directory (zero part files), which a
+        # data read cannot see — the gate's signal is "the write
+        # happened", and the _SUCCESS-marked directory is that signal
+        return {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(f"{state_dir}/{sub}")
+            if e.startswith("batch_id=") and e.split("=", 1)[1].isdigit()
+        }
+
+    dm_ids, vm_ids, ht_ids = _ids("docmeta"), _ids("vermeta"), _ids("hterm")
+    if not (dm_ids == vm_ids == ht_ids):
+        raise ValueError(
+            f"ledger-store horizons disagree (docmeta {sorted(dm_ids)}, "
+            f"vermeta {sorted(vm_ids)}, hterm {sorted(ht_ids)}): the "
+            "sibling stream crashed between its three writes — resume "
+            "the run to re-align before trusting the report."
         )
+
+    # LWW winner signal rows: one row per live doc carrying exactly the
+    # per-version signals the batch expressions consume. The inner join
+    # is safe: docmeta and vermeta land from one sibling batch in order,
+    # and the horizon gate above already rejected a torn write.
+    win = _lww(dm).filter(~F.col("deleted"))
+    wsig = win.select(
+        "doc_id", "ts", F.col("dl").alias("n_tokens")
+    ).join(vm.select(*_VERMETA_COLS), ["doc_id", "ts"])
+
+    flagged = wsig.select(
+        "doc_id",
+        "ts",
+        "n_tokens",
+        "source",
+        "qk",
+        # canonical = min doc_id over the content-hash group COUNTING
+        # ONLY quality survivors — the batch op's exact window
+        F.min(F.when(F.col("qk"), F.col("doc_id")))
+        .over(Window.partitionBy("h"))
+        .alias("canon"),
     )
-    kept = (
-        per.select(
+
+    # stage-3/4 availability gate (must run BEFORE reached: a canonical
+    # doc with a NULL nd_dropped would otherwise silently classify past
+    # the stages that were never decided for it)
+    orphans = [
+        r["doc_id"]
+        for r in flagged.filter(
+            F.col("qk") & (F.col("doc_id") == F.col("canon"))
+        )
+        .join(jd, ["doc_id", "ts"], "left")
+        .filter(F.col("nd_dropped").isNull())
+        .select("doc_id")
+        .limit(8)
+        .collect()
+    ]
+    if orphans:
+        raise ValueError(
+            f"canonical live winners {orphans} have no judgment row: "
+            "their content was suppressed by the engine's exact-dedup "
+            "state (a byte-identical keeper later tombstoned or "
+            "superseded — the module's divergence note 2) or the main "
+            "query crashed behind the ledger. Re-ingest the named docs "
+            "(a fresh version passes the dedup state) or resume the "
+            "run, then re-request the report."
+        )
+
+    # stage 5: the bottom-quartile source rule over ALL live winners
+    # (failers included — the batch op's srck expressions verbatim)
+    srck = (
+        wsig.groupBy("source")
+        .agg(
+            F.round(
+                F.sum("q").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_quality"),
+        )
+        .select(
             "source",
             F.row_number()
             .over(Window.orderBy("mean_quality", "source"))
             .alias("q_rank"),
             F.count(F.lit(1)).over(Window.partitionBy()).alias("n_sources"),
         )
-        .filter(
-            F.col("q_rank") * _SRC_DROP_DEN > F.col("n_sources") * _SRC_DROP_NUM
+        .select(
+            "source",
+            (
+                F.col("q_rank") * _SRC_DROP_DEN
+                > F.col("n_sources") * _SRC_DROP_NUM
+            )
+            .cast("int")
+            .alias("kept"),
         )
-        .select("source")
     )
-    # stage-6 model, rebuilt EXACTLY from the per-batch integer term
-    # statistics (the stats sibling's second table). Horizon gate: both
-    # tables are written by one foreachBatch in order (source stats,
-    # then term stats) — a crash between the writes would leave the
-    # model trained on fewer batches than the kept-set, silently.
-    from ..operators.textops import tokens_col
 
-    if not os.path.isdir(f"{state_dir}/term_stats"):
-        raise ValueError(
-            "term_stats/ missing from the funnel state: this state was "
-            "written by a pre-classifier-stage (r8) run. Stage 6 needs "
-            "per-batch term statistics that were never persisted for "
-            "this horizon — re-land the drops into fresh state (or "
-            "backfill term_stats from the original drop files) before "
-            "requesting the 7-stage report."
-        )
-    tstats = spark.read.option(
-        "basePath", f"{state_dir}/term_stats"
-    ).parquet(f"{state_dir}/term_stats")
-    s_ids = {r.batch_id for r in stats.select("batch_id").distinct().collect()}
-    t_ids = {r.batch_id for r in tstats.select("batch_id").distinct().collect()}
-    if s_ids != t_ids:
-        raise ValueError(
-            f"term-stats horizon {sorted(t_ids)} disagrees with the "
-            f"source-stats horizon {sorted(s_ids)}: the run crashed "
-            "between the sibling stage's two writes — resume it to "
-            "re-align before trusting stage 6."
-        )
-    cmodel = tstats.groupBy("term").agg(
-        F.sum("ck").cast("long").alias("ck"),
-        F.sum("cd").cast("long").alias("cd"),
+    # stage 6: the NB model rebuilt over the live winners through their
+    # content hashes — hterm is keyed by CONTENT, so the model's term
+    # counts move with updates and tombstones exactly as the batch op's
+    # would (the batch expressions verbatim; cmodel localCheckpoint-ed
+    # for its two consumers, the bigram-LM/kmeans precedent)
+    ht_d = ht.select("h", "term").distinct()
+    dterms = (
+        wsig.select("doc_id", F.col("qk").cast("int").alias("y"), "h")
+        .join(ht_d, "h")
+        .select("doc_id", "y", "term")
     )
-    ccls = stats.agg(
-        F.sum("n_keep").cast("long").alias("nk"),
-        (F.sum("n_docs") - F.sum("n_keep")).cast("long").alias("nd_"),
+    classes = wsig.agg(
+        F.sum(F.col("qk").cast("int")).cast("long").alias("nk"),
+        (F.count(F.lit(1)) - F.sum(F.col("qk").cast("int")))
+        .cast("long")
+        .alias("nd_"),
     )
+    cmodel = dterms.groupBy("term").agg(
+        F.sum("y").cast("long").alias("ck"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("cd"),
+    ).localCheckpoint()
     nb_w = (
         ((F.col("ck") + 1) * (F.col("nd_") + 2))
         / ((F.col("cd") + 1) * (F.col("nk") + 2))
     ).cast("double")
-    try:
-        landed = (
-            spark.read.option("basePath", out_dir)
-            .parquet(out_dir)
-            .withColumn("source", F.coalesce(F.col("source"), F.lit("")))
+    nbk = (
+        dterms.select("doc_id", "term")
+        .join(cmodel, "term")
+        .crossJoin(F.broadcast(classes))
+        .select("doc_id", nb_w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("w").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nb_score")
         )
-        surv5 = landed.join(F.broadcast(kept), "source", "semi")
-        s5 = surv5.agg(
-            F.count(F.lit(1)).alias("d5"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t5"),
-        )
-        nbk = (
-            surv5.select(
-                "doc_id",
-                F.explode(F.array_distinct(tokens_col())).alias("term"),
-            )
-            .join(cmodel, "term")
-            .crossJoin(F.broadcast(ccls))
-            .select("doc_id", nb_w.alias("w"))
-            .groupBy("doc_id")
-            .agg(
-                F.round(
-                    F.sum(F.col("w").cast("decimal(25,10)")).cast("double")
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("nb_score")
-            )
-            .filter(F.col("nb_score") > 1.0)
-            .select("doc_id")
-        )
-        s6 = surv5.join(nbk, "doc_id", "semi").agg(
-            F.count(F.lit(1)).alias("d6"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t6"),
-        )
-    except Exception as e:  # noqa: BLE001
-        # a run whose every document failed upstream writes only EMPTY
-        # batch dirs (no parquet footers) — that is a legitimate
-        # zero-survivor horizon, not an error
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
-            raise
-        s5 = spark.createDataFrame([(0, 0)], "d5 long, t5 long")
-        s6 = spark.createDataFrame([(0, 0)], "d6 long, t6 long")
+        .select("doc_id", (F.col("nb_score") > 1.0).alias("nbk"))
+    )
 
+    reached_col = (
+        F.when(~F.col("qk"), F.lit(0))
+        .when(F.col("doc_id") != F.col("canon"), F.lit(1))
+        .when(F.col("nd_dropped"), F.lit(2))
+        .when(F.col("contaminated"), F.lit(3))
+        .when(F.col("kept") == 0, F.lit(4))
+        .when(~F.coalesce(F.col("nbk"), F.lit(False)), F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    reached = (
+        flagged.join(jd, ["doc_id", "ts"], "left")
+        .join(F.broadcast(srck), "source")
+        .join(nbk, "doc_id", "left")
+        .select("n_tokens", reached_col.alias("reached"))
+    )
+    agg = reached.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("reached") >= s, F.lit(1))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"d{s}")
+            for s in range(len(_FUNNEL_STAGES))
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("reached") >= s, F.col("n_tokens"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"t{s}")
+            for s in range(len(_FUNNEL_STAGES))
+        ],
+    )
     rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(s).cast("int").alias("stage_ord"),
                     F.lit(name).alias("stage"),
-                    F.col(f"d{s}").cast("long").alias("n_docs"),
-                    F.col(f"t{s}").cast("long").alias("n_tokens"),
+                    F.col(f"d{s}").alias("n_docs"),
+                    F.col(f"t{s}").alias("n_tokens"),
                 )
                 for s, name in enumerate(_FUNNEL_STAGES)
             ]
         )
     )
-    return (
-        i.crossJoin(c)
-        .crossJoin(s5)
-        .crossJoin(s6)
-        .select(rows.alias("r"))
-        .select("r.*")
-        .orderBy("stage_ord")
-    )
+    return agg.select(rows.alias("r")).select("r.*").orderBy("stage_ord")

@@ -383,6 +383,15 @@ def _write_statsnap(spark: SparkSession, state_dir: str, upto: int) -> None:
     older snapshots removed after the rename (readers take the max id,
     so a crash between rename and removal is harmless)."""
     snap_dir = f"{state_dir}/statsnap"
+    if os.path.isdir(os.path.join(snap_dir, f"batch_id={upto - 1}")):
+        # a snapshot at this exact horizon already exists (a re-run
+        # fold at an unchanged upto — idempotent replay of a compaction
+        # batch, or the funnel's per-main-batch fold over a sibling
+        # ledger that only grows per INVOCATION): the snapshot is a
+        # pure function of docmeta[0, upto), whose winner rows any
+        # prior fold preserved, so a rewrite would produce identical
+        # content — skip instead of colliding on the rename (r12).
+        return
     dm = _read_store(spark, f"{state_dir}/docmeta", "docmeta store dir")
     live = (
         _lww(dm.filter(F.col("batch_id") < upto))

@@ -91,7 +91,13 @@ def test_window_keeps_parity_representatives():
         "email_clean_chain", "email_chunk_blocks",
         "email_hyperlink_headings", "email_blockkit_payload",
         "slack_mention_prompt",            # reference-parity core
-        "dedup_exact", "dedup_minhash_lsh",  # dedup family
+        # r12: the minhash canary follows the family's narrated
+        # parent-swap (dedup_minhash_lsh -> funnel_sigstore_served_lww:
+        # the signature pipeline + pair kernel hash-check in-window
+        # inside the certificate and inside corpus_curation_funnel's
+        # stage 3; the batch op stays a bench headline and
+        # verify_local-covered).
+        "dedup_exact", "funnel_sigstore_served_lww",  # dedup family
         "cosine_topk_bruteforce",            # similarity baseline
         "image_byte_histogram",              # multimodal (F7)
         "corpus_curation_funnel",            # flagship composition

@@ -33,13 +33,30 @@ pair stage does real work and both shapes must flag the same ~50 docs
 at every store size — the layout is a performance change, not a
 semantics change, and the probe asserts it.
 
+r12 refresh — the store is the POST-LWW layout and the UPDATE/DELETE
+TAIL MASK IS LIVE in the timed region: signature rows are
+version-stamped (ts), a docmeta ledger sits folded at statsnap id 0,
+and docmeta/batch_id=1 is an uncompacted tail of 250 tombstones + 250
+re-ingested versions (targets drawn from docs 1000..1500 — OUTSIDE the
+probe batch's duplicate range, so the flagged set stays
+size-invariant while the mask join does real masking work: the
+tombstoned docs' rows drop, the updated docs serve only their v2
+rows, landed as an extra store batch). The unsuppression CORRECTNESS
+of the mask is test-pinned (test_funnel_lww_unsuppression_and_update);
+this probe measures its COST at scale. The tail is bounded by
+compaction cadence by design — the same broadcast-sized mask the
+retrieval/semantic/media stores measure (SCALE_PROBE_INDEX /
+_SEMANTIC / _MEDIA) — so its cost term is size-INDEPENDENT, which the
+exponent verifies.
+
 Flat = the pruned path's store-size exponent ~0 while full_rescan's
 grows: 100x store rows should not grow per-batch work. (The pruned
 path's residual growth is driver-side partition DISCOVERY — listing a
 bigger store's directories — not data work; at cluster scale that moves
 into a metastore/log-compacted index, the standard fix.) The incoming
 batch's own shingle/minhash work is identical everywhere, so it is
-localCheckpointed OUT of the timed region.
+localCheckpointed OUT of the timed region. Both shapes apply the SAME
+mask — the counterfactual isolates scan shape, not mask semantics.
 
 Protocol: warmup + 2 timed passes, min taken (bench.py's). Writes
 SCALE_PROBE_FUNNEL.json at the repo root and prints one JSON line.
@@ -80,11 +97,21 @@ from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (  # noqa
     _bprefix_col,
     _pruned_store,
 )
+from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (  # noqa: E402
+    _dp_col,
+    _fold_horizon,
+    _mask_visible,
+    _tail_live,
+)
 
-_COLS = ["doc_id", "sig", "band", "bkey"]
+_COLS = ["doc_id", "sig", "band", "bkey", "ts"]
+_PAIR_COLS = ["doc_id", "sig", "band", "bkey"]
+_TS0 = "2025-01-01 00:00:00"
+_TS1 = "2025-02-01 00:00:00"
 CORPUS_MULT = 10  # 45k-doc base store from a 50k-doc synthetic corpus
 BASE_DOCS = 45_000
 BATCH_SRC = (0, 50)  # texts the probe batch duplicates
+TAIL_SRC = (1000, 1500)  # tail update/tombstone targets (disjoint)
 BATCH_ID_OFFSET = 100_000_000  # batch doc_ids sort above every store id
 # decade points = base + N suffixed-bkey replicas (two decades: the
 # full-rescan window's linear regime only separates from fixed overheads
@@ -93,7 +120,8 @@ STORE_REPLICAS = {"base": 0, "x10": 9, "x100": 99}
 LAND_BATCH_DOCS = 4_500  # docs per landed batch_id directory
 
 
-def _bands_of(spark, sf_dir: str, lo: int, hi: int, id_offset: int = 0):
+def _bands_of(spark, sf_dir: str, lo: int, hi: int, id_offset: int = 0,
+              ts: str = _TS0):
     shingled = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(f"doc_id >= {lo} AND doc_id < {hi}")
@@ -103,8 +131,50 @@ def _bands_of(spark, sf_dir: str, lo: int, hi: int, id_offset: int = 0):
         )
         .filter("shingle <> ''")
     )
-    return _minhash_sig_bands(_minhash_sigs(shingled)).withColumn(
-        "bprefix", _bprefix_col()
+    return (
+        _minhash_sig_bands(_minhash_sigs(shingled))
+        .withColumn("ts", F.lit(ts).cast("timestamp"))
+        .withColumn("bprefix", _bprefix_col())
+    )
+
+
+def _build_ledger(spark, state_dir: str) -> None:
+    """The post-LWW ledger fixture: a folded past (statsnap marker at
+    id 0, docmeta/batch_id=0 holding the tail targets' v1 rows) plus a
+    LIVE uncompacted tail (docmeta/batch_id=1: 250 tombstones + 250
+    re-ingested versions among docs 1000..1500). The mask only ever
+    joins the TAIL, so the bulk corpus needs no ledger rows — exactly
+    the bounded-by-compaction-cadence shape the stores run."""
+    lo, hi = TAIL_SRC
+    mid = (lo + hi) // 2
+    v1 = spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.lit(_TS0).cast("timestamp").alias("ts"),
+        F.lit(False).alias("deleted"),
+        F.lit(None).cast("long").alias("dl"),
+    )
+    (
+        v1.withColumn("dp", _dp_col())
+        .write.mode("overwrite")
+        .partitionBy("dp")
+        .parquet(f"{state_dir}/docmeta/batch_id=0")
+    )
+    spark.createDataFrame(
+        [(0, 0, 0, 0)], "dp long, n_docs long, n_len long, sum_dl long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state_dir}/statsnap/batch_id=0"
+    )
+    tail = spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.lit(_TS1).cast("timestamp").alias("ts"),
+        (F.col("id") < mid).alias("deleted"),  # lower half tombstoned
+        F.lit(None).cast("long").alias("dl"),
+    )
+    (
+        tail.withColumn("dp", _dp_col())
+        .write.mode("overwrite")
+        .partitionBy("dp")
+        .parquet(f"{state_dir}/docmeta/batch_id=1")
     )
 
 
@@ -140,6 +210,7 @@ def _add_replicas(
             "sig",
             "band",
             F.concat_ws("#", "bkey", F.col("r").cast("string")).alias("bkey"),
+            "ts",
         )
         .withColumn("bprefix", _bprefix_col())
     )
@@ -149,26 +220,37 @@ def _add_replicas(
     return next_id + 1
 
 
-def _neardup_count(spark, sigs_dir: str, before: int, batch_bands, pruned: bool):
-    """The store-dependent stage work, ending in the pair-count action."""
+def _neardup_count(
+    spark, state_dir: str, before: int, batch_bands, pruned: bool
+):
+    """The store-dependent stage work, ending in the pair-count action —
+    INCLUDING the live update/delete tail mask (r12: the shipped judging
+    path masks the store side against the ledger before pairing)."""
+    sigs_dir = f"{state_dir}/sigs"
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
     if pruned:
         touched = [
             (r["band"], r["bprefix"])
             for r in batch_bands.select("band", "bprefix").distinct().collect()
         ]
-        store = _pruned_store(spark, sigs_dir, before, touched)
+        store = _mask_visible(
+            _pruned_store(spark, sigs_dir, before, touched), tail
+        )
         keys = batch_bands.select("band", "bkey").distinct()
-        all_t = store.join(
+        all_t = store.select(*_PAIR_COLS).join(
             F.broadcast(keys), ["band", "bkey"], "semi"
-        ).unionByName(batch_bands.select(*_COLS))
+        ).unionByName(batch_bands.select(*_PAIR_COLS))
     else:
-        store = (
+        store = _mask_visible(
             spark.read.option("basePath", sigs_dir)
             .parquet(sigs_dir)
             .filter(F.col("batch_id") < before)
-            .select(*_COLS)
+            .select(*_COLS),
+            tail,
         )
-        all_t = store.unionByName(batch_bands.select(*_COLS))
+        all_t = store.select(*_PAIR_COLS).unionByName(
+            batch_bands.select(*_PAIR_COLS)
+        )
     sized = all_t.withColumn(
         "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
     )
@@ -210,36 +292,56 @@ def main() -> None:
             spark, corpus_dir, *BATCH_SRC, id_offset=BATCH_ID_OFFSET
         ).localCheckpoint()  # batch-side work is constant; keep it out of timing
 
-        base_dir = f"{work}/sigs_base"
-        next_id = _build_base_store(spark, corpus_dir, base_dir)
-        stores = {"base": (base_dir, next_id)}
+        base_state = f"{work}/st_base"
+        base_sigs = f"{base_state}/sigs"
+        next_id = _build_base_store(spark, corpus_dir, base_sigs)
+        # the re-ingested tail targets' v2 signatures land as their own
+        # store batch (the tail's VISIBLE rows — their v1 rows and the
+        # tombstoned targets' rows must be masked away in the timed
+        # region); the ledger fixture supplies the folded marker + the
+        # live docmeta tail
+        mid = (TAIL_SRC[0] + TAIL_SRC[1]) // 2
+        _bands_of(
+            spark, corpus_dir, mid, TAIL_SRC[1], ts=_TS1
+        ).write.mode("overwrite").partitionBy("band", "bprefix").parquet(
+            f"{base_sigs}/batch_id={next_id}"
+        )
+        next_id += 1
+        _build_ledger(spark, base_state)
+        states = {"base": (base_state, next_id)}
         for name, n_rep in STORE_REPLICAS.items():
             if n_rep == 0:
                 continue
-            d = f"{work}/sigs_{name}"
-            shutil.copytree(base_dir, d)
-            stores[name] = (d, _add_replicas(spark, base_dir, d, next_id, n_rep))
+            st = f"{work}/st_{name}"
+            shutil.copytree(base_state, st)
+            states[name] = (
+                st,
+                _add_replicas(
+                    spark, base_sigs, f"{st}/sigs", next_id, n_rep
+                ),
+            )
         store_rows = {
-            name: spark.read.option("basePath", d)
-            .parquet(d)
+            name: spark.read.option("basePath", f"{st}/sigs")
+            .parquet(f"{st}/sigs")
             .filter(F.col("batch_id") < before)
             .count()
-            for name, (d, before) in stores.items()
+            for name, (st, before) in states.items()
         }
 
         results: dict[str, dict] = {}
         for shape in ("pruned", "full_rescan"):
             times: dict[str, float] = {}
             flags: dict[str, int] = {}
-            for name, (sigs_dir, before) in stores.items():
+            for name, (state_dir, before) in states.items():
                 samples = []
                 flagged = _neardup_count(
-                    spark, sigs_dir, before, batch_bands, shape == "pruned"
+                    spark, state_dir, before, batch_bands, shape == "pruned"
                 )  # warmup, result kept for the equivalence check
                 for _ in range(2):
                     t0 = time.time()
                     n = _neardup_count(
-                        spark, sigs_dir, before, batch_bands, shape == "pruned"
+                        spark, state_dir, before, batch_bands,
+                        shape == "pruned",
                     )
                     samples.append(time.time() - t0)
                     assert n == flagged
@@ -269,9 +371,23 @@ def main() -> None:
             "method": "fixed 50-duplicate-doc batch vs landed stores "
             "two decades apart in rows (base = real minhash index of a 10x "
             "synthetic sf0.1 corpus; x10 adds 9 suffixed-bkey replicas — "
-            "history in buckets the batch never touches); timed region = "
-            "store scan + bucket semi-join + cap window + pair join; "
-            "warmup + 2 passes, min",
+            "history in buckets the batch never touches); r12: post-LWW "
+            "layout (version-stamped rows) with the update/delete TAIL "
+            "MASK LIVE in the timed region — folded ledger marker + a "
+            "500-doc uncompacted docmeta tail (250 tombstones, 250 "
+            "re-ingests whose v2 signatures ride a store batch); the "
+            "tail is bounded by compaction cadence, so its mask-join "
+            "cost term is size-independent (the claim the exponent "
+            "verifies); timed region = store scan + tail mask + bucket "
+            "semi-join + cap window + pair join; warmup + 2 passes, min",
+            "caveats": "tail targets sit OUTSIDE the probe batch's "
+            "duplicate range so the flagged set stays size-invariant "
+            "while the mask does real work; unsuppression CORRECTNESS "
+            "is pinned by test_funnel_lww_unsuppression_and_update, "
+            "this probe prices the mask; pruned-path residual growth "
+            "is partition discovery (metastore-class fix at cluster "
+            "scale), and the full_rescan counterfactual applies the "
+            "same mask — it isolates scan shape only",
             "store_rows": store_rows,
             "shapes": results,
             "flat": results["pruned"]["store_size_exponent"] < 0.3,
