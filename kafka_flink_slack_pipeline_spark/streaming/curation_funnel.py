@@ -659,6 +659,115 @@ def funnel_sigstore_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     return _banded_sig_pairs(live).orderBy("doc_a", "doc_b")
 
 
+def funnel_neardup_probe_adhoc(
+    spark: SparkSession, state_dir: str, probes: dict[int, str]
+) -> DataFrame:
+    """Judge AD-HOC texts against the landed LWW-current signature
+    store WITHOUT ingesting — the request path a deployment exposes
+    ("is this text a near-dup of anything landed?"), completing the
+    probe-face family (bm25/hybrid/semantic/media all have one;
+    reference anchor: current-state re-read per lookup,
+    slackEventServer.js:187-202). `probes` maps probe_id -> text. Each
+    probe runs the stream's own signature kernel (_banded_sigs_of),
+    the store scan prunes to the probes' touched (band, bprefix)
+    partitions and semi-joins their bucket keys (the per-batch judging
+    discipline — history in untouched buckets is never read), rows are
+    masked against the ledger tail (a tombstoned or superseded version
+    has stopped being a witness), the bucket cap applies over the
+    store's as-of-now content, and pair semantics are the batch op's
+    (band collision, est_jaccard >= 0.25). Landed docs play the
+    witness (lower-id) role regardless of probe id — ids offset above
+    the landed horizon via one bounded max() over the pruned masked
+    slice (only same-bucket docs can ever pair, so the slice
+    suffices); probes never witness each other; nothing is written.
+    Output: (probe_id, is_dup, n_matches, best_est) in probe_id order,
+    dedup_incremental's per-arrival verdict shape."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import MINHASH_BUCKET_CAP, MINHASH_K, _sig_agree
+    from .retrieval_index import (
+        _fold_horizon,
+        _mask_visible,
+        _tail_live,
+    )
+
+    if not probes:
+        raise ValueError("no probe texts given")
+    ids = sorted(int(p) for p in probes)
+    frame = spark.createDataFrame(
+        [(i, probes[pid]) for i, pid in enumerate(ids)],
+        "doc_id bigint, text string",
+    ).withColumn("ingest_ts", F.lit(None).cast("timestamp"))
+    bands = _banded_sigs_of(frame)
+    touched = [
+        (r["band"], r["bprefix"])
+        for r in bands.select("band", "bprefix").distinct().collect()
+    ]  # bounded: <= |probes| * BANDS pairs
+    store = _pruned_store(spark, f"{state_dir}/sigs", 1 << 62, touched)
+    if store is None:
+        raise ValueError(
+            f"no signature store under {state_dir!r}: nothing has "
+            "landed yet (run curation_funnel_stream first)"
+        )
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    cols = ["doc_id", "sig", "band", "bkey"]
+    keys = bands.select("band", "bkey").distinct()
+    hist = (
+        _mask_visible(store, tail)
+        .select(*cols)
+        .join(F.broadcast(keys), ["band", "bkey"], "semi")
+    )
+    sized = hist.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "bkey"))
+    )
+    bands_a = sized.filter(F.col("bsize") <= MINHASH_BUCKET_CAP)
+    mx = hist.agg(
+        F.coalesce(F.max("doc_id"), F.lit(0)).alias("mx")
+    ).collect()[0]["mx"]
+    idmap = spark.createDataFrame(
+        [(int(mx) + 1 + i, pid) for i, pid in enumerate(ids)],
+        "doc_id bigint, probe_id bigint",
+    )
+    bands_b = bands.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(mx) + 1)
+    )
+    est = F.round(
+        _sig_agree(F.col("a.sig"), F.col("b.sig")) / F.lit(MINHASH_K), 4
+    )
+    matches = (
+        bands_a.alias("a")
+        .join(
+            bands_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("a.doc_id").alias("witness"),
+            est.alias("est"),
+        )
+        .filter(F.col("est") >= 0.25)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("witness").alias("n_matches"),
+            F.max("est").alias("best_est"),
+        )
+    )
+    return (
+        idmap.join(matches, "doc_id", "left")
+        .select(
+            "probe_id",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+            "best_est",
+        )
+        .orderBy("probe_id")
+    )
+
+
 def _land_funnel_ledger(
     batch: DataFrame, batch_id: int, state_dir: str
 ) -> None:

@@ -936,6 +936,84 @@ def test_funnel_lww_immutability_divergence(spark, tmp_path):
     )
 
 
+def test_funnel_neardup_probe_adhoc(spark, tmp_path):
+    """The funnel store's non-ingesting probe face (completing the
+    ad-hoc family): a probe text near a landed doc is a DUP; after the
+    witness's tombstone the same probe is KEPT; probes write nothing
+    (the report is unchanged and a re-probe agrees); an empty workload
+    refuses loudly."""
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        funnel_neardup_probe_adhoc,
+    )
+
+    w_text, b_text, x1, _ = _synth_neardup_texts()
+    extra = [(10, w_text, "s0"), (30, x1, "s0")]
+    corpus = _corpus_dir_of(spark, tmp_path, "corpus", extra)
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "out": str(tmp_path / "out"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_jsonl(
+        f"{d['drop']}/w1.jsonl",
+        _funnel_drop_recs(extra, "2025-01-01T00:00:00.000Z"),
+        1700000000,
+    )
+    _run(spark, corpus, d)
+
+    report_before = _stage_rows(
+        curation_funnel_stream_report(spark, d["state"])
+    )
+    got = {
+        r["probe_id"]: (r["is_dup"], r["n_matches"])
+        for r in funnel_neardup_probe_adhoc(
+            spark, d["state"], {5: b_text, 6: "nothing like the corpus"}
+        ).collect()
+    }
+    assert got[5] == (True, 1), "near-twin of landed W must be a dup"
+    assert got[6] == (False, 0)
+
+    # tombstone the witness; the same probe must now be KEPT
+    _write_jsonl(
+        f"{d['drop']}/w2.jsonl",
+        [
+            {
+                "doc_id": 10,
+                "text": None,
+                "lang": None,
+                "source": None,
+                "ingest_ts": "2025-02-01T00:00:00.000Z",
+                "deleted": True,
+            }
+        ],
+        1700000001,
+    )
+    _run(spark, corpus, d)
+    got2 = {
+        r["probe_id"]: r["is_dup"]
+        for r in funnel_neardup_probe_adhoc(
+            spark, d["state"], {5: b_text}
+        ).collect()
+    }
+    assert got2 == {5: False}, "tombstoned witness still suppresses"
+
+    # probing wrote nothing: the report reflects only the stream's own
+    # state transitions (W's tombstone), and a re-probe agrees
+    after = _stage_rows(curation_funnel_stream_report(spark, d["state"]))
+    assert after[(0, "raw")][0] == report_before[(0, "raw")][0] - 1
+    again = {
+        r["probe_id"]: r["is_dup"]
+        for r in funnel_neardup_probe_adhoc(
+            spark, d["state"], {5: b_text}
+        ).collect()
+    }
+    assert again == got2
+    with pytest.raises(ValueError, match="no probe texts"):
+        funnel_neardup_probe_adhoc(spark, d["state"], {})
+
+
 def test_funnel_stream_classifier_stage_drops_in_stream(
     spark, tmp_path
 ):
