@@ -385,6 +385,7 @@ def compact_sig_store(
     checkpoint_dir: str | None = None,
     ledger_upto: int | None = None,
     ledger_checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
 ) -> int:
     """Fold the funnel's five stores: signature batches [0, upto) into
     ONE (band, bprefix)-layout directory with the LWW MASK applied
@@ -402,7 +403,11 @@ def compact_sig_store(
     `checkpoint_dir`'s commits log); `ledger_upto` is the SIBLING's
     (guarded against `ledger_checkpoint_dir`; defaults to the ledger's
     own id horizon — safe from the runner, where the sibling has fully
-    drained before the main query starts). Fold order is
+    drained before the main query starts). Pass `out_dir` to ALSO fold
+    the landed-documents PRODUCT sink under the same mask (tombstoned/
+    superseded landed docs physically dropped — the
+    landed_documents_current read path's physical half; the runner's
+    auto-compaction passes it). Fold order is
     sigs/judgments/vermeta/hterm THEN ledger: a crash between them
     leaves masked data stores beside an unfolded ledger, which the read
     mask re-masks harmlessly (rows it would drop are already gone);
@@ -447,6 +452,26 @@ def compact_sig_store(
         transform=lambda df: df.join(alive, ["doc_id", "ts"]),
         force=True,
     )
+    if out_dir is not None and os.path.isdir(out_dir):
+        # the PRODUCT sink folds under the same mask: tombstoned and
+        # superseded landed documents are physically dropped (the read
+        # path landed_documents_current applies the identical mask to
+        # the unfolded tail)
+        removed += _compact_batch_store(
+            spark,
+            out_dir,
+            upto,
+            cols=["doc_id", "text", "source", "ingest_ts",
+                  "n_tokens", "lang"],
+            partition_cols=["lang"],
+            what="landed documents dir",
+            checkpoint_dir=checkpoint_dir,
+            transform=lambda df: df.join(
+                alive.select("doc_id", F.col("ts").alias("ingest_ts")),
+                ["doc_id", "ingest_ts"],
+            ),
+            force=True,
+        )
     removed += _compact_batch_store(
         spark,
         f"{state_dir}/vermeta",
@@ -657,6 +682,33 @@ def funnel_sigstore_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
     live = _mask_visible(store, tail).select("doc_id", "sig", "band", "bkey")
     return _banded_sig_pairs(live).orderBy("doc_a", "doc_b")
+
+
+def landed_documents_current(
+    spark: SparkSession, out_dir: str, state_dir: str
+) -> DataFrame:
+    """The LWW-CURRENT landed corpus — the funnel's PRODUCT read path:
+    the lang-partitioned landing sink masked against the version ledger
+    (a tombstoned document's landed file stops being served; a
+    superseded version yields to its successor's landed row; a doc
+    whose latest version was dropped mid-funnel disappears, matching
+    the report's stage-4 set). The landing itself stays append-only
+    batch-scoped overwrite (idempotent replay); pass `out_dir` to
+    compact_sig_store to apply this mask PHYSICALLY at fold time — a
+    training job that consumed the raw directory instead of this
+    reader would train on deleted documents."""
+    from .retrieval_index import (
+        _fold_horizon,
+        _mask_visible,
+        _read_store,
+        _tail_live,
+    )
+
+    landed = _read_store(spark, out_dir, "landed documents dir")
+    tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
+    return _mask_visible(
+        landed.withColumn("ts", F.col("ingest_ts")), tail
+    ).drop("ts")
 
 
 def funnel_neardup_probe_adhoc(
@@ -961,6 +1013,7 @@ def curation_funnel_stream(
                 upto=batch_id,
                 checkpoint_dir=checkpoint_dir,
                 ledger_checkpoint_dir=ledger_ckpt,
+                out_dir=out_dir,
             )
         # per-doc BATCH-LWW winner: a micro-batch may legally carry
         # several versions of one doc_id (distinct ts; both pass the

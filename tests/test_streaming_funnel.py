@@ -842,7 +842,27 @@ def test_funnel_lww_unsuppression_and_update(spark, sf_dir, tmp_path):
         want[(3, "near_dedup")][1] + n_w - n_b,
     ), "restoring the witness must kill the victim at stage 3"
 
-    # compaction: fold everything, report identical, physical drops
+    # the PRODUCT read path serves the LWW-current landed corpus: its
+    # membership equals the report's stage-4 set (count + the planted
+    # docs' fates), even though the raw sink still holds W's file
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        landed_documents_current,
+    )
+
+    def landed_ids():
+        return {
+            r["doc_id"]
+            for r in landed_documents_current(
+                spark, d["out"], d["state"]
+            ).collect()
+        }
+
+    cur = landed_ids()
+    assert len(cur) == got[(4, "decontaminated")][0]
+    assert 9000 not in cur and 9100 in cur and 9200 in cur
+
+    # compaction: fold everything (product sink included), report and
+    # landed reader identical, physical drops
     upto = _committed_horizon(d["ckpt"])
     compact_sig_store(
         spark,
@@ -850,9 +870,11 @@ def test_funnel_lww_unsuppression_and_update(spark, sf_dir, tmp_path):
         upto=upto,
         checkpoint_dir=d["ckpt"],
         ledger_checkpoint_dir=f"{d['ckpt']}_ledger",
+        out_dir=d["out"],
     )
     got2 = _stage_rows(curation_funnel_stream_report(spark, d["state"]))
     assert got2 == got
+    assert landed_ids() == cur
     sigs = spark.read.option("basePath", f"{d['state']}/sigs").parquet(
         f"{d['state']}/sigs"
     )
@@ -866,6 +888,17 @@ def test_funnel_lww_unsuppression_and_update(spark, sf_dir, tmp_path):
         .count()
         == 1
     ), "superseded version's signatures not physically dropped"
+    landed_raw = spark.read.option("basePath", d["out"]).parquet(d["out"])
+    assert landed_raw.filter(F.col("doc_id") == 9000).count() == 0, (
+        "tombstoned doc's landed file not physically dropped"
+    )
+    assert (
+        landed_raw.filter(F.col("doc_id") == 9200)
+        .select("ingest_ts")
+        .distinct()
+        .count()
+        == 1
+    ), "superseded version's landed row not physically dropped"
 
 
 def test_funnel_lww_immutability_divergence(spark, tmp_path):
