@@ -1047,6 +1047,79 @@ def test_funnel_neardup_probe_adhoc(spark, tmp_path):
         funnel_neardup_probe_adhoc(spark, d["state"], {})
 
 
+def test_funnel_out_of_order_version_repaired_at_fold(spark, tmp_path):
+    """The ORDERING CONTRACT's documented failure-and-repair path, the
+    funnel twin of the retrieval-index pin: a LATE OLDER version
+    arriving after its successor was folded becomes the ledger tail's
+    winner, so the store deterministically serves the OLD content's
+    signatures (batch-op-over-v1) — and the next fold's global LWW
+    reinstates v2 exactly. Both states asserted through the probe
+    face (landing via the stream's own kernels, the certificate's
+    fixture discipline)."""
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _banded_sigs_of,
+        _land_funnel_ledger,
+        compact_sig_store,
+        funnel_neardup_probe_adhoc,
+    )
+    from pyspark.sql import functions as F
+
+    w_text, b_text, x1, x2 = _synth_neardup_texts()
+    # v2 of doc 10 = x2-near content; the late v1 = w_text content
+    state = str(tmp_path / "state")
+
+    def land(batch_rows, i, ts):
+        wave = spark.createDataFrame(
+            [(d, t, "en", "s0") for d, t in batch_rows],
+            "doc_id bigint, text string, lang string, source string",
+        ).select(
+            "doc_id", "text", "lang", "source",
+            F.lit(ts).cast("timestamp").alias("ingest_ts"),
+            F.lit(False).alias("deleted"),
+        )
+        _land_funnel_ledger(wave, i, state)
+        (
+            _banded_sigs_of(wave)
+            .write.mode("overwrite")
+            .partitionBy("band", "bprefix")
+            .parquet(f"{state}/sigs/batch_id={i}")
+        )
+
+    # batch 0: doc 10 AT ITS LATEST VERSION (v2 = x2 + tail), doc 30
+    land([(10, x2 + " tailv2"), (30, x1)], 0, "2025-01-02 00:00:00")
+    compact_sig_store(spark, state, upto=1, ledger_upto=1)
+
+    # batch 1: the LATE OLDER v1 (w_text) arrives after the fold —
+    # the contract violation
+    land([(10, w_text)], 1, "2025-01-01 00:00:00")
+
+    def verdicts():
+        return {
+            r["probe_id"]: r["is_dup"]
+            for r in funnel_neardup_probe_adhoc(
+                spark, state,
+                {1: b_text, 2: x2 + " tailprobe"},
+            ).collect()
+        }
+
+    # failure state, deterministic: the tail's only version (v1) wins
+    # the tail-LWW, so v2's folded signatures are masked and the store
+    # serves v1's content — b_text (near w_text) matches, the x2 probe
+    # does not
+    assert verdicts() == {1: True, 2: False}
+
+    # repair: the next fold's GLOBAL LWW reinstates v2
+    compact_sig_store(spark, state, upto=2, ledger_upto=2)
+    assert verdicts() == {1: False, 2: True}
+    sigs = spark.read.option("basePath", f"{state}/sigs").parquet(
+        f"{state}/sigs"
+    )
+    assert (
+        sigs.filter(F.col("doc_id") == 10).select("ts").distinct().count()
+        == 1
+    ), "the late older version's signatures must be physically dropped"
+
+
 def test_funnel_stream_classifier_stage_drops_in_stream(
     spark, tmp_path
 ):
