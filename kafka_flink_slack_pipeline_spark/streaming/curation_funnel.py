@@ -112,11 +112,13 @@ contract as everywhere: per-doc nondecreasing DISTINCT ingest_ts).
   exact-dedup state drops rows the ledger still has to know about.
   Three sibling tables per batch, one signal pass: the dp-partitioned
   `docmeta` ledger (doc_id, ts, deleted, dl=n_tokens — every version,
-  tombstones included), `vermeta` (per live version: source, quality
-  score, qk, content hash h — the persisted quality-signal row), and
-  `hterm` (distinct (h, term) postings — a content hash's term set,
-  the stage-6 sufficient statistic that survives deletes because it is
-  keyed by CONTENT, not by doc).
+  tombstones included, EXCEPT identical-content re-sends of the
+  current live version, which are ledger no-ops — ADVICE r12, see
+  _land_funnel_ledger), `vermeta` (per live version: source, quality
+  score, qk, content hash h — the persisted quality-signal row;
+  dp-partitioned), and `hterm` (distinct (h, term) postings — a
+  content hash's term set, the stage-6 sufficient statistic that
+  survives deletes because it is keyed by CONTENT, not by doc).
 - SIGNATURE rows are version-stamped with ts; the near-dup stage masks
   the store side against the ledger (a tombstoned or superseded
   version stops being a near-dup witness — including tombstones landed
@@ -152,13 +154,22 @@ verdict-immutability contract, plus two funnel-specific ones):
    the change (the unsuppression test pins it).
 2. The engine's exact-dedup state is append-only within its TTL: a
    row whose content hash was already seen never reaches foreachBatch,
-   so if the content's canonical keeper is LATER tombstoned or
-   superseded, the suppressed twin has no judgment row. The report
-   REFUSES loudly when a canonical live winner lacks its judgment row
-   (naming the doc_ids) instead of silently presenting a partial
-   stage 3 — re-ingest the named docs (a fresh version passes the
-   dedup state) to repair. Quality-FAILING rows are immune (their
-   dedup key includes ts precisely so versions never collide).
+   so when such a row becomes a canonical live winner it has no
+   judgment row. A SAME-DOC re-send of the doc's CURRENT live content
+   never enters this state (ADVICE r12): the sibling ledger detects it
+   (h equals the current live winner's h, no tombstone between) and
+   skips the version bump entirely — the landed version stays the
+   winner and every face keeps serving it. The shapes that remain are
+   (a) a DIFFERENT-doc byte twin whose canonical keeper is later
+   tombstoned or superseded, and (b) a same-doc REVERT to an older
+   (non-current) live content, or a delete-then-identical-revival,
+   within the TTL. For those the report REFUSES loudly when a
+   canonical live winner lacks its judgment row (naming the doc_ids)
+   instead of silently presenting a partial stage 3 — repair by
+   re-ingesting the named docs AFTER the dedup TTL has expired (or
+   with changed content); a byte-identical re-ingest inside the TTL is
+   suppressed again. Quality-FAILING rows are immune (their dedup key
+   includes ts precisely so versions never collide).
 3. A signature-store fold masks against the ledger's end-of-horizon
    winners; a version superseded by a not-yet-landed later version
    briefly has no live signature rows (its successor's sigs land with
@@ -476,8 +487,8 @@ def compact_sig_store(
         spark,
         f"{state_dir}/vermeta",
         ledger_upto,
-        cols=_VERMETA_COLS,
-        partition_cols=[],
+        cols=[*_VERMETA_COLS, "dp"],
+        partition_cols=["dp"],
         what="vermeta store dir",
         checkpoint_dir=ledger_checkpoint_dir,
         transform=lambda df: df.join(alive, ["doc_id", "ts"]),
@@ -755,12 +766,31 @@ def funnel_neardup_probe_adhoc(
         (r["band"], r["bprefix"])
         for r in bands.select("band", "bprefix").distinct().collect()
     ]  # bounded: <= |probes| * BANDS pairs
-    store = _pruned_store(spark, f"{state_dir}/sigs", 1 << 62, touched)
-    if store is None:
+    sigs_dir = f"{state_dir}/sigs"
+    _assert_local_dir(sigs_dir, "signature store dir")
+    if not (
+        os.path.isdir(sigs_dir)
+        and any(e.startswith("batch_id=") for e in os.listdir(sigs_dir))
+    ):
         raise ValueError(
             f"no signature store under {state_dir!r}: nothing has "
             "landed yet (run curation_funnel_stream first)"
         )
+    if not touched:
+        # the store EXISTS but no probe produced a shingle (every text
+        # is shorter than the 3-token shingle width): batch semantics
+        # say a shingle-less doc never pairs, so every probe is a KEEP
+        # — raising the missing-store error here would misdiagnose a
+        # landed store as absent (ADVICE r12)
+        return (
+            spark.createDataFrame(
+                [(pid, False, 0) for pid in ids],
+                "probe_id bigint, is_dup boolean, n_matches bigint",
+            )
+            .withColumn("best_est", F.lit(None).cast("double"))
+            .orderBy("probe_id")
+        )
+    store = _pruned_store(spark, sigs_dir, 1 << 62, touched)
     tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
     cols = ["doc_id", "sig", "band", "bkey"]
     keys = bands.select("band", "bkey").distinct()
@@ -820,6 +850,56 @@ def funnel_neardup_probe_adhoc(
     )
 
 
+# winner-h point-lookup cap (the _STATS_LOOKUP_CAP shape): batches with
+# up to this many distinct doc_ids resolve the redundant-re-send check
+# via dp + doc_id IN literals pushed into the dp-partitioned ledger
+# stores (row-group skipping on the doc_id-sorted fold); larger batches
+# fall back to the dp-pruned scan + semi join.
+_LEDGER_LOOKUP_CAP = 8192
+
+
+def _current_live_h(
+    spark: SparkSession, state_dir: str, before: int, docs: DataFrame
+):
+    """(doc_id, ts, h) of each given doc's CURRENT LIVE LWW winner over
+    ledger batches < `before` (the replay guard: a re-run sibling batch
+    never consults its own failed attempt's rows) — None when no ledger
+    has landed yet or `docs` is empty. Cost is the LSM read-before-
+    write shape: dp-pruned + (below _LEDGER_LOOKUP_CAP) doc_id-IN
+    point lookups against the folded doc_id-sorted docmeta/vermeta;
+    above the cap, a dp-pruned scan + semi join."""
+    from .retrieval_index import _dp_col, _lww, _read_store
+
+    dm_dir = f"{state_dir}/docmeta"
+    vm_dir = f"{state_dir}/vermeta"
+    if not (os.path.isdir(dm_dir) and os.path.isdir(vm_dir)):
+        return None
+    want = docs.select("doc_id").distinct().withColumn("dp", _dp_col())
+    rows = want.limit(_LEDGER_LOOKUP_CAP + 1).collect()
+    if not rows:
+        return None
+    dm = _read_store(spark, dm_dir, "docmeta store dir").filter(
+        F.col("batch_id") < before
+    )
+    vm = _read_store(spark, vm_dir, "vermeta store dir").filter(
+        F.col("batch_id") < before
+    )
+    if len(rows) <= _LEDGER_LOOKUP_CAP:
+        dps = sorted({r["dp"] for r in rows})
+        idl = sorted({r["doc_id"] for r in rows})
+        dm = dm.filter(F.col("dp").isin(dps)).filter(F.col("doc_id").isin(idl))
+        vm = vm.filter(F.col("dp").isin(dps)).filter(F.col("doc_id").isin(idl))
+    else:
+        dps = sorted(
+            r["dp"] for r in want.select("dp").distinct().collect()
+        )  # bounded: <= _DOC_PREFIXES values
+        keys = want.select("doc_id")
+        dm = dm.filter(F.col("dp").isin(dps)).join(keys, "doc_id", "semi")
+        vm = vm.filter(F.col("dp").isin(dps)).join(keys, "doc_id", "semi")
+    win = _lww(dm).filter(~F.col("deleted")).select("doc_id", "ts")
+    return win.join(vm.select("doc_id", "ts", "h"), ["doc_id", "ts"])
+
+
 def _land_funnel_ledger(
     batch: DataFrame, batch_id: int, state_dir: str
 ) -> None:
@@ -828,11 +908,32 @@ def _land_funnel_ledger(
     so certificate state is real state): the dp-partitioned docmeta
     version ledger (every version, tombstones included; dl = the
     signal battery's n_tokens), vermeta (per live version: NULL-source
-    sentinel, exact-decimal quality score, the qk rule, content hash),
-    and hterm (distinct (h, term) postings of the batch's live
-    contents). Batch-id-scoped overwrite — idempotent replay, the
-    shared store contract. One signal pass feeds all three writes
-    (persisted by the caller when the source scan is worth sharing)."""
+    sentinel, exact-decimal quality score, the qk rule, content hash;
+    dp-partitioned so the winner-h lookup below prunes), and hterm
+    (distinct (h, term) postings of the batch's live contents).
+    Batch-id-scoped overwrite — idempotent replay, the shared store
+    contract. One signal pass feeds all three writes (persisted by the
+    caller when the source scan is worth sharing).
+
+    IDENTICAL-CONTENT RE-SEND = LEDGER NO-OP (ADVICE r12, medium): a
+    live version whose content hash equals its immediate predecessor's
+    — the doc's current live LWW winner, or an earlier live version in
+    this same batch — is DROPPED from all three writes. The engine's
+    exact-dedup state suppresses that row downstream (dedup_key = h for
+    quality passers), so it will never land signatures or a judgment
+    row; recording its ts as the LWW winner would permanently mask the
+    landed version's signatures (the serving/probe faces silently stop
+    serving a live, never-deleted doc) and fail-stop the report's
+    orphan gate with a repair recipe that cannot work (a byte-identical
+    re-ingest is suppressed again within the TTL). Discarding it —
+    ts AND metadata (source) — matches the engine's suppression
+    exactly: the landed version simply remains current. Tombstones
+    break the chain: a delete followed by a byte-identical re-send IS
+    a version bump (the revival must go live), and lands in the
+    engine-suppression divergence (note 2) if it falls inside the
+    TTL."""
+    from pyspark.sql import Window
+
     from .retrieval_index import _dp_col
 
     deleted = F.coalesce(F.col("deleted"), F.lit(False))
@@ -853,16 +954,55 @@ def _land_funnel_ledger(
         "n_tokens",
     ).persist()
     try:
+        tombs = batch.filter(deleted).select(
+            "doc_id",
+            F.col("ingest_ts").alias("ts"),
+            F.lit(True).alias("deleted"),
+            F.lit(None).cast("string").alias("h"),
+        )
+        vers = sig.select(
+            "doc_id", "ts", F.lit(False).alias("deleted"), "h"
+        ).unionByName(tombs).withColumn("_anchor", F.lit(False))
+        anchor = _current_live_h(
+            batch.sparkSession, state_dir, batch_id,
+            sig.select("doc_id"),
+        )
+        if anchor is not None:
+            vers = vers.unionByName(
+                anchor.select(
+                    "doc_id", "ts", F.lit(False).alias("deleted"), "h"
+                ).withColumn("_anchor", F.lit(True))
+            )
+        # per-doc version sequence (anchor first — its ts precedes every
+        # batch version under the ordering contract; the tie-break keeps
+        # it first even under a violated contract): a live row is
+        # REDUNDANT iff its immediate predecessor is live with equal h
+        wseq = Window.partitionBy("doc_id").orderBy(
+            "ts", F.col("_anchor").desc()
+        )
+        redundant = (
+            vers.withColumn(
+                "_r",
+                ~F.col("deleted")
+                & ~F.col("_anchor")
+                & F.coalesce(
+                    (F.lag("h").over(wseq) == F.col("h"))
+                    & ~F.lag("deleted").over(wseq),
+                    F.lit(False),
+                ),
+            )
+            .filter(F.col("_r"))
+            .select("doc_id", "ts")
+        )
         (
             sig.select(
                 "doc_id", "ts", F.lit(False).alias("deleted"),
                 F.col("n_tokens").alias("dl"),
             )
+            .join(redundant, ["doc_id", "ts"], "anti")
             .unionByName(
-                batch.filter(deleted).select(
-                    "doc_id",
-                    F.col("ingest_ts").alias("ts"),
-                    F.lit(True).alias("deleted"),
+                tombs.select(
+                    "doc_id", "ts", "deleted",
                     F.lit(None).cast("long").alias("dl"),
                 )
             )
@@ -874,15 +1014,28 @@ def _land_funnel_ledger(
         )
         (
             sig.select(*_VERMETA_COLS)
+            .join(redundant, ["doc_id", "ts"], "anti")
+            .withColumn("dp", _dp_col())
+            .repartition("dp")
             .write.mode("overwrite")
+            .partitionBy("dp")
             .parquet(f"{state_dir}/vermeta/batch_id={batch_id}")
         )
         # hterm needs the token arrays — a second narrow pass over the
         # batch's live rows (tokens are deliberately NOT persisted in
-        # sig: the array dwarfs the signal row)
+        # sig: the array dwarfs the signal row). Redundant re-sends are
+        # excluded for consistency; their h's postings already landed
+        # with the predecessor (identical content, identical term set).
         (
-            quality_signals_of(live, with_toks=True)
+            quality_signals_of(live, keep=("ingest_ts",), with_toks=True)
             .filter(F.col("h").isNotNull())
+            .join(
+                redundant.select(
+                    "doc_id", F.col("ts").alias("ingest_ts")
+                ),
+                ["doc_id", "ingest_ts"],
+                "anti",
+            )
             .select("h", F.explode(F.array_distinct("toks")).alias("term"))
             .distinct()
             .write.mode("overwrite")
@@ -974,8 +1127,10 @@ def curation_funnel_stream(
 
     # The VERSION LEDGER, accumulated per batch in a SIBLING availableNow
     # stream over the same drops (own checkpoint). It must see rows
-    # BEFORE the exact-dedup state drops losers (a suppressed re-send's
-    # ledger row must still land) and it must see tombstones the main
+    # BEFORE the exact-dedup state drops losers (a suppressed
+    # DIFFERENT-doc twin's ledger row must still land; a same-doc
+    # identical-content re-send is the one deliberate no-op —
+    # _land_funnel_ledger) and it must see tombstones the main
     # query filters out. It drains FIRST, so by the time the main query
     # judges anything the invocation's full version knowledge is landed
     # — the module's masking contract. The sibling's batch ids are its
@@ -1401,10 +1556,13 @@ def curation_funnel_stream_report(
             f"canonical live winners {orphans} have no judgment row: "
             "their content was suppressed by the engine's exact-dedup "
             "state (a byte-identical keeper later tombstoned or "
-            "superseded — the module's divergence note 2) or the main "
-            "query crashed behind the ledger. Re-ingest the named docs "
-            "(a fresh version passes the dedup state) or resume the "
-            "run, then re-request the report."
+            "superseded, a same-doc revert to older content, or a "
+            "delete-then-identical-revival — the module's divergence "
+            "note 2) or the main query crashed behind the ledger. "
+            "Resume a crashed run; otherwise re-ingest the named docs "
+            "AFTER the dedup TTL has expired or with changed content "
+            "(a byte-identical re-ingest inside the TTL is suppressed "
+            "again), then re-request the report."
         )
 
     # stage 5: the bottom-quartile source rule over ALL live winners

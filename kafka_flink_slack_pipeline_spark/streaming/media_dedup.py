@@ -646,14 +646,29 @@ def media_dedup_probe_adhoc(
         .distinct()
         .collect()  # bounded: <= probes' units * BANDS
     ]
-    store = _pruned_fp_store(
-        spark, f"{state_dir}/fingerprints", 1 << 62, touched
-    )
-    if store is None:
+    fp_dir = f"{state_dir}/fingerprints"
+    _assert_local_dir(fp_dir, "fingerprint store dir")
+    if not (
+        os.path.isdir(fp_dir)
+        and any(e.startswith("batch_id=") for e in os.listdir(fp_dir))
+    ):
         raise ValueError(
             f"no fingerprint store under {state_dir!r}: nothing "
             "has landed yet (run media_dedup_stream first)"
         )
+    if not touched:
+        # the store EXISTS but every probe was unroutable or empty
+        # (the documented exclusion rule: such payloads yield no row)
+        # — raising the missing-store error here would misdiagnose a
+        # landed store as absent (ADVICE r12); return the zero-row
+        # verdict frame in the output schema instead
+        return spark.createDataFrame(
+            [],
+            "probe_id bigint, modality string, n_units bigint, "
+            "keep boolean, n_dups bigint, best_hamming bigint, "
+            "best_coverage double",
+        )
+    store = _pruned_fp_store(spark, fp_dir, 1 << 62, touched)
     tail = _tail_live(spark, state_dir, _fold_horizon(state_dir))
     hist = _mask_visible(store, tail, key="doc_id").select(*_STORE_COLS)
     sized = hist.withColumn(

@@ -1046,6 +1046,151 @@ def test_funnel_neardup_probe_adhoc(spark, tmp_path):
     with pytest.raises(ValueError, match="no probe texts"):
         funnel_neardup_probe_adhoc(spark, d["state"], {})
 
+    # ADVICE r12: a workload whose EVERY text is shorter than the
+    # 3-token shingle width is all-KEEP on a landed store (batch
+    # semantics: a shingle-less doc never pairs) — not the
+    # missing-store error the empty touched list used to trigger ...
+    short = funnel_neardup_probe_adhoc(
+        spark, d["state"], {7: "hi there", 8: "x"}
+    ).collect()
+    assert [
+        (r["probe_id"], r["is_dup"], r["n_matches"], r["best_est"])
+        for r in short
+    ] == [(7, False, 0, None), (8, False, 0, None)]
+    # ... while a genuinely absent store still refuses loudly, even
+    # for a shingle-less workload
+    with pytest.raises(ValueError, match="no signature store"):
+        funnel_neardup_probe_adhoc(
+            spark, str(tmp_path / "nostate"), {7: "hi there"}
+        )
+
+
+def test_funnel_identical_resend_is_ledger_noop(spark, tmp_path):
+    """ADVICE r12 (medium): a byte-identical re-send of a LIVE doc
+    (same doc_id, same text, later distinct ingest_ts — legal under the
+    ordering contract) is suppressed by the engine's exact-dedup state,
+    so the sibling ledger must treat it as a NO-OP: the landed version
+    stays the LWW winner (no docmeta/vermeta bump), its signatures keep
+    witnessing (the probe face — the advice's empirical repro), the
+    product read path keeps serving the doc, and the report does not
+    orphan-gate. A DIFFERENT-content re-send still bumps normally; a
+    within-batch identical pair collapses to its first (min-ts) row —
+    the row the engine's keyed state keeps under the ordering
+    contract. All re-asserted after a physical fold."""
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _committed_horizon,
+        compact_sig_store,
+        funnel_neardup_probe_adhoc,
+        landed_documents_current,
+    )
+
+    w_text, b_text, x1, x2 = _synth_neardup_texts()
+    stops = "the a of is and"
+    y_base = stops + " " + " ".join(f"ytok{i:02d}" for i in range(50))
+    extra = [(10, w_text, "s0"), (30, x1, "s0")]
+    corpus = _corpus_dir_of(spark, tmp_path, "corpus", extra)
+    d = {
+        "drop": str(tmp_path / "drop"),
+        "out": str(tmp_path / "out"),
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    os.makedirs(d["drop"])
+    _write_jsonl(
+        f"{d['drop']}/w1.jsonl",
+        _funnel_drop_recs(extra, "2025-01-01T00:00:00.000Z"),
+        1700000000,
+    )
+    _run(spark, corpus, d)
+    report_before = _stage_rows(
+        curation_funnel_stream_report(spark, d["state"])
+    )
+
+    def probe(texts):
+        return {
+            r["probe_id"]: r["is_dup"]
+            for r in funnel_neardup_probe_adhoc(
+                spark, d["state"], texts
+            ).collect()
+        }
+
+    def n_versions(sub, did):
+        return (
+            spark.read.option("basePath", f"{d['state']}/{sub}")
+            .parquet(f"{d['state']}/{sub}")
+            .filter(f"doc_id = {did}")
+            .count()
+        )
+
+    assert probe({5: b_text}) == {5: True}
+
+    # wave 2: byte-identical re-send of LIVE doc 10 at a later distinct
+    # ts, inside the 2h dedup TTL — the advice's exact shape
+    _write_jsonl(
+        f"{d['drop']}/w2.jsonl",
+        _funnel_drop_recs([(10, w_text, "s0")], "2025-01-01T00:30:00.000Z"),
+        1700000001,
+    )
+    _run(spark, corpus, d)
+
+    # ledger no-op: no docmeta/vermeta bump for doc 10
+    assert n_versions("docmeta", 10) == 1, "identical re-send bumped docmeta"
+    assert n_versions("vermeta", 10) == 1
+    # serving faces still see the doc (pre-fix: probe silently flipped
+    # to False and the report fail-stopped on the orphan gate)
+    assert probe({5: b_text}) == {5: True}, "landed sigs must keep witnessing"
+    assert (
+        _stage_rows(curation_funnel_stream_report(spark, d["state"]))
+        == report_before
+    )
+    assert 10 in {
+        r["doc_id"]
+        for r in landed_documents_current(
+            spark, d["out"], d["state"]
+        ).collect()
+    }, "product read path must keep serving the re-sent live doc"
+
+    # wave 3: a DIFFERENT-content re-send of doc 30 (normal bump) and a
+    # new doc 40 sent TWICE byte-identically within one batch (collapses
+    # to its first row; the engine's first-arrival keep under per-key
+    # order makes min-ts the kept one)
+    _write_jsonl(
+        f"{d['drop']}/w3.jsonl",
+        _funnel_drop_recs([(30, x2, "s0")], "2025-01-01T01:00:00.000Z")
+        + _funnel_drop_recs(
+            [(40, y_base + " taily", "s0")], "2025-01-01T01:00:01.000Z"
+        )
+        + _funnel_drop_recs(
+            [(40, y_base + " taily", "s0")], "2025-01-01T01:00:02.000Z"
+        ),
+        1700000002,
+    )
+    _run(spark, corpus, d)
+    assert n_versions("docmeta", 30) == 2, "content change must still bump"
+    assert n_versions("docmeta", 40) == 1, "within-batch identical pair"
+    got3 = probe({1: b_text, 2: x1 + " tailp", 3: y_base + " tailp"})
+    assert got3 == {1: True, 2: False, 3: True}, (
+        "W keeps witnessing, superseded x1 stopped, the collapsed "
+        "doc 40 witnesses"
+    )
+    rep3 = _stage_rows(curation_funnel_stream_report(spark, d["state"]))
+    assert rep3[(0, "raw")][0] == 3  # live winners: 10, 30, 40
+
+    # physical fold: the no-op'd ledger folds cleanly and every face
+    # answers identically after it
+    compact_sig_store(
+        spark,
+        d["state"],
+        upto=_committed_horizon(d["ckpt"]),
+        checkpoint_dir=d["ckpt"],
+        ledger_checkpoint_dir=f"{d['ckpt']}_ledger",
+        out_dir=d["out"],
+    )
+    assert probe({1: b_text, 2: x1 + " tailp", 3: y_base + " tailp"}) == got3
+    assert (
+        _stage_rows(curation_funnel_stream_report(spark, d["state"])) == rep3
+    )
+
 
 def test_funnel_out_of_order_version_repaired_at_fold(spark, tmp_path):
     """The ORDERING CONTRACT's documented failure-and-repair path, the

@@ -607,6 +607,27 @@ def test_media_probe_adhoc(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="no probe payloads"):
         media_dedup_probe_adhoc(spark, d["state"], {})
 
+    # ADVICE r12: an ALL-unroutable workload on a landed store returns
+    # the zero-row verdict frame (the documented exclusion rule: such
+    # payloads yield no row) — not the missing-store error the empty
+    # touched list used to trigger ...
+    empty = media_dedup_probe_adhoc(
+        spark, d["state"], {9: (b"x" * 500, "application/pdf")}
+    )
+    assert empty.columns == [
+        "probe_id", "modality", "n_units", "keep", "n_dups",
+        "best_hamming", "best_coverage",
+    ]
+    assert empty.count() == 0
+    # ... while a genuinely absent store still refuses loudly, even
+    # for an unroutable workload
+    with pytest.raises(ValueError, match="no fingerprint store"):
+        media_dedup_probe_adhoc(
+            spark,
+            str(tmp_path / "nostate"),
+            {9: (b"x" * 500, "application/pdf")},
+        )
+
 
 def test_media_same_batch_multi_version_lww(spark, tmp_path):
     """ADVICE r11 (medium): ONE micro-batch carrying two versions of a
