@@ -1,0 +1,367 @@
+"""Cross-store version propagation (streaming/cross_store.py): one
+logical delete/update lands in ALL FIVE incremental stores through one
+call, each via its existing ledger kernel, and the consistency
+certificate proves the stores agree — the r12 verdict's top item.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_flink_slack_pipeline_spark.streaming.cross_store import (
+    assert_cross_store_consistent,
+    cross_store_doc_state,
+    propagate_doc_versions,
+)
+
+
+def _texts():
+    stops = "the a of is and"
+    w = stops + " " + " ".join(f"wtok{i:02d}" for i in range(50))
+    x = stops + " " + " ".join(f"u1tok{i:02d}" for i in range(50))
+    z = stops + " " + " ".join(f"ztok{i:02d}" for i in range(50))
+    return w + " tailw", x + " tailx", z + " tailz", w + " tailprobe", z + " tailprobe"
+
+
+def _emb_of(spark, sf_dir, vec_id):
+    r = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(f"vec_id = {vec_id}")
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in r["embedding"]]
+
+
+@pytest.fixture(scope="module")
+def xs(spark, sf_dir, tmp_path_factory):
+    """The five-store fixture: dirs, models, bench frames, payloads."""
+    from kafka_flink_slack_pipeline_spark.operators.curation import (
+        fuzzy_bench_frames,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.similarity import (
+        _centroid_model,
+    )
+    from kafka_flink_slack_pipeline_spark.operators.textops import tokens_col
+
+    base = tmp_path_factory.mktemp("xstore")
+    stores = {}
+    for kind in ("funnel", "bm25", "hybrid", "semantic", "media"):
+        stores[kind] = {
+            "drop_dir": str(base / kind / "drop"),
+            "state_dir": str(base / kind / "state"),
+            "checkpoint_dir": str(base / kind / "ckpt"),
+        }
+    model = _centroid_model(spark, sf_dir)
+    stores["hybrid"]["codebook"] = model
+    stores["semantic"]["model"] = model
+    w_text, x_text, z_text, _, _ = _texts()
+    toked = spark.createDataFrame(
+        [(10, w_text), (30, x_text), (11, z_text)],
+        "doc_id bigint, text string",
+    ).select("doc_id", tokens_col().alias("toks"))
+    bench_sh, bench_sizes = fuzzy_bench_frames(toked)
+    stores["funnel"].update(
+        {
+            "out_dir": str(base / "funnel" / "out"),
+            "bench_sh": bench_sh,
+            "bench_sizes": bench_sizes,
+            "ttl": "2 hours",
+        }
+    )
+    return {
+        "stores": stores,
+        "model": model,
+        "p1": bytes((i * 7) % 256 for i in range(2048)),
+        "p3": bytes((i * 13 + 5) % 256 for i in range(2048)),
+        "emb10": _emb_of(spark, sf_dir, 10),
+        "emb30": _emb_of(spark, sf_dir, 30),
+        "emb40": _emb_of(spark, sf_dir, 40),
+    }
+
+
+def _faces(spark, xs):
+    """One liveness answer per store FACE for the logical doc 10 under
+    its current facets — each face is the store's own non-ingesting
+    probe/serve path."""
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        funnel_neardup_probe_adhoc,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        hybrid_index_search_adhoc,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
+        media_dedup_probe_adhoc,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        bm25_index_search_adhoc,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        semantic_dedup_probe_adhoc,
+    )
+
+    st = xs["stores"]
+    _, _, _, w_probe, z_probe = _texts()
+    fun = {
+        r["probe_id"]: r["is_dup"]
+        for r in funnel_neardup_probe_adhoc(
+            spark, st["funnel"]["state_dir"], {1: w_probe, 2: z_probe}
+        ).collect()
+    }
+    bm_w = {
+        r["doc_id"]
+        for r in bm25_index_search_adhoc(
+            spark, st["bm25"]["state_dir"], {1: "wtok07", 2: "ztok07"}
+        ).collect()
+    }
+    hy = {
+        r["doc_id"]
+        for r in hybrid_index_search_adhoc(
+            spark,
+            st["hybrid"]["state_dir"],
+            st["hybrid"]["codebook"],
+            {1: ("wtok07 ztok07", xs["emb10"])},
+        ).collect()
+    }
+    sem = {
+        r["probe_id"]: r["keep"]
+        for r in semantic_dedup_probe_adhoc(
+            spark,
+            st["semantic"]["state_dir"],
+            xs["model"],
+            {1: xs["emb10"], 2: xs["emb40"]},
+        ).collect()
+    }
+    med = {
+        r["probe_id"]: r["keep"]
+        for r in media_dedup_probe_adhoc(
+            spark,
+            st["media"]["state_dir"],
+            {1: (xs["p1"], "image/png"), 2: (xs["p3"], "image/png")},
+        ).collect()
+    }
+    return fun, bm_w, hy, sem, med
+
+
+def test_cross_store_tombstone_and_update_propagation(spark, sf_dir, xs):
+    """The centerpiece: land one logical doc (text + vector + media
+    facets) into all five stores in ONE propagate call; tombstone it
+    ONCE; every store's probe/serve face agrees it is gone and the
+    consistency certificate is green. Revive it with NEW facets
+    (passing every store's ordering contract and the funnel's dedup
+    state); every face serves the new facets. Fold EVERY store
+    (physical drops); every answer and the certificate survive the
+    folds. Reference anchor: current-state re-read per lookup,
+    slackEventServer.js:187-202."""
+    st = xs["stores"]
+    w_text, x_text, z_text, _, _ = _texts()
+
+    # wave 1: doc 10 with ALL facets; doc 30 text+vector only
+    wave1 = [
+        {
+            "doc_id": 10,
+            "ingest_ts": "2025-01-01T00:00:00.000Z",
+            "text": w_text,
+            "lang": "en",
+            "source": "s0",
+            "embedding": xs["emb10"],
+            "payload_b64": base64.b64encode(xs["p1"]).decode(),
+            "mimetype": "image/png",
+        },
+        {
+            "doc_id": 30,
+            "ingest_ts": "2025-01-01T00:00:01.000Z",
+            "text": x_text,
+            "lang": "en",
+            "source": "s0",
+            "embedding": xs["emb30"],
+        },
+    ]
+    written = propagate_doc_versions(spark, wave1, st)
+    assert all(written[k] for k in ("funnel", "bm25", "hybrid", "semantic"))
+    assert written["media"]  # doc 10 carries the payload facet
+
+    fun, bm, hy, sem, med = _faces(spark, xs)
+    assert fun[1] is True, "funnel: near-twin of landed W must be a dup"
+    assert 10 in bm, "bm25: W's term must hit doc 10"
+    assert 10 in hy, "hybrid: fused search must surface doc 10"
+    assert sem[1] is False, "semantic: W's own vector must be a dup"
+    assert med[1] is False, "media: W's own payload must be a dup"
+    state = assert_cross_store_consistent(spark, [10, 30], xs["stores"])
+    known10 = {r["store"] for r in state.collect()
+               if r["doc_id"] == 10 and r["known"]}
+    assert known10 == {"funnel", "bm25", "hybrid", "semantic", "media"}
+    assert all(r["live"] for r in state.collect()
+               if r["doc_id"] == 10 and r["known"])
+
+    # ONE tombstone — the "forget doc 10" request — fans out everywhere
+    tomb = [
+        {
+            "doc_id": 10,
+            "ingest_ts": "2025-02-01T00:00:00.000Z",
+            "deleted": True,
+        }
+    ]
+    written2 = propagate_doc_versions(spark, tomb, st)
+    assert all(written2[k] for k in written2), "tombstones route to EVERY store"
+
+    fun, bm, hy, sem, med = _faces(spark, xs)
+    assert fun[1] is False, "funnel: tombstoned witness still suppresses"
+    assert 10 not in bm, "bm25: tombstoned doc still served"
+    assert 10 not in hy, "hybrid: tombstoned doc still served"
+    assert sem[1] is True, "semantic: tombstoned reference still suppresses"
+    assert med[1] is True, "media: tombstoned reference still suppresses"
+    state = assert_cross_store_consistent(spark, [10, 30], xs["stores"])
+    assert not any(r["live"] for r in state.collect() if r["doc_id"] == 10)
+
+    # revival with NEW facets (new content passes the funnel's TTL'd
+    # exact-dedup state — the divergence-note-2 discipline)
+    wave3 = [
+        {
+            "doc_id": 10,
+            "ingest_ts": "2025-03-01T00:00:00.000Z",
+            "text": z_text,
+            "lang": "en",
+            "source": "s0",
+            "embedding": xs["emb40"],
+            "payload_b64": base64.b64encode(xs["p3"]).decode(),
+            "mimetype": "image/png",
+        }
+    ]
+    propagate_doc_versions(spark, wave3, st)
+
+    def assert_revived():
+        fun, bm, hy, sem, med = _faces(spark, xs)
+        assert fun == {1: False, 2: True}, "only the NEW text witnesses"
+        assert 10 in bm, "bm25: revived doc must serve its new term"
+        assert 10 in hy
+        assert sem == {1: True, 2: False}, "only the NEW vector is a dup"
+        assert med == {1: True, 2: False}, "only the NEW payload is a dup"
+        assert_cross_store_consistent(spark, [10, 30], xs["stores"])
+
+    assert_revived()
+
+    # fold EVERY store (physical LWW drops) and re-assert everything;
+    # each store's docmeta folds to ONE winner row for doc 10
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _committed_horizon,
+        compact_sig_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        compact_hybrid_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
+        compact_media_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        compact_retrieval_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        compact_semantic_store,
+    )
+
+    compact_sig_store(
+        spark,
+        st["funnel"]["state_dir"],
+        upto=_committed_horizon(st["funnel"]["checkpoint_dir"]),
+        checkpoint_dir=st["funnel"]["checkpoint_dir"],
+        ledger_checkpoint_dir=st["funnel"]["checkpoint_dir"] + "_ledger",
+        out_dir=st["funnel"]["out_dir"],
+    )
+    compact_retrieval_store(
+        spark,
+        st["bm25"]["state_dir"],
+        upto=_committed_horizon(st["bm25"]["checkpoint_dir"]),
+        checkpoint_dir=st["bm25"]["checkpoint_dir"],
+    )
+    compact_hybrid_store(
+        spark,
+        st["hybrid"]["state_dir"],
+        upto=_committed_horizon(st["hybrid"]["checkpoint_dir"]),
+        checkpoint_dir=st["hybrid"]["checkpoint_dir"],
+    )
+    compact_semantic_store(
+        spark,
+        st["semantic"]["state_dir"],
+        upto=_committed_horizon(st["semantic"]["checkpoint_dir"]),
+        checkpoint_dir=st["semantic"]["checkpoint_dir"],
+    )
+    compact_media_store(
+        spark,
+        st["media"]["state_dir"],
+        upto=_committed_horizon(st["media"]["checkpoint_dir"]),
+        checkpoint_dir=st["media"]["checkpoint_dir"],
+    )
+    for kind in xs["stores"]:
+        n = (
+            spark.read.option(
+                "basePath", f"{st[kind]['state_dir']}/docmeta"
+            )
+            .parquet(f"{st[kind]['state_dir']}/docmeta")
+            .filter("doc_id = 10")
+            .count()
+        )
+        assert n == 1, f"{kind}: doc 10's superseded versions not folded"
+    assert_revived()
+
+
+def test_cross_store_divergence_is_loud(spark, sf_dir, xs):
+    """A delete wave that reaches only SOME stores (the exact failure
+    mode the propagator exists to prevent) turns the certificate RED,
+    naming the doc and the per-store verdicts; propagating to the
+    left-behind store repairs it. Runs after the centerpiece
+    (module-scoped stores: doc 30 is live in funnel/bm25/hybrid/
+    semantic and unknown to media — unknown stores never vote)."""
+    st = xs["stores"]
+    partial = {k: st[k] for k in ("funnel", "bm25", "hybrid")}
+    tomb = [
+        {
+            "doc_id": 30,
+            "ingest_ts": "2025-04-01T00:00:00.000Z",
+            "deleted": True,
+        }
+    ]
+    propagate_doc_versions(spark, tomb, partial)
+    with pytest.raises(ValueError, match="liveness disagreement.*30"):
+        assert_cross_store_consistent(spark, [10, 30], xs["stores"])
+    # repair: land the SAME wave in the left-behind store
+    propagate_doc_versions(spark, tomb, {"semantic": st["semantic"]})
+    state = assert_cross_store_consistent(spark, [10, 30], xs["stores"])
+    rows = state.collect()
+    assert not any(r["live"] for r in rows if r["doc_id"] == 30)
+    assert not any(
+        r["known"] for r in rows
+        if r["doc_id"] == 30 and r["store"] == "media"
+    ), "media never saw doc 30 — unknown stores must not vote"
+
+
+def test_propagate_refuses_bad_input(spark, xs):
+    st = xs["stores"]
+    with pytest.raises(ValueError, match="unknown store kinds"):
+        propagate_doc_versions(
+            spark, [{"doc_id": 1, "ingest_ts": "2025-01-01T00:00:00Z"}],
+            {"postgres": {"drop_dir": "/tmp/x"}},
+        )
+    with pytest.raises(ValueError, match="empty version wave"):
+        propagate_doc_versions(spark, [], {"bm25": st["bm25"]})
+    with pytest.raises(ValueError, match="doc_id/ingest_ts"):
+        propagate_doc_versions(spark, [{"text": "hi"}], {"bm25": st["bm25"]})
+    with pytest.raises(ValueError, match="mimetype"):
+        propagate_doc_versions(
+            spark,
+            [
+                {
+                    "doc_id": 1,
+                    "ingest_ts": "2025-01-01T00:00:00Z",
+                    "payload_b64": "aGk=",
+                }
+            ],
+            {"media": st["media"]},
+            run=False,
+        )
+    with pytest.raises(ValueError, match="no doc_ids"):
+        cross_store_doc_state(spark, [], xs["stores"])
