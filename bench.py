@@ -158,6 +158,12 @@ HEADLINE = [
     # pair kernel over 128-byte signature rows) — next to
     # dedup_minhash_lsh this prices store-serving vs text recompute.
     "funnel_sigstore_served_lww",
+    # r13 addition: the funnel PRODUCT SINK's serving read — the
+    # landed-corpus member of the *_served_lww family. Landing + the
+    # wave-1 masked fold (out_dir included) run at frame-build; the
+    # timed passes measure the reader a training job runs: the pruned
+    # landed-corpus scan + the ledger tail mask over the text payload.
+    "funnel_landed_served_lww",
     # r4 addition: the production ANN composition — promoted to the
     # headline set once the r3 codegen blowup was fixed (per-vector PQ
     # codes + literal-centroid narrow-map assignment; was 35.5 s at

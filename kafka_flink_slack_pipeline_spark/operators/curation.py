@@ -1855,6 +1855,108 @@ def _funnel_sigstore_served_oracle() -> str:
     )
 
 
+def funnel_landed_served_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel PRODUCT SINK's update/delete read path under the
+    driver's hash — the landed-corpus member of the *_served_lww family
+    (bm25/hybrid r11, signature store r12; r12 verdict item 3: the
+    product mask was test-pinned but had no serving certificate). Land
+    the corpus as wave 1 of a REAL funnel ledger + lang-partitioned
+    landing sink via the stream's own kernels (_land_funnel_ledger +
+    the landing write shape the foreachBatch stage uses), land the
+    SAME deterministic update/tombstone wave 2 as the signature
+    certificate (every doc_id%10==7 doubled, every doc_id%10==3
+    tombstoned), fold wave 1 WITH the product sink
+    (compact_sig_store(out_dir=...): tombstoned/superseded landed
+    files physically dropped), and SERVE landed_documents_current — so
+    version-stamped landing, the fold's physical mask on the product
+    sink, and the read-time tail mask are value-hash-checked over the
+    TEXT PAYLOAD itself (a training job that consumed the raw
+    directory would train on deleted documents; this row certifies the
+    reader that doesn't). Oracle: the LWW corpus CTE verbatim.
+    Reference anchor: current-state re-read per lookup,
+    slackEventServer.js:187-202.
+
+    Scale shape: the read path is the deployment's — one pruned
+    columnar scan of the landed corpus plus the broadcast-sized ledger
+    tail mask (priced across three store decades in
+    SCALE_PROBE_FUNNEL.json's landed_read_path face: both shapes
+    ~linear because the op RETURNS the corpus; the mask term measured
+    as the flat masked-minus-raw delta)."""
+    from ..streaming.curation_funnel import (
+        _land_funnel_ledger,
+        compact_sig_store,
+        landed_documents_current,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    upd = F.col("doc_id") % 10 == 7
+    tomb = F.col("doc_id") % 10 == 3
+    wave1 = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ingest_ts"),
+        F.lit(False).alias("deleted"),
+    )
+    wave2 = d.filter(upd | tomb).select(
+        "doc_id",
+        F.when(tomb, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("text"), F.lit(" "), F.col("text")))
+        .alias("text"),
+        "lang",
+        "source",
+        F.lit("2025-01-02 00:00:00").cast("timestamp").alias("ingest_ts"),
+        tomb.alias("deleted"),
+    )
+
+    def build(state: str) -> None:
+        out = f"{state}/out"
+        for i, wave in enumerate((wave1, wave2)):
+            _land_funnel_ledger(wave, i, state)
+            live = wave.filter(~F.col("deleted"))
+            (
+                live.select(
+                    "doc_id",
+                    "text",
+                    "source",
+                    "ingest_ts",
+                    F.size(
+                        F.filter(tokens_col(), lambda t: t != "")
+                    ).cast("long").alias("n_tokens"),
+                    "lang",
+                )
+                .write.mode("overwrite")
+                .partitionBy("lang")
+                .parquet(f"{out}/batch_id={i}")
+            )
+        # fold wave 1 only (out_dir included: the product sink's
+        # physical mask) — wave 2 stays the uncompacted tail, so the
+        # serve exercises BOTH masking regimes
+        compact_sig_store(spark, state, upto=1, ledger_upto=1, out_dir=out)
+
+    state = _served_state_dir("funnel_landed_served_lww", sf_dir, build)
+    return (
+        landed_documents_current(spark, f"{state}/out", state)
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+_FUNNEL_LANDED_SERVED_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 7 THEN text || ' ' || text
+            ELSE text END AS text,
+       lang,
+       source
+FROM documents
+WHERE doc_id % 10 <> 3
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # HYBRID retrieval fusion (reciprocal-rank fusion, Cormack et al. 2009):
 # the production shape for RAG / curation retrieval is BM25 ∪ dense
@@ -3231,6 +3333,14 @@ QUERIES = [
               "(physical LWW drop), serve the store's implied near-dup "
               "pairs through the tail mask; oracle = the banded minhash "
               "pair SQL over the LWW CTE"),
+    QuerySpec("funnel_landed_served_lww", funnel_landed_served_lww,
+              _FUNNEL_LANDED_SERVED_ORACLE,
+              "the PRODUCT-SINK serving certificate: land corpus + an "
+              "update/tombstone wave into the real funnel ledger + "
+              "landing sink, fold wave 1 with out_dir (physical drop "
+              "of tombstoned/superseded landed files), serve "
+              "landed_documents_current through the tail mask; oracle "
+              "= the LWW corpus CTE over the text payload"),
     QuerySpec("corpus_curation_funnel", corpus_curation_funnel,
               _curation_funnel_oracle(),
               "end-to-end curation funnel: quality -> exact dedup -> "

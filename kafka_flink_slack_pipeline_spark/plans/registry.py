@@ -643,6 +643,23 @@ _DEMOTED = (
     # remains a bench headliner (bench membership is window-
     # independent) and its own oracle stays verify_local-covered.
     "dedup_minhash_lsh",
+    # r13: one slot for funnel_landed_served_lww (new-code rule: the
+    # PRODUCT-SINK serving certificate — version-stamped landing, the
+    # fold's physical mask on landed files, and the read-time tail
+    # mask value-hashed over the text payload itself, completing the
+    # *_served_lww family on the funnel's output face).
+    # source_quality_report rotates out in a PARENT-SWAP, the
+    # bm25_keyword_search/dedup_minhash_lsh precedent: its ENTIRE rule
+    # battery (quality_signals_of -> NULL->'' source sentinel ->
+    # per-source decimal-mean quality -> (mean_quality, source) rank
+    # window -> bottom-quartile kept rule) executes AND hash-checks
+    # in-window inside corpus_curation_funnel's stage 5 (curation.py
+    # srck — the same expressions verbatim; any scoring/rank/kept bug
+    # flips the funnel's stage-5/6 counts and its driver hash), its
+    # oracle composes the same quartile SQL, and it stays
+    # verify_local-covered and a bench headliner (bench membership is
+    # window-independent).
+    "source_quality_report",
     # r9: one slot for quality_classifier_distill (new-code rule: the
     # trained member completing the quality trio — rule batteries, LM
     # perplexity, discriminative classifier). doc_bigram_lm_score
