@@ -96,6 +96,8 @@ from kafka_flink_slack_pipeline_spark.session import get_spark  # noqa: E402
 from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (  # noqa: E402
     _bprefix_col,
     _pruned_store,
+    funnel_neardup_probe_adhoc,
+    landed_documents_current,
 )
 from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (  # noqa: E402
     _dp_col,
@@ -273,6 +275,79 @@ def _neardup_count(
     )
 
 
+def _build_landed(spark, sf_dir: str, out_dir: str) -> None:
+    """The landed PRODUCT sink matching the ledger fixture: every base
+    doc's v1 row (ts0) plus the 250 re-ingested tail targets' v2 rows
+    (ts1) — so the read mask drops 250 tombstoned v1 rows, swaps 250
+    superseded v1 rows for their v2s, and serves the rest untouched."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        f"doc_id < {BASE_DOCS}"
+    )
+    cols = [
+        "doc_id",
+        "text",
+        "source",
+        F.lit(_TS0).cast("timestamp").alias("ingest_ts"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        "lang",
+    ]
+    docs.select(*cols).write.mode("overwrite").partitionBy("lang").parquet(
+        f"{out_dir}/batch_id=0"
+    )
+    mid = (TAIL_SRC[0] + TAIL_SRC[1]) // 2
+    v2 = docs.filter(f"doc_id >= {mid} AND doc_id < {TAIL_SRC[1]}")
+    cols[3] = F.lit(_TS1).cast("timestamp").alias("ingest_ts")
+    v2.select(*cols).write.mode("overwrite").partitionBy("lang").parquet(
+        f"{out_dir}/batch_id=1"
+    )
+
+
+def _add_landed_replicas(spark, out_base: str, out_dir: str, n_rep: int):
+    """n_rep shifted-id replicas of the base v1 rows — landed-corpus
+    growth in docs the ledger never touched (all stay visible)."""
+    base = spark.read.parquet(f"{out_base}/batch_id=0")
+    (
+        base.withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(n_rep))))
+        .select(
+            (F.col("doc_id") + F.col("r") * F.lit(1_000_000)).alias(
+                "doc_id"
+            ),
+            "text", "source", "ingest_ts", "n_tokens", "lang",
+        )
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(f"{out_dir}/batch_id=2")
+    )
+
+
+def _serve_landed(spark, out_dir: str, state_dir: str, masked: bool):
+    """One landed-corpus read: the narrow projection + order-free
+    digest both shapes share, so the masked/raw delta isolates the
+    tail-mask join (a bare parquet count() would be footer-only and
+    not comparable)."""
+    if masked:
+        df = landed_documents_current(spark, out_dir, state_dir)
+    else:
+        df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    row = (
+        df.select("doc_id", "ingest_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # modular digest: a raw sum of xxhash64 longs overflows
+            # under ANSI mode at millions of rows
+            F.sum(
+                F.pmod(
+                    F.xxhash64("doc_id", "ingest_ts"),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("dig"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["dig"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="SCALE_PROBE_FUNNEL.json")
@@ -366,6 +441,131 @@ def main() -> None:
         )
         assert min(results["pruned"]["flagged_by_store"].values()) > 0
 
+        # r13: price the PROBE FACE (funnel_neardup_probe_adhoc — the
+        # non-ingesting request path, previously test-pinned but
+        # unpriced) across the same decades. The face runs the full
+        # path per request: signature kernel over the probe texts +
+        # pruned masked store scan + pair join.
+        probe_texts = {
+            int(r["doc_id"]): r["text"]
+            for r in spark.read.parquet(
+                f"{corpus_dir}/documents.parquet"
+            )
+            .filter(
+                f"doc_id >= {BATCH_SRC[0]} AND doc_id < {BATCH_SRC[1]}"
+            )
+            .collect()
+        }
+
+        def _probe_dups(state_dir: str) -> int:
+            return sum(
+                1
+                for r in funnel_neardup_probe_adhoc(
+                    spark, state_dir, probe_texts
+                ).collect()
+                if r["is_dup"]
+            )
+
+        ptimes: dict[str, float] = {}
+        pdups: dict[str, int] = {}
+        for name, (state_dir, _before) in states.items():
+            n0 = _probe_dups(state_dir)  # warmup + verdict snapshot
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                n = _probe_dups(state_dir)
+                samples.append(time.time() - t0)
+                assert n == n0
+            ptimes[name] = round(min(samples), 3)
+            pdups[name] = n0
+        assert len(set(pdups.values())) == 1 and pdups["base"] > 0, (
+            "probe verdicts must be store-size-invariant and non-trivial"
+        )
+        results["probe_adhoc"] = {
+            "times_by_store": ptimes,
+            "dup_probes_by_store": pdups,
+            "store_size_exponent": round(
+                math.log(ptimes["x100"] / ptimes["base"])
+                / math.log(growth),
+                3,
+            ),
+        }
+
+        # r13: price the LANDED-CORPUS read path (landed_documents_
+        # current — the PRODUCT sink under the mask) vs the raw read.
+        # Returning the corpus is inherently O(corpus) — both shapes
+        # grow ~linearly — so the claim here is that the MASK adds a
+        # size-independent term, read off the masked-minus-raw delta.
+        out_base = f"{work}/out_base"
+        _build_landed(spark, corpus_dir, out_base)
+        outs = {"base": out_base}
+        for name, n_rep in STORE_REPLICAS.items():
+            if n_rep == 0:
+                continue
+            od = f"{work}/out_{name}"
+            shutil.copytree(out_base, od)
+            _add_landed_replicas(spark, out_base, od, n_rep)
+            outs[name] = od
+        landed: dict[str, dict] = {"landed_current": {}, "landed_raw": {}}
+        lrows: dict[str, dict[str, int]] = {"landed_current": {}, "landed_raw": {}}
+        for masked, face in ((True, "landed_current"), (False, "landed_raw")):
+            for name in states:
+                state_dir = states[name][0]
+                n0, dig0 = _serve_landed(spark, outs[name], state_dir, masked)
+                samples = []
+                for _ in range(2):
+                    t0 = time.time()
+                    n, dig = _serve_landed(
+                        spark, outs[name], state_dir, masked
+                    )
+                    samples.append(time.time() - t0)
+                    assert (n, dig) == (n0, dig0)
+                landed[face][name] = round(min(samples), 3)
+                lrows[face][name] = n0
+        mid = (TAIL_SRC[0] + TAIL_SRC[1]) // 2
+        for name, n_rep in STORE_REPLICAS.items():
+            rep_rows = BASE_DOCS * n_rep
+            assert lrows["landed_raw"][name] == (
+                BASE_DOCS + (TAIL_SRC[1] - mid) + rep_rows
+            )
+            # mask: -250 tombstoned v1, -250 superseded v1 (+ their v2s
+            # already counted in raw)
+            assert lrows["landed_current"][name] == (
+                BASE_DOCS - (mid - TAIL_SRC[0]) + rep_rows
+            )
+        results["landed_read_path"] = {
+            "times_by_store": landed,
+            "rows_by_store": lrows,
+            "mask_overhead_s_by_store": {
+                name: round(
+                    landed["landed_current"][name]
+                    - landed["landed_raw"][name],
+                    3,
+                )
+                for name in states
+            },
+            "current_exponent": round(
+                math.log(
+                    landed["landed_current"]["x100"]
+                    / landed["landed_current"]["base"]
+                )
+                / math.log(
+                    lrows["landed_raw"]["x100"] / lrows["landed_raw"]["base"]
+                ),
+                3,
+            ),
+            "raw_exponent": round(
+                math.log(
+                    landed["landed_raw"]["x100"]
+                    / landed["landed_raw"]["base"]
+                )
+                / math.log(
+                    lrows["landed_raw"]["x100"] / lrows["landed_raw"]["base"]
+                ),
+                3,
+            ),
+        }
+
         out = {
             "metric": "funnel_store_growth_exponent",
             "method": "fixed 50-duplicate-doc batch vs landed stores "
@@ -379,7 +579,14 @@ def main() -> None:
             "tail is bounded by compaction cadence, so its mask-join "
             "cost term is size-independent (the claim the exponent "
             "verifies); timed region = store scan + tail mask + bucket "
-            "semi-join + cap window + pair join; warmup + 2 passes, min",
+            "semi-join + cap window + pair join; warmup + 2 passes, min. "
+            "r13 adds two read-path faces over the same decades: "
+            "probe_adhoc = funnel_neardup_probe_adhoc with the 50 "
+            "duplicate texts as the request workload (full path: "
+            "signature kernel + pruned masked scan + pair join), and "
+            "landed_read_path = landed_documents_current (the PRODUCT "
+            "sink under the mask) vs the raw unmasked read with an "
+            "identical projection+digest action",
             "caveats": "tail targets sit OUTSIDE the probe batch's "
             "duplicate range so the flagged set stays size-invariant "
             "while the mask does real work; unsuppression CORRECTNESS "
@@ -387,7 +594,12 @@ def main() -> None:
             "this probe prices the mask; pruned-path residual growth "
             "is partition discovery (metastore-class fix at cluster "
             "scale), and the full_rescan counterfactual applies the "
-            "same mask — it isolates scan shape only",
+            "same mask — it isolates scan shape only. The landed read "
+            "path RETURNS the corpus, so both its shapes are "
+            "inherently ~linear (exponent ~1 expected); the claim is "
+            "the masked-minus-raw DELTA staying flat, and its row "
+            "counts are asserted exactly (tombstoned v1 gone, "
+            "superseded v1 swapped for v2)",
             "store_rows": store_rows,
             "shapes": results,
             "flat": results["pruned"]["store_size_exponent"] < 0.3,
