@@ -54,6 +54,18 @@ inside the stores' measured per-batch paths (SCALE_PROBE_FUNNEL /
 _INDEX / _HYBRID / _SEMANTIC / _MEDIA). The certificate reads only
 the wave's own doc_ids out of each ledger — a dp-pruned doc_id-IN
 point lookup per store (the _live_stats shape), never a corpus scan.
+
+HONEST LIMIT — liveness agreement is not face health: the certificate
+reads the LEDGERS, so it cannot see a doc that is ledger-live but
+unserved by one face. The one known shape is the funnel's
+delete-then-identical-revival inside the dedup TTL (curation_funnel
+divergence note 2: the ledger records the revival, but the engine's
+content-keyed state suppresses the row, so no signatures land) —
+bm25/hybrid/semantic/media re-judge every version and have no such
+state. That shape is caught loudly by the funnel's OWN report gate
+(the orphan check); to propagate a revival safely within the TTL,
+send it with changed content (the centerpiece test's discipline) or
+wait out the TTL.
 """
 
 from __future__ import annotations

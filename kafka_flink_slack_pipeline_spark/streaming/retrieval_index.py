@@ -130,6 +130,18 @@ _DOC_PREFIXES = 32
 # the doc_id-sorted folded docmeta (row-group skipping); larger tails
 # fall back to the dp-pruned scan. Sized to keep the literal list and
 # the driver round-trip trivial at streaming cadence.
+#
+# Measured-and-DECLINED retune (r13, SCALE_PROBE_COMPACTION's
+# reproducible bm25 tail=16 bump): at a ~2.5k-doc tail over a 10k-doc
+# fold, the dp-pruned fallback served in 5.11 s vs the IN-literal
+# path's 6.30 s — thousand-element IN literals carry real driver-side
+# planning cost, which is the bump the knob table shows. Lowering the
+# cap would invert at the production target: the fallback's fold scan
+# grows with the folded corpus (a 1B-doc fold's dp slice is millions
+# of rows) while the literal's cost stays O(tail) regardless of fold
+# size — the literal is the LSM point-lookup shape the flat serving
+# exponent (SCALE_PROBE_INDEX) depends on. The bump is bounded by the
+# cap and vanishes at the compaction cadences the stores default to.
 _STATS_LOOKUP_CAP = 8192
 _POSTING_COLS = ["term", "doc_id", "tf", "dl", "ts"]
 _DOCMETA_COLS = ["doc_id", "ts", "deleted", "dl", "dp"]
