@@ -309,6 +309,93 @@ def cross_store_doc_state(
     return out.orderBy("doc_id", "store")
 
 
+def cross_store_face_audit(
+    spark: SparkSession,
+    doc_id: int,
+    facets: dict,
+    stores: dict[str, dict],
+) -> dict[str, bool]:
+    """{store: served} per configured store whose facet is given — the
+    FACE-level complement to the ledger certificate: each answer comes
+    from the store's own non-ingesting serving/probe path, so this is
+    the audit a forget request runs AFTER propagation ("is this
+    document's content still discoverable anywhere?").
+
+    `facets` carries whichever the document had: `text` (audits
+    funnel + bm25 + hybrid), `embedding` (semantic + hybrid's dense
+    side), `payload` bytes + `mimetype` (media). Semantics per face,
+    stated honestly: bm25/hybrid answer by DOC IDENTITY (doc_id in the
+    search results for the text/vector as the query); funnel, semantic
+    and media are CONTENT-keyed dedup faces, so they answer "does this
+    content have a live witness" — the right question for a forget
+    audit (a byte-twin under another doc_id still serves the content),
+    but not a per-id lookup. A store without its facet is omitted from
+    the result, and a store that never landed anything raises its own
+    loud missing-store error. Nothing is written anywhere.
+
+    This audits FACE HEALTH, which the liveness certificate cannot see
+    (the module docstring's honest-limit note): a ledger-live doc whose
+    serving rows were engine-suppressed shows live=True there but
+    served=False here."""
+    unknown = sorted(set(stores) - set(STORE_KINDS))
+    if unknown:
+        raise ValueError(f"unknown store kinds {unknown}")
+    out: dict[str, bool] = {}
+    text = facets.get("text")
+    emb = facets.get("embedding")
+    payload = facets.get("payload")
+    if "funnel" in stores and text is not None:
+        from .curation_funnel import funnel_neardup_probe_adhoc
+
+        row = funnel_neardup_probe_adhoc(
+            spark, stores["funnel"]["state_dir"], {0: text}
+        ).collect()[0]
+        out["funnel"] = bool(row["is_dup"])
+    if "bm25" in stores and text is not None:
+        from .retrieval_index import bm25_index_search_adhoc
+
+        hits = bm25_index_search_adhoc(
+            spark, stores["bm25"]["state_dir"], {0: text}
+        ).collect()
+        out["bm25"] = any(r["doc_id"] == doc_id for r in hits)
+    if "hybrid" in stores and (text is not None or emb is not None):
+        from .hybrid_index import hybrid_index_search_adhoc
+
+        hits = hybrid_index_search_adhoc(
+            spark,
+            stores["hybrid"]["state_dir"],
+            stores["hybrid"]["codebook"],
+            {0: (text or "", emb)},
+        ).collect()
+        out["hybrid"] = any(r["doc_id"] == doc_id for r in hits)
+    if "semantic" in stores and emb is not None:
+        from .semantic_dedup import semantic_dedup_probe_adhoc
+
+        row = semantic_dedup_probe_adhoc(
+            spark,
+            stores["semantic"]["state_dir"],
+            stores["semantic"]["model"],
+            {0: emb},
+        ).collect()[0]
+        out["semantic"] = not row["keep"]
+    if "media" in stores and payload is not None:
+        from .media_dedup import media_dedup_probe_adhoc
+
+        rows = media_dedup_probe_adhoc(
+            spark,
+            stores["media"]["state_dir"],
+            {0: (payload, facets.get("mimetype"))},
+        ).collect()
+        # an unroutable/empty payload yields no row — not discoverable
+        out["media"] = any(not r["keep"] for r in rows)
+    if not out:
+        raise ValueError(
+            "no auditable facet for the configured stores: pass text, "
+            "embedding, or payload(+mimetype)"
+        )
+    return out
+
+
 def assert_cross_store_consistent(
     spark: SparkSession, doc_ids: list[int], stores: dict[str, dict]
 ) -> DataFrame:

@@ -339,6 +339,54 @@ def test_cross_store_divergence_is_loud(spark, sf_dir, xs):
     ), "media never saw doc 30 — unknown stores must not vote"
 
 
+def test_cross_store_face_audit(spark, sf_dir, xs):
+    """The FACE-level audit a forget request runs after propagation
+    (runs after the centerpiece + divergence tests; module state:
+    doc 10 live with the z/emb40/p3 facets, doc 30 tombstoned in every
+    store that knew it): every serving/probe face reports the live
+    doc's content discoverable and the forgotten doc's content gone;
+    an empty facet set and unknown stores refuse loudly."""
+    from kafka_flink_slack_pipeline_spark.streaming.cross_store import (
+        cross_store_face_audit,
+    )
+
+    _, x_text, z_text, _, _ = _texts()
+    live = cross_store_face_audit(
+        spark,
+        10,
+        {
+            "text": z_text,
+            "embedding": xs["emb40"],
+            "payload": xs["p3"],
+            "mimetype": "image/png",
+        },
+        xs["stores"],
+    )
+    assert live == {
+        "funnel": True,
+        "bm25": True,
+        "hybrid": True,
+        "semantic": True,
+        "media": True,
+    }, "every face must serve the live doc's facets"
+    gone = cross_store_face_audit(
+        spark,
+        30,
+        {"text": x_text, "embedding": xs["emb30"]},
+        xs["stores"],
+    )
+    assert gone == {
+        "funnel": False,
+        "bm25": False,
+        "hybrid": False,
+        "semantic": False,
+    }, "no face may still serve the forgotten doc's content"
+    with pytest.raises(ValueError, match="no auditable facet"):
+        cross_store_face_audit(spark, 10, {}, xs["stores"])
+    with pytest.raises(ValueError, match="unknown store kinds"):
+        cross_store_face_audit(spark, 10, {"text": "x"}, {"redis": {}})
+
+
 def test_propagate_refuses_bad_input(spark, xs):
     st = xs["stores"]
     with pytest.raises(ValueError, match="unknown store kinds"):
