@@ -31,15 +31,25 @@ ROUTING RULE (facet-directed):
   - deleted=true (a tombstone) fans out to EVERY configured store —
     a forget request must retire every facet of the document;
   - a live version lands in the stores whose facet it carries:
-    text        -> funnel + bm25 (+ hybrid, with the embedding facet
-                   when present — the hybrid store's own left-join
-                   semantics treat a null embedding as text-only);
+    text        -> funnel + bm25;
+    text and/or
+    embedding   -> hybrid. Hybrid is a TWO-facet store under whole-doc
+                   LWW, so a partial-facet version forwarded naively
+                   would silently evict the face it does not carry;
+                   _route_hybrid_wave therefore carries a doc's
+                   earlier in-wave facets into its later partial rows,
+                   backfills a final text-only state with the doc's
+                   CURRENT stored embedding (the facet that did not
+                   change stays live), and refuses loudly on an
+                   embedding-only update to a doc whose current hybrid
+                   version carries text (text is not reconstructable
+                   from derived postings) — ADVICE r13;
     embedding   -> semantic (vec_id = doc_id: the 1:1 id contract the
                    hybrid workload already states);
     payload_b64 -> media.
-  A live version that does NOT carry a store's facet is NOT sent
-  there: the facet did not change, so the store's current version
-  stays live — liveness (not version ts) is the cross-store
+  A live version that does NOT carry a single-facet store's facet is
+  NOT sent there: the facet did not change, so the store's current
+  version stays live — liveness (not version ts) is the cross-store
   invariant, which is exactly what the certificate checks.
 
 ORDERING: the wave inherits every store's ordering contract (per-doc
@@ -72,14 +82,15 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STORE_KINDS = ("funnel", "bm25", "hybrid", "semantic", "media")
 
-# store kind -> (drop-schema field order, facet fields a LIVE row must
-# carry to be routed there; tombstones route everywhere)
+# store kind -> drop-schema field order
 _STORE_FIELDS = {
     "funnel": ("doc_id", "text", "lang", "source", "ingest_ts", "deleted"),
     "bm25": ("doc_id", "text", "ingest_ts", "deleted"),
@@ -87,13 +98,30 @@ _STORE_FIELDS = {
     "semantic": ("vec_id", "embedding", "ingest_ts", "deleted"),
     "media": ("doc_id", "payload_b64", "mimetype", "ingest_ts", "deleted"),
 }
+# facet a LIVE row must carry to route to the SINGLE-facet stores
+# (tombstones route everywhere); hybrid is two-facet and routed by
+# _route_hybrid_wave instead.
 _LIVE_NEEDS = {
     "funnel": ("text",),
     "bm25": ("text",),
-    "hybrid": ("text",),
     "semantic": ("embedding",),
     "media": ("payload_b64",),
 }
+
+
+def _next_drop_mtime(drop_dir: str) -> int:
+    """Strictly above every existing drop file's mtime AND never below
+    the current wall clock. The file source's maxFileAge window (7d by
+    default) is anchored at the newest timestamp the CHECKPOINT has
+    ever seen, so a wave stamped in the past — the old fixed-1.7e9
+    fallback, reachable whenever previously-processed real-mtime drops
+    were cleaned out of the dir — would be silently ignored as too-old
+    and the propagation would no-op with no error (ADVICE r13)."""
+    existing = [e for e in os.listdir(drop_dir) if e.endswith(".jsonl")]
+    mtimes = [
+        int(os.path.getmtime(os.path.join(drop_dir, e))) for e in existing
+    ]
+    return max(int(time.time()), (max(mtimes) + 1 if mtimes else 0))
 
 
 def _next_drop_path(drop_dir: str) -> tuple[str, int]:
@@ -107,16 +135,29 @@ def _next_drop_path(drop_dir: str) -> tuple[str, int]:
     while os.path.exists(path):  # foreign names in the dir
         n += 1
         path = os.path.join(drop_dir, f"wave_{n:06d}.jsonl")
-    mtimes = [
-        int(os.path.getmtime(os.path.join(drop_dir, e))) for e in existing
-    ]
-    return path, (max(mtimes) + 1 if mtimes else 1_700_000_000)
+    return path, _next_drop_mtime(drop_dir)
+
+
+def _write_drop(path: str, payload: str, mtime: int) -> None:
+    """Atomic drop-file write: stage under a dot-prefixed name (hidden
+    from Spark's file listing), stamp the mtime, then rename into
+    place — a crash mid-write never leaves a partial wave file visible
+    to the store's stream."""
+    tmp = os.path.join(
+        os.path.dirname(path), "." + os.path.basename(path) + ".tmp"
+    )
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.utime(tmp, (mtime, mtime))
+    os.replace(tmp, path)
 
 
 def _route(kind: str, row: dict) -> dict | None:
-    """Project one logical version row into `kind`'s drop schema, or
-    None when the row does not route there (a live version missing the
-    store's facet)."""
+    """Project one logical version row into a SINGLE-facet store's
+    drop schema, or None when the row does not route there (a live
+    version missing the store's facet). Hybrid is two-facet and routes
+    through _route_hybrid_wave (in-wave carry + store consult)."""
+    assert kind != "hybrid", "hybrid routes via _route_hybrid_wave"
     deleted = bool(row.get("deleted") or False)
     if not deleted and any(
         row.get(f) is None for f in _LIVE_NEEDS[kind]
@@ -138,6 +179,182 @@ def _route(kind: str, row: dict) -> dict | None:
             "to route its fingerprint kernel"
         )
     return out
+
+
+def _hybrid_winners(
+    spark: SparkSession, state_dir: str, doc_ids: list[int]
+) -> dict[int, dict]:
+    """Current LWW winner {doc_id: {ts, deleted, dl}} per asked doc
+    from the hybrid docmeta ledger — the certificate's dp-pruned
+    doc_id-IN point-lookup shape, through the guarded read (loud on
+    remote URIs and compaction leftovers; genuinely nothing landed
+    reads as unknown: {})."""
+    from .curation_funnel import _assert_local_dir
+    from .retrieval_index import _dp_col, _lww, _read_store
+
+    dm_dir = f"{state_dir}/docmeta"
+    _assert_local_dir(dm_dir, "hybrid docmeta dir")
+    if not os.path.isdir(dm_dir):
+        return {}
+    ids = sorted({int(d) for d in doc_ids})
+    asked = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id bigint"
+    ).withColumn("dp", _dp_col())
+    dps = sorted({r["dp"] for r in asked.collect()})  # bounded: |ids|
+    dm = (
+        _read_store(spark, dm_dir, "hybrid docmeta store dir")
+        .filter(F.col("dp").isin(dps))
+        .filter(F.col("doc_id").isin(ids))
+    )
+    return {
+        r["doc_id"]: {"ts": r["ts"], "deleted": r["deleted"], "dl": r["dl"]}
+        for r in _lww(dm).collect()
+    }
+
+
+def _hybrid_live_vecs(
+    spark: SparkSession, state_dir: str, want: dict[int, object]
+) -> dict[int, list[float]]:
+    """The raw embedding of each asked doc's CURRENT version, read from
+    the cid-partitioned vector store pinned at the doc's winner ts
+    (version-exact: a superseded vector never matches its doc's winner
+    ts). Bounded output (<= |want|); the scan filters by doc_id with no
+    layout pruning (vectors shard by cid, not doc) — see
+    _route_hybrid_wave's honesty note."""
+    from .curation_funnel import _assert_local_dir
+    from .retrieval_index import _read_store
+
+    vec_dir = f"{state_dir}/vectors"
+    _assert_local_dir(vec_dir, "hybrid vector store dir")
+    if not os.path.isdir(vec_dir):
+        return {}
+    rows = (
+        _read_store(spark, vec_dir, "hybrid vector store dir")
+        .filter(F.col("doc_id").isin(sorted(want)))
+        .select("doc_id", "ts", "emb")
+        .collect()
+    )
+    return {
+        r["doc_id"]: [float(x) for x in r["emb"]]
+        for r in rows
+        if r["ts"] == want[r["doc_id"]]
+    }
+
+
+def _route_hybrid_wave(
+    spark: SparkSession, wave: list[dict], cfg: dict
+) -> list[dict]:
+    """Project the wave into the hybrid store's drop schema under the
+    TWO-FACET rule (ADVICE r13): hybrid's ledger is whole-doc LWW, so
+    a live version that reaches it replaces BOTH faces — a partial-
+    facet row forwarded naively would silently evict the face it does
+    not carry (text-only update -> dense eviction), and the old
+    text-gated routing left an embedding-only update stale by never
+    sending it. Routing here:
+
+      - a live row carrying text or embedding (or both) routes;
+      - within one wave, a doc's earlier live facets carry forward
+        into its later partial rows (the in-wave memo; a tombstone
+        clears it) — a wave is one atomic statement about the doc;
+      - a doc whose FINAL in-wave state is live but text-only is
+        backfilled from the STORE: if its current hybrid winner is
+        live and has a vector, that raw embedding is carried into the
+        drop row — the facet that did not change stays live;
+      - a doc whose final in-wave state is embedding-only while its
+        current hybrid winner is live WITH text refuses loudly: text
+        is not reconstructable from the store (postings are derived),
+        so the caller must carry the text facet (or tombstone first).
+
+    Intermediate partial versions inside one wave need no backfill:
+    the wave lands as one micro-batch and only the LWW winner is ever
+    served, so a superseded-within-the-wave row is never visible.
+
+    The store consult is bounded by the wave: one dp-pruned doc_id-IN
+    ledger point lookup plus (for the embedding carry only) a
+    doc_id-IN read of the cid-partitioned vector store. That second
+    read has no partition pruning by layout, so a deployment doing
+    heavy text-only updates should carry embeddings explicitly; the
+    rows returned stay bounded by the wave either way."""
+    recs: list[dict] = []
+    memo: dict[int, dict] = {}
+    dead_in_wave: set[int] = set()
+    final_live: dict[int, int] = {}  # doc -> index of its last live rec
+    for row in wave:
+        did = row["doc_id"]
+        if bool(row.get("deleted") or False):
+            memo.pop(did, None)
+            dead_in_wave.add(did)
+            final_live.pop(did, None)
+            recs.append(
+                {
+                    "doc_id": did,
+                    "text": None,
+                    "embedding": None,
+                    "ingest_ts": row["ingest_ts"],
+                    "deleted": True,
+                }
+            )
+            continue
+        m = memo.setdefault(did, {})
+        text = row.get("text")
+        emb = row.get("embedding")
+        eff_text = text if text is not None else m.get("text")
+        eff_emb = emb if emb is not None else m.get("embedding")
+        if text is not None:
+            m["text"] = text
+        if emb is not None:
+            m["embedding"] = emb
+        if eff_text is None and eff_emb is None:
+            continue  # no hybrid facet: not routed
+        final_live[did] = len(recs)
+        recs.append(
+            {
+                "doc_id": did,
+                "text": eff_text,
+                "embedding": eff_emb,
+                "ingest_ts": row["ingest_ts"],
+                "deleted": False,
+            }
+        )
+    # store consult: docs whose final in-wave state is live-but-partial
+    # and whose pre-wave store state still governs (an in-wave
+    # tombstone before the final rec supersedes whatever was stored)
+    need = {
+        did: idx
+        for did, idx in final_live.items()
+        if did not in dead_in_wave
+        and (recs[idx]["text"] is None or recs[idx]["embedding"] is None)
+    }
+    if need:
+        winners = _hybrid_winners(spark, cfg["state_dir"], sorted(need))
+        want_emb: dict[int, tuple[int, object]] = {}
+        for did, idx in sorted(need.items()):
+            w = winners.get(did)
+            if w is None or w["deleted"]:
+                continue  # unknown or dead upstream: the row IS the doc
+            if recs[idx]["text"] is None and w["dl"] is not None:
+                raise ValueError(
+                    f"embedding-only update to doc {did}, whose current "
+                    "hybrid version carries text: the hybrid ledger is "
+                    "whole-doc LWW, so forwarding this row would silently "
+                    "evict the lexical face, and text cannot be carried "
+                    "forward from the store (postings are derived). Carry "
+                    "the text facet in the wave (or tombstone first)."
+                )
+            if recs[idx]["embedding"] is None:
+                want_emb[did] = (idx, w["ts"])
+        if want_emb:
+            vecs = _hybrid_live_vecs(
+                spark,
+                cfg["state_dir"],
+                {did: ts for did, (_, ts) in want_emb.items()},
+            )
+            for did, (idx, _) in want_emb.items():
+                # no vector at the winner ts = a lexical-only resident:
+                # the text-only row already IS the doc's whole state
+                if did in vecs:
+                    recs[idx]["embedding"] = vecs[did]
+    return recs
 
 
 def propagate_doc_versions(
@@ -183,17 +400,25 @@ def propagate_doc_versions(
                 "needs an identity and an event time (the stores' "
                 "ordering contract)"
             )
+    # route EVERYTHING first: a routing refusal (hybrid's two-facet
+    # rule) must fire before ANY store's drop file lands, or the
+    # refused wave would itself cause the partial-propagation
+    # divergence this module exists to prevent
+    routed: dict[str, list[dict]] = {}
+    for kind, cfg in stores.items():
+        if kind == "hybrid":
+            routed[kind] = _route_hybrid_wave(spark, wave, cfg)
+        else:
+            routed[kind] = [r for r in (_route(kind, row) for row in wave) if r]
     written: dict[str, str | None] = {}
     for kind, cfg in stores.items():
-        recs = [r for r in (_route(kind, row) for row in wave) if r]
+        recs = routed[kind]
         if not recs:
             written[kind] = None
             continue
+        payload = "".join(json.dumps(r) + "\n" for r in recs)
         path, mtime = _next_drop_path(cfg["drop_dir"])
-        with open(path, "w") as f:
-            for r in recs:
-                f.write(json.dumps(r) + "\n")
-        os.utime(path, (mtime, mtime))
+        _write_drop(path, payload, mtime)
         written[kind] = path
     if run:
         run_store_streams(
@@ -263,11 +488,29 @@ def cross_store_doc_state(
     winner's version ts (NULL when unknown). The read is a dp-pruned
     doc_id-IN point lookup per ledger (the _live_stats shape) — never
     a corpus scan. `doc_ids` is the caller's bounded ask (a forget
-    request names its documents)."""
-    from .retrieval_index import _dp_col, _lww
+    request names its documents).
+
+    Guarded like every other store reader (ADVICE r13): unknown kinds,
+    remote-URI state dirs, and interrupted-compaction leftovers all
+    refuse LOUDLY — each of those would otherwise silently read as
+    'unknown'/partial and turn the certificate green on a store that
+    was never actually checked, the exact silent-divergence failure
+    this certificate exists to prevent. Only the genuine
+    nothing-has-landed case (a local dir that does not exist) reads as
+    known=False."""
+    from .curation_funnel import _assert_local_dir
+    from .retrieval_index import _dp_col, _lww, _read_store
 
     if not doc_ids:
         raise ValueError("no doc_ids given")
+    unknown = sorted(set(stores) - set(STORE_KINDS))
+    if unknown:
+        raise ValueError(
+            f"unknown store kinds {unknown}: a typo'd kind would read a "
+            "nonexistent ledger and silently vote 'unknown', certifying "
+            f"a store that was never checked — known kinds are "
+            f"{sorted(STORE_KINDS)}"
+        )
     ids = sorted({int(d) for d in doc_ids})
     asked = spark.createDataFrame(
         [(i,) for i in ids], "doc_id bigint"
@@ -276,10 +519,10 @@ def cross_store_doc_state(
     out = None
     for kind in sorted(stores):
         dm_dir = f"{stores[kind]['state_dir']}/docmeta"
+        _assert_local_dir(dm_dir, f"{kind} docmeta dir")
         if os.path.isdir(dm_dir):
             dm = (
-                spark.read.option("basePath", dm_dir)
-                .parquet(dm_dir)
+                _read_store(spark, dm_dir, f"{kind} docmeta store dir")
                 .filter(F.col("dp").isin(dps))
                 .filter(F.col("doc_id").isin(ids))
             )

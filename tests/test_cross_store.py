@@ -413,3 +413,166 @@ def test_propagate_refuses_bad_input(spark, xs):
         )
     with pytest.raises(ValueError, match="no doc_ids"):
         cross_store_doc_state(spark, [], xs["stores"])
+
+
+def test_drop_mtime_floors_at_wall_clock(tmp_path):
+    """ADVICE r13 (cross_store.py:113): a wave file must never be
+    stamped older than the current wall clock — the file source's
+    maxFileAge window is anchored at the newest mtime the checkpoint
+    ever saw, so a past-stamped wave written after real-mtime drops
+    were cleaned up would be silently ignored (the propagation would
+    no-op with no error)."""
+    import time
+
+    from kafka_flink_slack_pipeline_spark.streaming.cross_store import (
+        _next_drop_path,
+    )
+
+    drop = str(tmp_path / "drop")
+    before = int(time.time())
+    path, mtime = _next_drop_path(drop)
+    assert mtime >= before, "empty drop dir must stamp at wall clock"
+    # and stays strictly above a future-stamped existing drop
+    open(path, "w").close()
+    os.utime(path, (mtime + 100, mtime + 100))
+    _, m2 = _next_drop_path(drop)
+    assert m2 == mtime + 101
+
+
+def test_doc_state_reader_guards(spark, tmp_path):
+    """ADVICE r13 (cross_store.py:279): the certificate's ledger reads
+    refuse loudly instead of silently certifying — a typo'd kind, a
+    remote-URI state dir, and an interrupted-compaction leftover each
+    previously read as 'unknown'/partial and turned the certificate
+    green on a store that was never actually checked."""
+    with pytest.raises(ValueError, match="unknown store kinds"):
+        cross_store_doc_state(spark, [1], {"redis": {"state_dir": "/tmp/x"}})
+    with pytest.raises(ValueError, match="driver-local"):
+        cross_store_doc_state(
+            spark, [1], {"bm25": {"state_dir": "s3://bucket/x"}}
+        )
+    state = tmp_path / "state"
+    (state / "docmeta" / "_compact_tmp.0").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        cross_store_doc_state(
+            spark, [1], {"bm25": {"state_dir": str(state)}}
+        )
+    # the ONE legitimate silent case: nothing has landed yet (a local
+    # dir that does not exist) still reads as known=False
+    rows = cross_store_doc_state(
+        spark, [1], {"bm25": {"state_dir": str(tmp_path / "virgin")}}
+    ).collect()
+    assert [(r["store"], r["known"]) for r in rows] == [("bm25", False)]
+
+
+def test_hybrid_partial_facet_routing(spark, sf_dir, xs, tmp_path):
+    """ADVICE r13 (cross_store.py:90): hybrid is a TWO-facet store
+    under whole-doc LWW, so partial-facet waves must not silently
+    evict or go stale — embedding-only rows now route there, a
+    text-only update carries the stored embedding forward, the in-wave
+    memo carries a wave's own facets, and an embedding-only update to
+    a text-resident doc refuses loudly before any drop lands."""
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        hybrid_index_search_adhoc,
+    )
+
+    st = {
+        "hybrid": {
+            "drop_dir": str(tmp_path / "drop"),
+            "state_dir": str(tmp_path / "state"),
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+            "codebook": xs["model"],
+        }
+    }
+    w_text, x_text, z_text, _, _ = _texts()
+
+    def dense_hits(emb):
+        return {
+            r["doc_id"]
+            for r in hybrid_index_search_adhoc(
+                spark, st["hybrid"]["state_dir"], xs["model"],
+                {-1: ("", emb)},
+            ).collect()
+        }
+
+    def lex_hits(term):
+        return {
+            r["doc_id"]
+            for r in hybrid_index_search_adhoc(
+                spark, st["hybrid"]["state_dir"], xs["model"],
+                {-1: (term, None)},
+            ).collect()
+        }
+
+    # embedding-only live rows now route to hybrid (a dense-only
+    # resident — the old text-gated routing never sent them, leaving
+    # the dense face stale while semantic served the new vector)
+    propagate_doc_versions(
+        spark,
+        [{"doc_id": 71, "ingest_ts": "2025-01-01T00:00:00.000Z",
+          "embedding": xs["emb30"]}],
+        st,
+    )
+    assert 71 in dense_hits(xs["emb30"])
+
+    # doc 70 lands with BOTH facets; a TEXT-ONLY update must keep the
+    # dense face alive via the store-side embedding carry-forward
+    propagate_doc_versions(
+        spark,
+        [{"doc_id": 70, "ingest_ts": "2025-01-02T00:00:00.000Z",
+          "text": w_text, "embedding": xs["emb10"]}],
+        st,
+    )
+    propagate_doc_versions(
+        spark,
+        [{"doc_id": 70, "ingest_ts": "2025-01-03T00:00:00.000Z",
+          "text": z_text}],
+        st,
+    )
+    assert 70 in dense_hits(xs["emb10"]), (
+        "text-only update evicted the dense face (no carry-forward)"
+    )
+    assert 70 in lex_hits("ztok07"), "the new text must serve"
+    assert 70 not in lex_hits("wtok07"), "the old text is superseded"
+
+    # an embedding-only update to that text-resident doc refuses
+    # loudly (text is not reconstructable from derived postings), and
+    # the refusal fires BEFORE any drop file lands
+    n_drops = len(os.listdir(st["hybrid"]["drop_dir"]))
+    with pytest.raises(ValueError, match="[Cc]arry the text facet"):
+        propagate_doc_versions(
+            spark,
+            [{"doc_id": 70, "ingest_ts": "2025-01-04T00:00:00.000Z",
+              "embedding": xs["emb40"]}],
+            st,
+        )
+    assert len(os.listdir(st["hybrid"]["drop_dir"])) == n_drops
+
+    # in-wave memo: a full row then a text-only row for the SAME doc
+    # inside ONE wave — the wave's own embedding carries forward
+    propagate_doc_versions(
+        spark,
+        [
+            {"doc_id": 72, "ingest_ts": "2025-01-05T00:00:00.000Z",
+             "text": w_text, "embedding": xs["emb40"]},
+            {"doc_id": 72, "ingest_ts": "2025-01-05T00:00:01.000Z",
+             "text": x_text},
+        ],
+        st,
+    )
+    assert 72 in dense_hits(xs["emb40"])
+
+    # a tombstone clears the carry: a post-tombstone text-only revival
+    # is a lexical-only resident (nothing live left to preserve)
+    propagate_doc_versions(
+        spark,
+        [
+            {"doc_id": 71, "ingest_ts": "2025-01-06T00:00:00.000Z",
+             "deleted": True},
+            {"doc_id": 71, "ingest_ts": "2025-01-07T00:00:00.000Z",
+             "text": z_text},
+        ],
+        st,
+    )
+    assert 71 not in dense_hits(xs["emb30"])
+    assert 71 in lex_hits("ztok07")
