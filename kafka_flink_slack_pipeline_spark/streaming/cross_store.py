@@ -362,6 +362,7 @@ def propagate_doc_versions(
     wave: list[dict],
     stores: dict[str, dict],
     run: bool = True,
+    wave_id: str | None = None,
 ) -> dict[str, str | None]:
     """Fan ONE version wave out to every configured store and (by
     default) resume each store's runner so the versions land.
@@ -383,7 +384,20 @@ def propagate_doc_versions(
     to that store}. With run=False only the drop files are written
     (the deployment shape where the stores' runners are scheduled
     elsewhere); the certificate below is meaningful only after the
-    runners have drained."""
+    runners have drained.
+
+    `wave_id` makes the call IDEMPOTENT under crash-retry (r13
+    verdict): the drop lands as wid_<wave_id>.jsonl, and a retry that
+    finds that file already in a store's drop dir verifies its content
+    byte-for-byte (loud on mismatch — that is a DIFFERENT wave reusing
+    the id) and skips the write, so each store's ledger gains exactly
+    one row-set per wave no matter how many times the caller crashed
+    between the drop writes and the runner drain; the runner resume is
+    already idempotent (checkpointed file source), and the retry
+    re-resumes it so a wave whose crash predated the drain still
+    lands. Without a wave_id (the legacy shape) a crash-retry writes a
+    second auto-numbered file: semantically masked by LWW (same ts,
+    same content), but a redundant ledger row per store until fold."""
     unknown = sorted(set(stores) - set(STORE_KINDS))
     if unknown:
         raise ValueError(
@@ -393,6 +407,13 @@ def propagate_doc_versions(
         )
     if not wave:
         raise ValueError("empty version wave: nothing to propagate")
+    if wave_id is not None and not re.fullmatch(
+        r"[A-Za-z0-9][A-Za-z0-9._-]{0,63}", wave_id
+    ):
+        raise ValueError(
+            f"wave_id {wave_id!r} must be 1-64 chars of [A-Za-z0-9._-] "
+            "starting alphanumeric: it names the drop file"
+        )
     for row in wave:
         if row.get("doc_id") is None or row.get("ingest_ts") is None:
             raise ValueError(
@@ -417,8 +438,29 @@ def propagate_doc_versions(
             written[kind] = None
             continue
         payload = "".join(json.dumps(r) + "\n" for r in recs)
-        path, mtime = _next_drop_path(cfg["drop_dir"])
-        _write_drop(path, payload, mtime)
+        if wave_id is not None:
+            os.makedirs(cfg["drop_dir"], exist_ok=True)
+            path = os.path.join(cfg["drop_dir"], f"wid_{wave_id}.jsonl")
+            if os.path.exists(path):
+                with open(path) as f:
+                    if f.read() != payload:
+                        raise ValueError(
+                            f"wave_id {wave_id!r} already names a drop in "
+                            f"{cfg['drop_dir']!r} with DIFFERENT content — "
+                            "the id was reused for a different wave (drop "
+                            "writes are atomic, so this is not a crash "
+                            "remnant). Pick a fresh wave_id; refusing to "
+                            "overwrite possibly-ingested history."
+                        )
+                # the retry found its own completed write: keep the
+                # original file (and mtime — the checkpoint may have
+                # processed it already) and just re-resume the runner
+                written[kind] = path
+                continue
+            _write_drop(path, payload, _next_drop_mtime(cfg["drop_dir"]))
+        else:
+            path, mtime = _next_drop_path(cfg["drop_dir"])
+            _write_drop(path, payload, mtime)
         written[kind] = path
     if run:
         run_store_streams(

@@ -147,6 +147,60 @@ def _faces(spark, xs):
     return fun, bm_w, hy, sem, med
 
 
+def _fold_all(spark, st):
+    """Fold every configured store to its committed horizon (physical
+    LWW drops through each store's own crash-staged compaction)."""
+    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
+        _committed_horizon,
+        compact_sig_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
+        compact_hybrid_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
+        compact_media_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
+        compact_retrieval_store,
+    )
+    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
+        compact_semantic_store,
+    )
+
+    compact_sig_store(
+        spark,
+        st["funnel"]["state_dir"],
+        upto=_committed_horizon(st["funnel"]["checkpoint_dir"]),
+        checkpoint_dir=st["funnel"]["checkpoint_dir"],
+        ledger_checkpoint_dir=st["funnel"]["checkpoint_dir"] + "_ledger",
+        out_dir=st["funnel"]["out_dir"],
+    )
+    compact_retrieval_store(
+        spark,
+        st["bm25"]["state_dir"],
+        upto=_committed_horizon(st["bm25"]["checkpoint_dir"]),
+        checkpoint_dir=st["bm25"]["checkpoint_dir"],
+    )
+    compact_hybrid_store(
+        spark,
+        st["hybrid"]["state_dir"],
+        upto=_committed_horizon(st["hybrid"]["checkpoint_dir"]),
+        checkpoint_dir=st["hybrid"]["checkpoint_dir"],
+    )
+    compact_semantic_store(
+        spark,
+        st["semantic"]["state_dir"],
+        upto=_committed_horizon(st["semantic"]["checkpoint_dir"]),
+        checkpoint_dir=st["semantic"]["checkpoint_dir"],
+    )
+    compact_media_store(
+        spark,
+        st["media"]["state_dir"],
+        upto=_committed_horizon(st["media"]["checkpoint_dir"]),
+        checkpoint_dir=st["media"]["checkpoint_dir"],
+    )
+
+
 def test_cross_store_tombstone_and_update_propagation(spark, sf_dir, xs):
     """The centerpiece: land one logical doc (text + vector + media
     facets) into all five stores in ONE propagate call; tombstone it
@@ -247,55 +301,7 @@ def test_cross_store_tombstone_and_update_propagation(spark, sf_dir, xs):
 
     # fold EVERY store (physical LWW drops) and re-assert everything;
     # each store's docmeta folds to ONE winner row for doc 10
-    from kafka_flink_slack_pipeline_spark.streaming.curation_funnel import (
-        _committed_horizon,
-        compact_sig_store,
-    )
-    from kafka_flink_slack_pipeline_spark.streaming.hybrid_index import (
-        compact_hybrid_store,
-    )
-    from kafka_flink_slack_pipeline_spark.streaming.media_dedup import (
-        compact_media_store,
-    )
-    from kafka_flink_slack_pipeline_spark.streaming.retrieval_index import (
-        compact_retrieval_store,
-    )
-    from kafka_flink_slack_pipeline_spark.streaming.semantic_dedup import (
-        compact_semantic_store,
-    )
-
-    compact_sig_store(
-        spark,
-        st["funnel"]["state_dir"],
-        upto=_committed_horizon(st["funnel"]["checkpoint_dir"]),
-        checkpoint_dir=st["funnel"]["checkpoint_dir"],
-        ledger_checkpoint_dir=st["funnel"]["checkpoint_dir"] + "_ledger",
-        out_dir=st["funnel"]["out_dir"],
-    )
-    compact_retrieval_store(
-        spark,
-        st["bm25"]["state_dir"],
-        upto=_committed_horizon(st["bm25"]["checkpoint_dir"]),
-        checkpoint_dir=st["bm25"]["checkpoint_dir"],
-    )
-    compact_hybrid_store(
-        spark,
-        st["hybrid"]["state_dir"],
-        upto=_committed_horizon(st["hybrid"]["checkpoint_dir"]),
-        checkpoint_dir=st["hybrid"]["checkpoint_dir"],
-    )
-    compact_semantic_store(
-        spark,
-        st["semantic"]["state_dir"],
-        upto=_committed_horizon(st["semantic"]["checkpoint_dir"]),
-        checkpoint_dir=st["semantic"]["checkpoint_dir"],
-    )
-    compact_media_store(
-        spark,
-        st["media"]["state_dir"],
-        upto=_committed_horizon(st["media"]["checkpoint_dir"]),
-        checkpoint_dir=st["media"]["checkpoint_dir"],
-    )
+    _fold_all(spark, st)
     for kind in xs["stores"]:
         n = (
             spark.read.option(
@@ -576,3 +582,102 @@ def test_hybrid_partial_facet_routing(spark, sf_dir, xs, tmp_path):
     )
     assert 71 not in dense_hits(xs["emb30"])
     assert 71 in lex_hits("ztok07")
+
+
+def test_wave_id_crash_retry_is_idempotent(spark, sf_dir, xs):
+    """r13 verdict item 2: a caller that crashes between the drop
+    writes and the runner drain and RETRIES with the same wave_id
+    lands exactly ONE ledger row-set per store — the retry verifies
+    the existing drop byte-for-byte, skips the write, and re-resumes
+    the runners. Runs against the module stores (doc 10 live, doc 30
+    forgotten): doc 50 arrives with every facet, crash-retried, then
+    re-checked across a full fold; reusing the id for a different
+    wave refuses loudly."""
+    from kafka_flink_slack_pipeline_spark.streaming.cross_store import (
+        cross_store_face_audit,
+    )
+
+    st = xs["stores"]
+    stops = "the a of is and"
+    v_text = (
+        stops + " " + " ".join(f"vtok{i:02d}" for i in range(50)) + " tailv"
+    )
+    emb60 = _emb_of(spark, sf_dir, 60)
+    p5 = bytes((i * 31 + 11) % 256 for i in range(2048))
+    wave = [
+        {
+            "doc_id": 50,
+            "ingest_ts": "2025-05-01T00:00:00.000Z",
+            "text": v_text,
+            "lang": "en",
+            "source": "s0",
+            "embedding": emb60,
+            "payload_b64": base64.b64encode(p5).decode(),
+            "mimetype": "image/png",
+        }
+    ]
+    # the crash: every drop lands, no runner ever drains
+    w1 = propagate_doc_versions(spark, wave, st, run=False, wave_id="w50")
+    # the retry: same wave_id — writes nothing new, resumes the runners
+    w2 = propagate_doc_versions(spark, wave, st, run=True, wave_id="w50")
+    assert w1 == w2
+    for kind in st:
+        drops = [
+            e for e in os.listdir(st[kind]["drop_dir"])
+            if e.startswith("wid_w50")
+        ]
+        assert drops == ["wid_w50.jsonl"], f"{kind}: duplicate wave files"
+    # a LATE retry (after the drain) is a no-op end-to-end too: the
+    # checkpointed file source has already processed the wave file
+    w3 = propagate_doc_versions(spark, wave, st, run=True, wave_id="w50")
+    assert w3 == w2
+
+    def assert_landed_once():
+        for kind in st:
+            n = (
+                spark.read.option(
+                    "basePath", f"{st[kind]['state_dir']}/docmeta"
+                )
+                .parquet(f"{st[kind]['state_dir']}/docmeta")
+                .filter("doc_id = 50")
+                .count()
+            )
+            assert n == 1, f"{kind}: crash-retry double-landed doc 50"
+        assert_cross_store_consistent(spark, [10, 30, 50], st)
+        served = cross_store_face_audit(
+            spark,
+            50,
+            {
+                "text": v_text,
+                "embedding": emb60,
+                "payload": p5,
+                "mimetype": "image/png",
+            },
+            st,
+        )
+        assert served == {k: True for k in st}
+
+    assert_landed_once()
+    _fold_all(spark, st)
+    assert_landed_once()
+
+    # id reuse for a DIFFERENT wave refuses loudly (drop writes are
+    # atomic, so a mismatch is never a crash remnant)
+    with pytest.raises(ValueError, match="DIFFERENT content"):
+        propagate_doc_versions(
+            spark,
+            [
+                {
+                    "doc_id": 50,
+                    "ingest_ts": "2025-05-02T00:00:00.000Z",
+                    "text": v_text + " changed",
+                }
+            ],
+            st,
+            run=False,
+            wave_id="w50",
+        )
+    with pytest.raises(ValueError, match="wave_id"):
+        propagate_doc_versions(
+            spark, wave, st, run=False, wave_id="bad/../id"
+        )
