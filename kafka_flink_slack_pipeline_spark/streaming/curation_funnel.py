@@ -1073,7 +1073,13 @@ def curation_funnel_stream(
     knob would just recreate the remember-to-run-it problem); pass
     None to disable and manage compaction externally. Replay-safe: a
     replayed batch re-runs the compaction call, which is a no-op once
-    only one directory remains below its horizon."""
+    only one directory remains below its horizon. To TUNE the cadence
+    for a deployment's serve:ingest ratio, feed the measured curve
+    (SCALE_PROBE_COMPACTION.json, store "funnel_sigs") to
+    compaction_policy.recommend_fold_cadence — the cadence trades
+    fold cost against the tail serve tax and is a cost knob only
+    (serve answers are probe-asserted bit-identical at every fold
+    state)."""
     raw = (
         spark.readStream.schema(DROP_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -545,7 +545,13 @@ def bm25_index_stream(
     only new files process, and replayed batches overwrite their own
     prior store partitions (idempotent replay, the shared contract).
     Drops may carry deleted=true tombstones and re-ingested versions of
-    earlier doc_ids (LWW by ingest_ts; see the module contract)."""
+    earlier doc_ids (LWW by ingest_ts; see the module contract).
+    `compact_every` defaults to 64; to TUNE it for a deployment's
+    serve:ingest ratio, feed the measured curve
+    (SCALE_PROBE_COMPACTION.json, store "bm25_index") to
+    compaction_policy.recommend_fold_cadence — the cadence trades fold
+    cost against the tail serve tax, cost knob only (serve answers are
+    probe-asserted bit-identical at every fold state)."""
 
     raw = (
         spark.readStream.schema(INDEX_DROP_SCHEMA)
