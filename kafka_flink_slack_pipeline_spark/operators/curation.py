@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 from .textops import tokens_col
 
 # --------------------------------------------------------------------------
@@ -1394,6 +1394,13 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(tokens_col(), lambda t: t != "").alias("toks"),
     )
+    # r14: the corpus branch tokenizes AFTER a spread of the raw rows —
+    # the single-row-group scan otherwise runs split+explode on one core
+    # (measured: the whole scan-side stage was 1 task).
+    toked_wide = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.filter(tokens_col(), lambda t: t != "").alias("toks"),
+    )
     # The query workload is a BOUNDED distributed frame (a search request
     # set, not a corpus): the doc_id range predicate below pushes through
     # the tokenization to the parquet scan (row-group pruning on the
@@ -1411,16 +1418,24 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term"
         ),
     )
-    # one corpus branch: explode, broadcast-filter to query terms, tf agg;
-    # df comes from a window over this SAME small frame (one row per
-    # (doc, term)), not a second corpus pass
+    # one corpus branch: explode, broadcast-filter to query terms, ONE
+    # pinned-width exchange by term that serves BOTH the tf aggregation
+    # (hashpartitioning(term) satisfies the (doc, dl, term) clustering —
+    # subset rule) and the df count window; df comes from a window over
+    # this SAME small frame (one row per (doc, term)), not a second
+    # corpus pass. r14: previously the tf groupBy and the df window each
+    # took their own exchange, AQE coalesced both to ONE partition
+    # (1.26 MB shuffle — but ~10^6-row CPU work), and the whole scoring
+    # pipeline ran single-task (measured 1.3 s of a 2.1 s query).
     matched = (
-        toked.select(
-            "doc_id",
-            F.size("toks").cast("double").alias("dl"),
-            F.explode("toks").alias("term"),
+        spread(
+            toked_wide.select(
+                "doc_id",
+                F.size("toks").cast("double").alias("dl"),
+                F.explode("toks").alias("term"),
+            ).join(F.broadcast(queries.select("term").distinct()), "term"),
+            "term",
         )
-        .join(F.broadcast(queries.select("term").distinct()), "term")
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .withColumn(
@@ -1439,12 +1454,19 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
     )
     term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
+    # r14: the per-(doc, term) score is computed ONCE before the query
+    # fan-out join (it does not depend on query_id), so the fanned rows
+    # carry a ready decimal instead of re-evaluating the whole BM25
+    # expression per (query, doc, term) — same summands per (query, doc)
+    # group, so the decimal sum (exact, commutative) and its rounding
+    # are bit-identical.
     scored = (
-        matched.join(F.broadcast(queries), "term")
-        .crossJoin(F.broadcast(stats))
+        matched.crossJoin(F.broadcast(stats))
+        .withColumn("ts_dec", term_score)
+        .join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(
-            F.round(F.sum(term_score).cast("double"), 6).alias("score"),
+            F.round(F.sum("ts_dec").cast("double"), 6).alias("score"),
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )
@@ -2003,8 +2025,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _BM25_EVERY == 0)
         & (F.col("vec_id") < _BM25_EVERY * _BM25_MAX_QUERIES)
     ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    # r14: candidate side spread off the single-task scan (single-row-
+    # group input) so the |Q|x|C| cosine fold parallelizes.
     scored = (
-        emb.select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ne"))
+        spread(emb, "vec_id")
+        .select(F.col("vec_id").alias("doc_id"), F.col("emb").alias("ne"))
         .join(F.broadcast(q), F.col("query_id") != F.col("doc_id"))
         .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
     )

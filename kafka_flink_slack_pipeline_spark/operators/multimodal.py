@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 
 N_HIST_BINS = 16
 FRAME_BYTES = 1000  # fake codec: one "frame" per kB of payload

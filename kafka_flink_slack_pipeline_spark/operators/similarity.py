@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -56,7 +56,11 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"))
+    # r14: candidate side spread off the single-task scan (single-row-
+    # group input) — the |Q|x|C| cosine fold otherwise runs on one core.
+    c = spread(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
@@ -393,16 +397,22 @@ def _lsh_candidates(
     planes = _hyperplanes()
     emb = _emb(spark, sf_dir)
     tables = [planes[t * ANN_NBITS : (t + 1) * ANN_NBITS] for t in range(ANN_TABLES)]
-    bucketed = emb.select(
-        "vec_id",
-        "emb",
-        *[
-            _bucket_expr(F.col("emb"), tables[t]).alias(f"bucket{t}")
-            for t in range(ANN_TABLES)
-        ],
-    )
+    def _bucketed(src: DataFrame) -> DataFrame:
+        return src.select(
+            "vec_id",
+            "emb",
+            *[
+                _bucket_expr(F.col("emb"), tables[t]).alias(f"bucket{t}")
+                for t in range(ANN_TABLES)
+            ],
+        )
+
+    # query side reads the scan directly (vec_id < 10 pushes down);
+    # r14: the candidate side's 4x64-plane bucket fold is spread off the
+    # single-task scan (single-row-group input).
+    bucketed = _bucketed(emb)
     # candidate side: one row per (vector, table)
-    c = bucketed.select(
+    c = _bucketed(spread(emb, "vec_id")).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("ne"),
         F.explode(
@@ -602,7 +612,11 @@ def _ivf_index(
     if model is None:
         model = _centroid_model(spark, sf_dir)
     sims = _centroid_sims(model, F.col("emb"), F.col("nrm"))
-    cand = emb.select(
+    # r14: the per-vector k-centroid cosine array is the compute-dense
+    # head of the candidate side — spread it off the single-task scan
+    # (the probes branch keeps reading the scan directly so its
+    # query_pred still pushes down).
+    cand = spread(emb, "vec_id").select(
         "vec_id", "emb", norm(F.col("emb")).alias("nrm")
     ).select(
         F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"),
@@ -738,7 +752,11 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"d{j}")
         for j in range(_PQ_M)
     ]
-    codes = emb.select(F.col("vec_id").alias("neighbor_id"), *dist_cols).select(
+    # r14: the 8x16 subspace distance folds are the compute-dense head —
+    # spread them off the single-task scan (single-row-group input).
+    codes = spread(emb, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), *dist_cols
+    ).select(
         "neighbor_id",
         *[
             F.array_position(F.col(f"d{j}"), F.array_min(f"d{j}"))

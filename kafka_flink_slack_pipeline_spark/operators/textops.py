@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 
 # BPE-ish token pattern: runs of letters, runs of digits, or single
 # non-alphanumeric-non-space chars (same regex both engines).

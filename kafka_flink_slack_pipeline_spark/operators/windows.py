@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 
 from ..functions.numeric import money_sum
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 
 
 # --------------------------------------------------------------------------

@@ -113,6 +113,7 @@ from ..operators.curation import (
     _BM25_TOPK,
 )
 from ..operators.textops import tokens_col
+from ..tables import spread
 from .curation_funnel import (
     _COMPACT_TMP_PREFIX,
     _assert_local_dir,
@@ -680,13 +681,20 @@ def _serve_workload(
     (query_id, term) workload frame."""
     n, avgdl = _live_stats(spark, state_dir)
     cand = _pruned_postings(spark, f"{state_dir}/postings", terms)
+    # r14: ONE pinned-width exchange by term feeds the df window (the
+    # scoring pipeline previously ran single-task: AQE coalesced the
+    # ~1 MB by-term shuffle to one partition while the query fan-out +
+    # decimal aggregation behind it was ~1 s of CPU — the same shape
+    # measured in bm25_keyword_search, fixed the same way).
     matched = (
-        _mask_visible(cand, tail)
-        .select(
-            "doc_id",
-            F.col("dl").cast("double").alias("dl"),
+        spread(
+            _mask_visible(cand, tail).select(
+                "doc_id",
+                F.col("dl").cast("double").alias("dl"),
+                "term",
+                F.col("tf").cast("double").alias("tf"),
+            ),
             "term",
-            F.col("tf").cast("double").alias("tf"),
         )
         .withColumn(
             "df",
@@ -701,11 +709,16 @@ def _serve_workload(
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
     )
     term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
+    # per-(doc, term) decimal score computed BEFORE the query fan-out
+    # join (it does not depend on query_id): the fanned rows carry a
+    # ready decimal, the per-group summand set is unchanged, so the
+    # exact decimal sum and its rounding are bit-identical.
     scored = (
-        matched.join(F.broadcast(queries), "term")
+        matched.withColumn("ts_dec", term_score)
+        .join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(
-            F.round(F.sum(term_score).cast("double"), 6).alias("score"),
+            F.round(F.sum("ts_dec").cast("double"), 6).alias("score"),
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )

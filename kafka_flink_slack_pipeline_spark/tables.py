@@ -63,6 +63,43 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Pinned-width repartition for a compute-dense pipeline head.
+
+    The testdata tables are single-row-group parquet files, so every scan
+    is one task no matter the core count — the "one huge unsplittable
+    file" input-skew case (optimization guide §2.5): tokenization /
+    shingling / vector math downstream of the scan would otherwise run on
+    one core. A production corpus hits the same wall whenever its file
+    count (or row-group count) is below the cluster's core count.
+
+    Width is `sparkContext.defaultParallelism` (local: the core count;
+    cluster: total executor cores) — scale-adaptive, not a constant — and
+    the explicit numPartitions pins it against AQE coalescing (these
+    shuffles are small-bytes / high-CPU-per-row, exactly the shape AQE's
+    byte-targeted coalescing mis-sizes). With `cols`, hash-partitions by
+    those columns (deterministic under task retry, no sort-before-
+    repartition pass, and reusable by downstream ops keyed on a superset);
+    without, round-robin. Only use on heads whose per-row compute
+    dominates the scan — for a cheap narrow map the extra exchange is
+    pure loss.
+
+    Width default is defaultParallelism // 2, overridable with
+    $SPARK_GRAFT_SPREAD_WIDTH: measured on bm25_keyword_search at sf0.1
+    on this 32-core box, widths 32/16/8/4 gave 1.59/0.82/0.81/1.11 s —
+    past ~half the cores these string/array kernels are memory-bandwidth
+    bound and extra short tasks only add launch overhead. On a cluster
+    whose scan stages are long enough to amortize task launch, set the
+    env to the full core count."""
+    sc = df.sparkSession.sparkContext
+    n = int(
+        os.environ.get("SPARK_GRAFT_SPREAD_WIDTH", "0")
+    ) or max(2, sc.defaultParallelism // 2)
+    if cols:
+        return df.repartition(n, *[F.col(c) for c in cols])
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
