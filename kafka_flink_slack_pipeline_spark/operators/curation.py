@@ -659,7 +659,9 @@ def _doc_quality(d: DataFrame) -> DataFrame:
 
 
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _doc_quality(table(spark, sf_dir, "documents"))
+    # r14: the quality battery ran single-task on the single-row-group
+    # scan; spread the head (the bucket windows downstream are bounded).
+    scored = _doc_quality(spread(table(spark, sf_dir, "documents"), "doc_id"))
     # Phase 1: per-score-bucket totals -> running offset of all BETTER
     # buckets (tiny frame: quality_score has <=11 distinct values).
     bucket_totals = scored.groupBy("quality_score").agg(
@@ -1052,6 +1054,8 @@ def _surprisal_scored(d: DataFrame, with_lang: bool = False) -> DataFrame:
 
 
 def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: a spread of this head was tried and REVERTED (measured 0.43 s
+    # -> 0.58 s — the full-vocab explode aggregates better single-task).
     d = table(spark, sf_dir, "documents")
     return (
         _surprisal_scored(d)

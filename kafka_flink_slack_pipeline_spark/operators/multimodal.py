@@ -449,7 +449,19 @@ def _spread_small_scan(
     # only changes the plan.
     path = os.path.join(sf_dir, "documents.parquet")
     if os.path.isfile(path) and os.path.getsize(path) < (128 << 20):
-        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # r14: width defaultParallelism//4 (was spark.sql.shuffle.
+        # partitions = the full core count). Every task of an Arrow
+        # mapInPandas stage pays a Python-worker round-trip measured at
+        # ~200-300 ms of blocked (non-CPU) time on this box, so for the
+        # few-hundred-row media corpus fewer, fatter batches win (guide
+        # §4.2): media_video_reencode_pairs at widths 32/16/8/4 ->
+        # 1.67/0.90/0.61/0.59 s, media_neardup_phash 0.80/0.56/0.61/0.58,
+        # media_neardup_simhash 0.90/0.65/0.74/0.89 (isolated, min of 3).
+        # Env-overridable for clusters whose kernel stages are long
+        # enough to amortize the worker round-trip.
+        n = int(
+            os.environ.get("SPARK_GRAFT_MEDIA_WIDTH", "0")
+        ) or max(2, spark.sparkContext.defaultParallelism // 4)
         return df.repartition(n, "doc_id")
     return df
 

@@ -368,6 +368,12 @@ def _nb_scored(d: DataFrame) -> DataFrame:
     and scoring math cannot drift between the two driver rows. n_toks
     (total whitespace tokens, the curve's kept-token weight) rides the
     groupBy keys — functionally dependent on doc_id, no extra shuffle."""
+    # r14: all three corpus branches (scoring pass, model pass, class
+    # totals) recompute the quality-signal battery — a regex-heavy
+    # narrow map that ran single-task on the single-row-group scan
+    # (measured 1.46/0.59/0.45 s single-task stages). Spread the input
+    # once; every branch inherits the width.
+    d = spread(d, "doc_id")
     labeled = quality_signals_of(d, with_toks=True).select(
         "doc_id",
         (
@@ -1066,6 +1072,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = table(spark, sf_dir, "documents")
+    # r14: a spread of this head was tried and REVERTED (measured 0.60 s
+    # -> 1.08 s): the unfiltered full-vocab explode feeds a countDistinct
+    # groupBy whose partial aggregation collapses far better from one
+    # partition than from sixteen.
     toks = d.select(
         "lang", "doc_id", F.explode(tokens_col()).alias("term")
     ).filter(F.col("term") != "")
@@ -1196,7 +1206,11 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench_id",
         F.explode(_word_shingles(F.col("toks"), _DECON_NGRAM)).alias("shingle"),
     ).filter(F.col("shingle") != "")
-    corpus_sh = toked.select(
+    # r14: the corpus-side shingle explode spread off the single-task
+    # scan (the bench side keeps the direct scan + doc_id pushdown).
+    corpus_sh = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", tokens_col().alias("toks")
+    ).select(
         "doc_id",
         F.explode(_word_shingles(F.col("toks"), _DECON_NGRAM)).alias("shingle"),
     ).filter(F.col("shingle") != "")
@@ -1488,7 +1502,11 @@ def quality_signal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined, every element_at in the bigram lambda re-splits the text
     # (measured: a keep==1 filter over this report went 0.7 s -> 5 s at
     # sf0.1 before this projection).
-    return quality_signals_of(table(spark, sf_dir, "documents"))
+    # r14: spread the single-row-group scan — the signal battery
+    # (bigram transform per doc) otherwise runs single-task.
+    return quality_signals_of(
+        spread(table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 def quality_signals_of(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 from .textops import tokens_col
 
 # --------------------------------------------------------------------------
@@ -511,8 +511,10 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
         / (F.coalesce(F.col("c2"), F.lit(0)) + 1)
     ).cast("double")
+    # r14: the scoring pass's bigram explode spread off the single-
+    # task scan (the c2/c1/voc model is frame-build state already).
     return (
-        _doc_bigrams(d)
+        _doc_bigrams(spread(d, "doc_id"))
         .join(F.broadcast(c2), ["prev", "cur"], "left")
         .join(F.broadcast(c1), ["prev"], "left")
         .crossJoin(F.broadcast(voc))

@@ -124,8 +124,17 @@ from .curation_funnel import (
 INDEX_DROP_SCHEMA = (
     "doc_id bigint, text string, ingest_ts timestamp, deleted boolean"
 )
-_TERM_PREFIXES = 64
-_DOC_PREFIXES = 32
+# Store-layout fan: tp/dp prefix-partition counts trade read-side
+# pruning granularity against file count (one parquet file per prefix
+# dir per landed batch — guide §6's small-files cost is paid per file
+# PER SERVE). r14: 64/32 -> 16/8 measured -18% on the four *_served_lww
+# bench rows (5.48 s -> 4.51 s within one window): at fixture scale the
+# per-file open cost dominated the pruned scans (32 one-file tasks of
+# ~65 ms fixed cost each). A production store whose per-prefix files
+# reach the 128 MB-1 GB band should RAISE these via the envs — the
+# pruning story is unchanged, only the fan width.
+_TERM_PREFIXES = int(os.environ.get("SPARK_GRAFT_TERM_PREFIXES", "16"))
+_DOC_PREFIXES = int(os.environ.get("SPARK_GRAFT_DOC_PREFIXES", "8"))
 # stats-correction point-lookup cap: tails up to this many touched docs
 # resolve their fold-side lookups via a doc_id IN literal pushed into
 # the doc_id-sorted folded docmeta (row-group skipping); larger tails
