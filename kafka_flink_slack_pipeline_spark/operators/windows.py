@@ -100,7 +100,14 @@ ORDER BY 1, 2
 # Session windows (batch formulation): 30-minute inactivity gap per user.
 # Streaming formulation: F.session_window in streaming/event_time.py.
 def events_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    # r14: pinned-width by-user exchange replaces the window's ENSURE
+    # exchange 1:1 (AQE coalesced the small shuffle to 1-2 tasks while
+    # the lag window over 100k rows is CPU work; projection first so
+    # the exchange carries only the needed columns).
+    e = spread(
+        table(spark, sf_dir, "events").select("user_id", "ts", "event_id"),
+        "user_id",
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Gap compare in integer MICROSECONDS on both engines — float/seconds
     # truncation at the 1800s boundary would silently diverge.
@@ -175,7 +182,13 @@ ORDER BY event_type
 # --------------------------------------------------------------------------
 # W4 analogue: last-5 events per user (keyed top-k by recency).
 def last_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    # r14: same pinned by-user exchange as events_sessions_per_user.
+    e = spread(
+        table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "event_type", "ts"
+        ),
+        "user_id",
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         e.withColumn("recency_rank", F.row_number().over(w))
@@ -203,7 +216,13 @@ ORDER BY user_id, recency_rank
 # concatenated into one context string (P19's `${user}: ${text}` line format
 # becomes `${event_type}:${event_id}`; ints only — cross-engine stable).
 def user_history_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    # r14: same pinned by-user exchange as events_sessions_per_user.
+    e = spread(
+        table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        "user_id",
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     ranked = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 100)
     # Oldest-first concat: collect (ts, event_id, line) structs, sort, join —
@@ -703,7 +722,15 @@ _LTTB_NB = 16
 
 
 def events_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select(
+    # r14: pinned by-type exchange — all four window branches (interior
+    # x2 via means/picks, endpoints, ends_out) recompute this head, so
+    # the spread replaces each branch's AQE-coalesced ENSURE exchange.
+    e = spread(
+        table(spark, sf_dir, "events").select(
+            "event_type", "ts", "value", "event_id"
+        ),
+        "event_type",
+    ).select(
         "event_type",
         F.unix_micros("ts").alias("x"),
         F.col("value").alias("y"),
@@ -896,7 +923,15 @@ _ANOM_Z = 3
 
 
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select(
+    # r14: pinned by-type exchange for the sliding-frame window (the
+    # useful width is bounded by #event_types, but that still beats the
+    # single partition AQE coalesced this to).
+    e = spread(
+        table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ),
+        "event_type",
+    ).select(
         "event_id",
         "ts",
         "event_type",
