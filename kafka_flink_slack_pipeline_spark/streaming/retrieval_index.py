@@ -717,17 +717,28 @@ def _serve_workload(
         F.col("tf")
         + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
     )
-    term_score = F.round(idf * tf_norm, 9).cast("decimal(25,12)")
-    # per-(doc, term) decimal score computed BEFORE the query fan-out
-    # join (it does not depend on query_id): the fanned rows carry a
-    # ready decimal, the per-group summand set is unchanged, so the
-    # exact decimal sum and its rounding are bit-identical.
+    # per-(doc, term) score computed BEFORE the query fan-out join (it
+    # does not depend on query_id). r15: the fanned rows carry the
+    # score's unscaled long at 1e9 instead of a decimal(25,12), so the
+    # fan-out aggregation is a codegen long sum — exact, commutative,
+    # and bit-identical to the decimal path through round(.., 6); see
+    # the bit-safety argument at bm25_keyword_search (curation.py),
+    # which this serve path mirrors expression-for-expression.
+    scale9 = F.lit(1000000000).cast("decimal(10,0)")
+    term_score_u = (
+        F.round(idf * tf_norm, 9).cast("decimal(25,9)") * scale9
+    ).cast("long")
     scored = (
-        matched.withColumn("ts_dec", term_score)
+        matched.withColumn("ts_u", term_score_u)
         .join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(
-            F.round(F.sum("ts_dec").cast("double"), 6).alias("score"),
+            F.round(
+                (F.sum("ts_u").cast("decimal(29,9)") / scale9).cast(
+                    "double"
+                ),
+                6,
+            ).alias("score"),
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )
