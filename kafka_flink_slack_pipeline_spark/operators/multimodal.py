@@ -425,7 +425,7 @@ _MEDIA_STRIDE_BYTES = 4
 
 
 def _spread_small_scan(
-    spark: SparkSession, df: DataFrame, sf_dir: str
+    spark: SparkSession, df: DataFrame, sf_dir: str, denom: int = 4
 ) -> DataFrame:
     """Repartition a compute-bound narrow map's input ONLY when the
     backing scan cannot parallelize by itself: a single sub-split-size
@@ -458,10 +458,16 @@ def _spread_small_scan(
         # 1.67/0.90/0.61/0.59 s, media_neardup_phash 0.80/0.56/0.61/0.58,
         # media_neardup_simhash 0.90/0.65/0.74/0.89 (isolated, min of 3).
         # Env-overridable for clusters whose kernel stages are long
-        # enough to amortize the worker round-trip.
-        n = int(
-            os.environ.get("SPARK_GRAFT_MEDIA_WIDTH", "0")
-        ) or max(2, spark.sparkContext.defaultParallelism // 4)
+        # enough to amortize the worker round-trip. r15: `denom` lets an
+        # op whose kernel is CPU-heavier per batch pick its own point on
+        # that curve (simhash's isolated optimum was width 16 = cores//2
+        # while the shared default gives cores//4 — its hex+shingle
+        # explode amortizes the worker round-trip sooner).
+        from ..tables import _env_width
+
+        n = _env_width("SPARK_GRAFT_MEDIA_WIDTH") or max(
+            2, spark.sparkContext.defaultParallelism // denom
+        )
         return df.repartition(n, "doc_id")
     return df
 
@@ -494,8 +500,12 @@ def byte_simhash_pairs_of(mm: DataFrame) -> DataFrame:
 
 
 def media_neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # denom=2: this kernel's per-batch CPU (hex + 4-byte block shingle
+    # explode over the whole payload) amortizes the Python-worker
+    # round-trip at twice the shared width — r14 isolated A/B at widths
+    # 32/16/8/4 was 0.90/0.65/0.74/0.89 s (optimum 16 on 32 cores).
     mm = _spread_small_scan(
-        spark, multimodal_view(spark, sf_dir), sf_dir
+        spark, multimodal_view(spark, sf_dir), sf_dir, denom=2
     )
     return byte_simhash_pairs_of(mm)
 

@@ -868,8 +868,14 @@ def _current_live_h(
     write shape: dp-pruned + (below _LEDGER_LOOKUP_CAP) doc_id-IN
     point lookups against the folded doc_id-sorted docmeta/vermeta;
     above the cap, a dp-pruned scan + semi join."""
-    from .retrieval_index import _dp_col, _lww, _read_store
+    from .retrieval_index import (
+        _assert_layout,
+        _dp_col,
+        _lww,
+        _read_store,
+    )
 
+    _assert_layout(state_dir)  # dp modulus must match the landed store
     dm_dir = f"{state_dir}/docmeta"
     vm_dir = f"{state_dir}/vermeta"
     if not (os.path.isdir(dm_dir) and os.path.isdir(vm_dir)):
@@ -934,7 +940,9 @@ def _land_funnel_ledger(
     TTL."""
     from pyspark.sql import Window
 
-    from .retrieval_index import _dp_col
+    from .retrieval_index import _dp_col, _land_layout
+
+    _land_layout(state_dir)  # persist/assert the dp modulus (ADVICE r14)
 
     deleted = F.coalesce(F.col("deleted"), F.lit(False))
     live = batch.filter(~deleted)

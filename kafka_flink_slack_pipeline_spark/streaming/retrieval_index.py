@@ -97,6 +97,7 @@ staging), invoked every `compact_every` batches by default.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -133,8 +134,57 @@ INDEX_DROP_SCHEMA = (
 # ~65 ms fixed cost each). A production store whose per-prefix files
 # reach the 128 MB-1 GB band should RAISE these via the envs — the
 # pruning story is unchanged, only the fan width.
-_TERM_PREFIXES = int(os.environ.get("SPARK_GRAFT_TERM_PREFIXES", "16"))
-_DOC_PREFIXES = int(os.environ.get("SPARK_GRAFT_DOC_PREFIXES", "8"))
+from ..tables import _env_width as _env_int  # noqa: E402 (defensive env parse)
+
+_TERM_PREFIXES = _env_int("SPARK_GRAFT_TERM_PREFIXES") or 16
+_DOC_PREFIXES = _env_int("SPARK_GRAFT_DOC_PREFIXES") or 8
+# The prefix moduli are STORE state, not process config: tp/dp are
+# recomputed at serve and compaction time, so a store landed under one
+# modulus and read under another (env drift between ingest and serve
+# processes, or an old store after a default change) silently prunes to
+# the WRONG partitions — missing postings/docmeta rows, wrong scores,
+# no error (ADVICE r14, medium). Landing therefore persists the moduli
+# in a one-line manifest on first land, and every later land / serve /
+# compaction asserts against it. Pre-manifest stores (no file) are
+# trusted as-is — they were written by this process lineage.
+_LAYOUT_FILE = "store_layout.json"
+
+
+def _layout_now() -> dict:
+    return {
+        "term_prefixes": _TERM_PREFIXES,
+        "doc_prefixes": _DOC_PREFIXES,
+    }
+
+
+def _land_layout(state_dir: str) -> None:
+    """First land writes the manifest; later lands assert it."""
+    path = os.path.join(state_dir, _LAYOUT_FILE)
+    if os.path.exists(path):
+        _assert_layout(state_dir)
+        return
+    os.makedirs(state_dir, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(_layout_now(), f)
+
+
+def _assert_layout(state_dir: str) -> None:
+    """Fail loudly when the store's persisted prefix moduli disagree
+    with this process's module/env values."""
+    path = os.path.join(state_dir, _LAYOUT_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        got = json.load(f)
+    want = _layout_now()
+    if got != want:
+        raise ValueError(
+            f"store layout mismatch at {state_dir!r}: landed with "
+            f"{got}, this process uses {want} — set "
+            "SPARK_GRAFT_TERM_PREFIXES / SPARK_GRAFT_DOC_PREFIXES to "
+            "the landed values (changing a store's fan requires a "
+            "rewrite, not an env change)"
+        )
 # stats-correction point-lookup cap: tails up to this many touched docs
 # resolve their fold-side lookups via a doc_id IN literal pushed into
 # the doc_id-sorted folded docmeta (row-group skipping); larger tails
@@ -211,6 +261,7 @@ def _land_text(batch: DataFrame, batch_id: int, state_dir: str) -> None:
     by bm25_index_stream and hybrid_index_stream. Append-only: updates
     and deletes are resolved at serve time (tail mask) and at
     compaction (global LWW fold), never by reading the store here."""
+    _land_layout(state_dir)
     deleted = F.coalesce(F.col("deleted"), F.lit(False))
     live = batch.filter(~deleted)
     toked = live.select(
@@ -504,6 +555,7 @@ def compact_retrieval_store(
     correctness (the IN predicate is exact either way; sortedness only
     sharpens row-group skipping on freshly-landed batches). Returns
     directories removed."""
+    _assert_layout(state_dir)
     dm_dir = f"{state_dir}/docmeta"
     if not os.path.isdir(dm_dir):
         return 0  # nothing landed yet — nothing to fold
@@ -688,6 +740,7 @@ def _serve_workload(
     tp-pruned + term-IN-pushed postings read, tail visibility mask,
     and the batch op's scoring expressions verbatim over the given
     (query_id, term) workload frame."""
+    _assert_layout(state_dir)
     n, avgdl = _live_stats(spark, state_dir)
     cand = _pruned_postings(spark, f"{state_dir}/postings", terms)
     # r14: ONE pinned-width exchange by term feeds the df window (the

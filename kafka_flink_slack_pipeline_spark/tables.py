@@ -73,8 +73,9 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     one core. A production corpus hits the same wall whenever its file
     count (or row-group count) is below the cluster's core count.
 
-    Width is `sparkContext.defaultParallelism` (local: the core count;
-    cluster: total executor cores) — scale-adaptive, not a constant — and
+    Width is `sparkContext.defaultParallelism // 2` (local: half the core
+    count; cluster: half the total executor cores; env-overridable, see
+    below) — scale-adaptive, not a constant — and
     the explicit numPartitions pins it against AQE coalescing (these
     shuffles are small-bytes / high-CPU-per-row, exactly the shape AQE's
     byte-targeted coalescing mis-sizes). With `cols`, hash-partitions by
@@ -92,12 +93,27 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     whose scan stages are long enough to amortize task launch, set the
     env to the full core count."""
     sc = df.sparkSession.sparkContext
-    n = int(
-        os.environ.get("SPARK_GRAFT_SPREAD_WIDTH", "0")
-    ) or max(2, sc.defaultParallelism // 2)
+    n = _env_width("SPARK_GRAFT_SPREAD_WIDTH") or max(
+        2, sc.defaultParallelism // 2
+    )
     if cols:
         return df.repartition(n, *[F.col(c) for c in cols])
     return df.repartition(n)
+
+
+def _env_width(var: str) -> int:
+    """Parse a width/fan env override. 0 or unset means "use the
+    default" (documented convention — widths are never legitimately 0);
+    a non-integer value fails loudly naming the variable instead of
+    surfacing as a bare ValueError from deep inside a plan build."""
+    raw = os.environ.get(var, "0")
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"${var} must be an integer (got {raw!r}); "
+            "0 or unset selects the built-in default"
+        ) from None
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

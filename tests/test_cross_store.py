@@ -212,6 +212,7 @@ def _fold_all(spark, st):
     )
 
 
+@pytest.mark.slow
 def test_cross_store_tombstone_and_update_propagation(spark, sf_dir, xs):
     """The centerpiece: land one logical doc (text + vector + media
     facets) into all five stores in ONE propagate call; tombstone it
@@ -326,6 +327,7 @@ def test_cross_store_tombstone_and_update_propagation(spark, sf_dir, xs):
     assert_revived()
 
 
+@pytest.mark.slow
 def test_cross_store_divergence_is_loud(spark, sf_dir, xs):
     """A delete wave that reaches only SOME stores (the exact failure
     mode the propagator exists to prevent) turns the certificate RED,
@@ -356,6 +358,7 @@ def test_cross_store_divergence_is_loud(spark, sf_dir, xs):
     ), "media never saw doc 30 — unknown stores must not vote"
 
 
+@pytest.mark.slow
 def test_cross_store_face_audit(spark, sf_dir, xs):
     """The FACE-level audit a forget request runs after propagation
     (runs after the centerpiece + divergence tests; module state:
@@ -482,6 +485,7 @@ def test_doc_state_reader_guards(spark, tmp_path):
     assert [(r["store"], r["known"]) for r in rows] == [("bm25", False)]
 
 
+@pytest.mark.slow
 def test_hybrid_partial_facet_routing(spark, sf_dir, xs, tmp_path):
     """ADVICE r13 (cross_store.py:90): hybrid is a TWO-facet store
     under whole-doc LWW, so partial-facet waves must not silently
@@ -595,6 +599,7 @@ def test_hybrid_partial_facet_routing(spark, sf_dir, xs, tmp_path):
     assert 71 in lex_hits("ztok07")
 
 
+@pytest.mark.slow
 def test_wave_id_crash_retry_is_idempotent(spark, sf_dir, xs):
     """r13 verdict item 2: a caller that crashes between the drop
     writes and the runner drain and RETRIES with the same wave_id
@@ -691,6 +696,7 @@ def test_wave_id_crash_retry_is_idempotent(spark, sf_dir, xs):
         )
 
 
+@pytest.mark.slow
 def test_cross_store_face_audit_wave(spark, sf_dir, xs):
     """r13 verdict item 1 — wave-scale forget audit: ONE probe job per
     store answers for the whole wave (mixed live + forgotten docs),

@@ -3,6 +3,8 @@ the testdata documents are all distinct, so dedup needs synthetic positives)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_flink_slack_pipeline_spark.operators import dedup as D
@@ -397,6 +399,7 @@ def test_adaptive_routes_flat_vocab_corpus_to_capped_path(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_ivf_nprobe_curve_is_monotone_and_anchored(spark, sf_dir):
     """Recall@5 must be monotone non-decreasing in nprobe (probing more
     Voronoi cells only ADDS candidates to an exact re-rank), candidate
@@ -415,6 +418,7 @@ def test_ivf_nprobe_curve_is_monotone_and_anchored(spark, sf_dir):
     assert at3.recall_at_5 == round(micro, 4)
 
 
+@pytest.mark.slow
 def test_lsh_radius_curve_is_monotone_and_anchored(spark, sf_dir):
     """Recall@5 must be monotone non-decreasing in probe radius (a
     larger radius probes a superset of buckets), candidate workload

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
@@ -19,6 +21,7 @@ def test_entry_returns_rows(spark):
     assert df.count() > 0
 
 
+@pytest.mark.slow
 def test_queries_all_run(spark, sf_dir):
     qs = entrymod.queries()
     assert len(qs) >= 20
@@ -37,6 +40,7 @@ def test_oracle_keys_subset():
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
 
 
+@pytest.mark.slow
 def test_oracle_columns_match_spark_schema(spark, sf_dir):
     """Column-name parity, the contract invariant the driver's value-hash
     silently punishes: for every oracle-bearing query, DuckDB's DESCRIBE

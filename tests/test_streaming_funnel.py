@@ -85,6 +85,7 @@ def _run(spark, sf_dir, dirs):
     )
 
 
+@pytest.mark.slow
 def test_funnel_stream_batch_parity_across_restart(spark, sf_dir, funnel_dirs):
     # first drop: the lower half of the corpus; run to completion
     _write_drop(sf_dir, f"{funnel_dirs['drop']}/part1.jsonl", 0, 250)
@@ -116,6 +117,7 @@ def test_funnel_stream_batch_parity_across_restart(spark, sf_dir, funnel_dirs):
     assert got == want
 
 
+@pytest.mark.slow  # reads the parity test's module state
 def test_funnel_stream_lands_final_survivors(spark, sf_dir, funnel_dirs):
     # runs after the parity test (module-scoped dirs): landed docs must
     # equal the batch funnel's final-stage count and be lang-partitioned
@@ -133,6 +135,7 @@ def test_funnel_stream_lands_final_survivors(spark, sf_dir, funnel_dirs):
     assert landed.filter("lang = 'en'").count() > 0
 
 
+@pytest.mark.slow  # reads the parity test's module state
 def test_funnel_report_refuses_missing_ingest_metrics(spark, funnel_dirs):
     """The crash-window consistency gate: counts/ holding a batch_id
     that ingest/ lacks must raise, not silently undercount stage 0/1.
@@ -290,6 +293,7 @@ def test_sig_store_rejects_remote_uri(spark):
         _pruned_store(spark, "s3://bucket/sigs", 2, [(0, 0)])
 
 
+@pytest.mark.slow
 def test_funnel_records_capped_bucket_telemetry(
     spark, tmp_path, monkeypatch
 ):
@@ -550,6 +554,7 @@ def test_compact_store_guards(spark, sf_dir, tmp_path):
     assert _pruned_store(spark, sigs_dir, 10, [(0, 0)]) is not None
 
 
+@pytest.mark.slow  # reads the parity test's module state
 def test_funnel_report_ledger_horizon_gate(spark, funnel_dirs):
     """The sibling writes docmeta, vermeta, and hterm per batch in
     order; a crash between the writes leaves their horizons unequal and
@@ -579,6 +584,7 @@ def test_funnel_report_ledger_horizon_gate(spark, funnel_dirs):
     )
 
 
+@pytest.mark.slow
 def test_funnel_auto_compaction_bounds_store_and_keeps_parity(
     spark, sf_dir, tmp_path
 ):
@@ -644,6 +650,7 @@ def test_funnel_auto_compaction_bounds_store_and_keeps_parity(
     assert got == want
 
 
+@pytest.mark.slow  # reads the parity test's module state
 def test_funnel_report_refuses_pre_lww_state(spark, funnel_dirs):
     """Upgrade-path gate: state written by a pre-r12 run has no
     docmeta/ version ledger — the report must name the condition
@@ -731,6 +738,7 @@ def _corpus_dir_of(spark, tmp_path, name, extra_rows, sf_dir=None):
     return out
 
 
+@pytest.mark.slow
 def test_funnel_lww_unsuppression_and_update(spark, sf_dir, tmp_path):
     """r11 verdict item 1, the centerpiece: the funnel's signature
     store under the LWW rails. A document whose ONLY near-dup witness
@@ -901,6 +909,7 @@ def test_funnel_lww_unsuppression_and_update(spark, sf_dir, tmp_path):
     ), "superseded version's landed row not physically dropped"
 
 
+@pytest.mark.slow
 def test_funnel_lww_immutability_divergence(spark, tmp_path):
     """The documented divergence (module note 1), pinned: a victim
     judged BEFORE its witness's tombstone arrives stays dropped — its
@@ -969,6 +978,7 @@ def test_funnel_lww_immutability_divergence(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_funnel_neardup_probe_adhoc(spark, tmp_path):
     """The funnel store's non-ingesting probe face (completing the
     ad-hoc family): a probe text near a landed doc is a DUP; after the
@@ -1065,6 +1075,7 @@ def test_funnel_neardup_probe_adhoc(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_funnel_identical_resend_is_ledger_noop(spark, tmp_path):
     """ADVICE r12 (medium): a byte-identical re-send of a LIVE doc
     (same doc_id, same text, later distinct ingest_ts — legal under the
@@ -1265,6 +1276,7 @@ def test_funnel_out_of_order_version_repaired_at_fold(spark, tmp_path):
     ), "the late older version's signatures must be physically dropped"
 
 
+@pytest.mark.slow
 def test_funnel_stream_classifier_stage_drops_in_stream(
     spark, tmp_path
 ):

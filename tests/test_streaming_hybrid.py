@@ -152,6 +152,7 @@ def test_hybrid_vector_store_rejects_remote_uri(spark):
         _pruned_vectors(spark, "hdfs://nn/vectors", [0])
 
 
+@pytest.mark.slow
 def test_hybrid_index_compaction_preserves_search(spark, sf_dir, tmp_path):
     """A 3-batch run with compact_every=1 folds BOTH stores from inside
     the runner; the folded index serves identical fused results."""

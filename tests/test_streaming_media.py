@@ -236,6 +236,7 @@ def test_media_store_rejects_remote_uri(spark):
         _pruned_fp_store(spark, "hdfs://nn/fps", 2, [("image", 0, 0)])
 
 
+@pytest.mark.slow
 def test_media_store_compaction_and_auto_policy(spark, sf_dir, tmp_path):
     """A 3-batch run with compact_every=1 folds the store from inside
     the runner: directory count ends below the batch count, pruning
@@ -371,6 +372,7 @@ def _write_recs(path, recs):
             f.write(json.dumps(r) + "\n")
 
 
+@pytest.mark.slow
 def test_media_update_delete_lww(spark, sf_dir, tmp_path):
     """Updates and tombstones in the media store (r11, the
     semantic-store template): a tombstoned image stops being a near-dup
@@ -503,6 +505,7 @@ def test_media_update_delete_lww(spark, sf_dir, tmp_path):
     ), "superseded fingerprints not physically dropped"
 
 
+@pytest.mark.slow
 def test_media_probe_adhoc(spark, sf_dir, tmp_path):
     """r11 verdict item 3 (media face): ad-hoc payload probes judge
     against the landed LWW-current reference set WITHOUT ingesting — a

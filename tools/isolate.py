@@ -89,9 +89,12 @@ def main() -> int:
         spark.sparkContext.setJobDescription(f"warmup:{name}")
         run(frames[name])
     samples: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(args.passes):
+    for pi in range(args.passes):
         for name in names:
-            spark.sparkContext.setJobDescription(f"timed:{name}")
+            # pass index in the label so --stages can attribute stages
+            # to ONE pass instead of summing N duplicates of each
+            # logical stage (ADVICE r14)
+            spark.sparkContext.setJobDescription(f"timed:p{pi}:{name}")
             t0 = time.time()
             run(frames[name])
             samples[name].append(time.time() - t0)
@@ -108,12 +111,16 @@ def main() -> int:
 
         app_id = api("applications")[0]["id"]
         jobs = api(f"applications/{app_id}/jobs?status=succeeded")
+        # scrape only the LAST timed pass: one clean instance of each
+        # logical stage per query (earlier passes duplicate them and the
+        # first timed pass carries residual JIT warmup)
+        tag = f"timed:p{args.passes - 1}:"
         stage_ids_by_q: dict[str, set[int]] = {}
         for j in jobs:
             desc = j.get("description") or ""
-            if not desc.startswith("timed:"):
+            if not desc.startswith(tag):
                 continue
-            q = desc[len("timed:"):]
+            q = desc[len(tag):]
             stage_ids_by_q.setdefault(q, set()).update(j.get("stageIds", []))
         stages = {
             s["stageId"]: s
