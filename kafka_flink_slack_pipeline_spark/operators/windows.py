@@ -100,14 +100,14 @@ ORDER BY 1, 2
 # Session windows (batch formulation): 30-minute inactivity gap per user.
 # Streaming formulation: F.session_window in streaming/event_time.py.
 def events_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r14: pinned-width by-user exchange replaces the window's ENSURE
-    # exchange 1:1 (AQE coalesced the small shuffle to 1-2 tasks while
-    # the lag window over 100k rows is CPU work; projection first so
-    # the exchange carries only the needed columns).
-    e = spread(
-        table(spark, sf_dir, "events").select("user_id", "ts", "event_id"),
-        "user_id",
-    )
+    # r14 tried a pinned-width by-user spread here; the driver bench
+    # measured x0.56 and the r15 in-session alternating A/B confirmed it
+    # (6 passes: no-spread min 0.151 s vs spread 0.179 s, means 0.20 vs
+    # 0.26): the lag window + integer sum over ~150 user keys is too
+    # cheap to repay a pinned 16-way exchange of 100k rows — REVERTED.
+    # user_history_window keeps its spread (its per-user collect+sort+
+    # concat is heavier; same A/B: spread 0.245 vs no-spread 0.340).
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Gap compare in integer MICROSECONDS on both engines — float/seconds
     # truncation at the 1800s boundary would silently diverge.
