@@ -266,6 +266,18 @@ def interdoc_dup_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df") <= _SEED_DF_CAP
     )
     a, b = capped.alias("a"), capped.alias("b")
+    # r15 (guide §2.3, project before the exchange): pb is NOT shuffled —
+    # pb == pa - diag identically (diag is pa - pb by construction), so
+    # start_b is recovered exactly as start_a - diag after the aggregate;
+    # 8 bytes/row off the ~600k-row match shuffle. The gaps-and-islands
+    # pair (lag -> brk, running sum -> run_id) is also collapsed to the
+    # arithmetic island id pa - row_number(): within a maximal
+    # consecutive-pa island both increase by 1 (constant id), across a
+    # gap pa jumps by more than rn (id strictly increases), so the
+    # grouping sets are identical — ONE window function over the same
+    # sort instead of two. In-session A/B: results bit-identical
+    # (39,019 rows), wall equal within noise (min 1.085 vs 1.080 s) —
+    # kept for the narrower exchange and the shorter window chain.
     matches = a.join(
         b,
         (F.col("a.gram") == F.col("b.gram"))
@@ -274,25 +286,28 @@ def interdoc_dup_runs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.p").alias("pa"),
-        F.col("b.p").alias("pb"),
         (F.col("a.p") - F.col("b.p")).alias("diag"),
     )
     w_diag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    w_run = w_diag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     islands = matches.withColumn(
-        "brk", (F.col("pa") - F.lag("pa", 1, -2).over(w_diag) > 1).cast("long")
-    ).withColumn("run_id", F.sum("brk").over(w_run))
+        "isl", F.col("pa") - F.row_number().over(w_diag)
+    )
     return (
-        islands.groupBy("doc_a", "doc_b", "diag", "run_id")
+        islands.groupBy("doc_a", "doc_b", "diag", "isl")
         .agg(
             F.min("pa").alias("start_a"),
-            F.min("pb").alias("start_b"),
             (F.max("pa") - F.min("pa") + _SEED_K).cast("long").alias(
                 "run_len"
             ),
         )
         .filter(F.col("run_len") >= _MIN_RUN_EXACT)
-        .select("doc_a", "doc_b", "start_a", "start_b", "run_len")
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            "run_len",
+        )
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     )
 
