@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import QuerySpec
-from ..tables import table
+from ..tables import spread, table
 
 NORMALIZE = lambda c: F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")  # noqa: E731
 
@@ -544,8 +544,17 @@ def _sig_agree(a_sig, b_sig):
 
 
 def _minhash_sig_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: pinned by-doc spread off the single-row-group scan (guide
+    # §2.5) — the shingle explode + per-shingle md5 + 16-min partial
+    # aggregation otherwise run as ONE task (the by-doc exchange is
+    # ~0.5 MB, so AQE coalesces it to 1; the CPU is per-row-heavy).
+    # Unlike the jaccard-capped family's heads (tried and reverted in
+    # r14 — their pair-explosion join is memory-bandwidth-bound and
+    # hides the head's serialization behind the other join side), this
+    # kernel is a LINEAR chain of groupBys with nothing to hide behind:
+    # in-session A/B with the band spread below, min 0.842 -> 0.593 s.
     d = table(spark, sf_dir, "documents")
-    toked = d.select(
+    toked = spread(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks")
     )
     return toked.select(
@@ -613,7 +622,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature pipeline 4x under Spark 4.1 AQE (no cross-branch exchange
     reuse; measured 0.93 s -> 5.56 s at sf0.1 on the env upgrade alone —
     the rewrite is the structural fix, not a cache)."""
-    bands = _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir)))
+    # r15: pinned (band, bkey) spread — the bucket window + collect_list
+    # + pair explosion ran single-task above an AQE-coalesced ~1 MB
+    # exchange. Applied at THIS call site (not inside _banded_sig_pairs)
+    # so the funnel's store-serving face keeps its own plan.
+    bands = spread(
+        _minhash_sig_bands(_minhash_sigs(_minhash_sig_input(spark, sf_dir))),
+        "band",
+        "bkey",
+    )
     return _banded_sig_pairs(bands).orderBy("doc_a", "doc_b")
 
 
@@ -1048,9 +1065,19 @@ def dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical, and a 6-run interleaved ABAB at sf0.1 measured
     r6 {3.69, 2.98, 2.82} vs r5-fused {3.23, 2.90, 3.22} — fully
     overlapping. The bench delta was host drift; the factoring costs
-    nothing by construction (Python helper extraction, same plan)."""
+    nothing by construction (Python helper extraction, same plan).
+
+    r15: pinned by-doc spread off the single-row-group scan (guide
+    §2.5) — the token explode + per-token md5 + packed-counter partial
+    aggregation ran as ONE task. Together with the (band, bval) spread
+    inside _simhash_capped_pairs: in-session A/Bs, head min 0.881 ->
+    0.817 s, head+buckets 0.966 -> 0.808 s, results bit-identical
+    (238,552 pair rows). The uncapped twin keeps the plain scan (oracle
+    fidelity only, not benched)."""
     d = table(spark, sf_dir, "documents")
-    return _simhash_capped_pairs(_simhash_fps(d))
+    return _simhash_capped_pairs(
+        _simhash_fps(spread(d.select("doc_id", "text"), "doc_id"))
+    )
 
 
 def _simhash_capped_pairs(fps: DataFrame) -> DataFrame:
@@ -1074,8 +1101,14 @@ def _simhash_capped_pairs(fps: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.bval")
+    # r15: pinned (band, bval) spread — the bucket collect + pair
+    # explosion + hamming filter ran single-task above an AQE-coalesced
+    # sub-MB exchange (guide §2.5's pinned-width fix). Text A/B: with
+    # the head spread, 0.966 -> 0.808 s min; the media byte variant
+    # (the other consumer) measured neutral (0.706 vs 0.712 min).
     buckets = (
-        bands.groupBy("band", "bval")
+        spread(bands, "band", "bval")
+        .groupBy("band", "bval")
         .agg(F.collect_list(F.struct("doc_id", "fp")).alias("ms"))
         .filter(
             (F.size("ms") >= 2) & (F.size("ms") <= SIMHASH_BUCKET_CAP)
